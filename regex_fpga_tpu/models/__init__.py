@@ -1,0 +1,17 @@
+from .coe import read_coe, write_coe
+from .csr import CsrAutomaton, byte_classes, from_words, load_coe, split_words
+from .oracle import dfa_scan_counts, dfa_step_table, nfa_scan, nfa_scan_trace
+
+__all__ = [
+    "CsrAutomaton",
+    "byte_classes",
+    "dfa_scan_counts",
+    "dfa_step_table",
+    "from_words",
+    "load_coe",
+    "nfa_scan",
+    "nfa_scan_trace",
+    "read_coe",
+    "split_words",
+    "write_coe",
+]
