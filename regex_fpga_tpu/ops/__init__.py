@@ -7,6 +7,12 @@ from .dfa_engine import (
     dfa_scan_blocked,
     dfa_scan_serial,
 )
+from .dfa_fast import (
+    FastScanResult,
+    chain_pass_finals,
+    chain_pass_full,
+    dfa_scan_fast,
+)
 from .nfa_engine import (
     DEFAULT_ACTIVE_BOUND,
     NfaScanResult,
@@ -25,6 +31,10 @@ __all__ = [
     "DEFAULT_ACTIVE_BOUND",
     "DfaScanResult",
     "DfaTables",
+    "FastScanResult",
+    "chain_pass_finals",
+    "chain_pass_full",
+    "dfa_scan_fast",
     "NfaScanResult",
     "NfaTables",
     "block_entry_states",

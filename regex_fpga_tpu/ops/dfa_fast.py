@@ -1,0 +1,147 @@
+"""Fast DFA scan — gather-free MXU inner loop + Jacobi fixpoint block merge.
+
+Why this shape (measured on TPU v5e, see bench/NOTES.md): XLA/Mosaic lower
+arbitrary per-element gathers to a scalar-core loop (~0.1 G gathers/s), so
+any gather-per-byte design is dead on arrival.  The MXU, however, does
+~20 T MAC/s, and a table lookup is a one-hot matmul.  The inner loop is:
+
+    rows = onehot(class_t) @ T          # (NB, C) @ (C, S) — full-width GEMM
+    next = sum(rows * onehot(state), -1)  # VPU select-reduce, exact in f32
+
+with NB parallel block-chains, one lane per block.  This costs C*S MACs per
+byte; at C = 64, S = 128 the measured single-pass rate is ~1 GB/s/chip.
+
+Block seams are resolved by Jacobi fixpoint iteration (speculation width 1):
+run all chains from guessed entry states, propagate finals to the next
+block's entry, repeat until the entry vector is unchanged.  At fixpoint the
+result equals the serial scan exactly (induction from block 0).  Real
+rulesets/corpora synchronize within a block so 2-3 iterations suffice;
+non-synchronizing automata (e.g. parity counters) may not converge — the
+engine reports it and callers fall back to the exact associative path in
+``dfa_engine.py``.
+
+The reference design has no analogue of any of this: its chain is serial per
+char (``Design/FPGA.v:733-737``); this module is the SURVEY.md SS5.7
+sequence-parallel design point.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .tables import DfaTables
+
+__all__ = ["FastScanResult", "dfa_scan_fast", "chain_pass_finals", "chain_pass_full"]
+
+
+class FastScanResult(NamedTuple):
+    final_state: jnp.ndarray   # () int32
+    match_mask: jnp.ndarray    # (L,) bool — accept fired before consuming byte i
+    states: jnp.ndarray        # (L,) int32 — state before consuming byte i
+    converged: jnp.ndarray     # () bool
+    iterations: jnp.ndarray    # () int32
+
+
+def _step_tables(tables: DfaTables):
+    t = tables.table.astype(jnp.bfloat16)
+    c, s = tables.table.shape
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    return t, iota_c, iota_s
+
+
+def _mm_step(t_bf16, iota_c, iota_s, state, cls_t):
+    """One byte for NB chains: state (NB,), cls_t (NB,) -> next state (NB,)."""
+    oh_c = (cls_t[:, None] == iota_c).astype(jnp.bfloat16)
+    rows = jnp.dot(oh_c, t_bf16, preferred_element_type=jnp.float32)
+    oh_x = (state[:, None] == iota_s).astype(jnp.float32)
+    return jnp.sum(rows * oh_x, axis=-1).astype(jnp.int32)
+
+
+def chain_pass_finals(tables: DfaTables, cls_seq: jnp.ndarray, entries: jnp.ndarray):
+    """Run NB chains over (B, NB) class columns; return final states (NB,).
+
+    Cheap pass used inside the fixpoint loop — no per-position outputs.
+    """
+    t, iota_c, iota_s = _step_tables(tables)
+
+    def body(state, cls_t):
+        return _mm_step(t, iota_c, iota_s, state, cls_t), None
+
+    finals, _ = jax.lax.scan(body, entries, cls_seq)
+    return finals
+
+
+def chain_pass_full(tables: DfaTables, cls_seq: jnp.ndarray, entries: jnp.ndarray):
+    """Output pass: also emit per-position state + accept bit (B, NB)."""
+    t, iota_c, iota_s = _step_tables(tables)
+    accept_f = tables.accept.astype(jnp.float32)
+
+    def body(state, cls_t):
+        oh_x = (state[:, None] == iota_s).astype(jnp.float32)
+        acc = jnp.sum(oh_x * accept_f[None, :], axis=-1) > 0.0
+        nxt = _mm_step(t, iota_c, iota_s, state, cls_t)
+        return nxt, (state, acc)
+
+    finals, (states, acc) = jax.lax.scan(body, entries, cls_seq)
+    return finals, states, acc
+
+
+def _shift_entries(finals: jnp.ndarray, start) -> jnp.ndarray:
+    return jnp.concatenate(
+        [jnp.asarray(start, jnp.int32)[None], finals[:-1]]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_blocks", "max_iters"))
+def dfa_scan_fast(
+    tables: DfaTables,
+    classes: jnp.ndarray,
+    num_blocks: int = 65536,
+    start: int = 0,
+    max_iters: int = 16,
+) -> FastScanResult:
+    """Scan a class stream (byte-class ids, length divisible by num_blocks).
+
+    ``classes`` layout: the stream is split into ``num_blocks`` contiguous
+    blocks scanned in parallel, one chain lane per block.  Byte-class mapping
+    of raw bytes happens host-side during ingest (``utils.ingest``) — the
+    device loop then pays C*S MACs/byte instead of 256*S.
+    """
+    l = classes.shape[0]
+    assert l % num_blocks == 0, "stream length must be divisible by num_blocks"
+    b = l // num_blocks
+    # (NB, B) blocks; scan wants (B, NB) columns
+    cls_seq = classes.astype(jnp.int32).reshape(num_blocks, b).T
+    start = jnp.asarray(start, jnp.int32)
+
+    entries0 = jnp.full((num_blocks,), start, dtype=jnp.int32)
+
+    def cond(carry):
+        _, done, it = carry
+        return jnp.logical_and(~done, it < max_iters)
+
+    def body(carry):
+        entries, _, it = carry
+        finals = chain_pass_finals(tables, cls_seq, entries)
+        new_entries = _shift_entries(finals, start)
+        done = jnp.all(new_entries == entries)
+        return new_entries, done, it + 1
+
+    entries, converged, iters = jax.lax.while_loop(
+        cond, body, (entries0, jnp.array(False), jnp.array(0, jnp.int32))
+    )
+
+    finals, states, acc = chain_pass_full(tables, cls_seq, entries)
+    # (B, NB) -> stream order (NB, B) -> (L,)
+    return FastScanResult(
+        final_state=finals[-1],
+        match_mask=acc.T.reshape(-1),
+        states=states.T.reshape(-1),
+        converged=converged,
+        iterations=iters,
+    )

@@ -1,0 +1,54 @@
+"""Fast (gather-free MXU) DFA engine vs serial oracle + convergence handling."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from regex_fpga_tpu.ops import build_dfa_tables, dfa_scan_serial
+from regex_fpga_tpu.ops.dfa_fast import dfa_scan_fast
+
+from conftest import random_dfa_table
+
+
+@pytest.mark.parametrize("seed,num_blocks", [(0, 8), (1, 16), (2, 64), (3, 1)])
+def test_fast_vs_serial(seed, num_blocks):
+    rng = np.random.default_rng(seed)
+    table, accept = random_dfa_table(rng, 48, 6)
+    dt = build_dfa_tables(table, accept)
+    stream = rng.integers(0, 256, size=4096).astype(np.uint8)
+    classes = np.asarray(dt.class_of)[stream]
+    res = dfa_scan_fast(dt, jnp.asarray(classes), num_blocks=num_blocks)
+    ser = dfa_scan_serial(dt, jnp.asarray(stream))
+    assert bool(res.converged)
+    assert int(res.final_state) == int(ser.final_state)
+    np.testing.assert_array_equal(np.asarray(res.match_mask), np.asarray(ser.match_mask))
+    counts = np.bincount(
+        np.asarray(res.states)[np.asarray(res.match_mask)], minlength=dt.num_states
+    )
+    np.testing.assert_array_equal(counts, np.asarray(ser.counts))
+
+
+def test_nonconvergence_flagged_and_recoverable():
+    """Parity automaton with odd blocks: Jacobi needs NB iterations; a low
+    budget must flag non-convergence instead of returning silent garbage."""
+    ptable = np.zeros((256, 2), dtype=np.int32)
+    ptable[:, 0] = 1
+    pt = build_dfa_tables(ptable, np.zeros(2, bool))
+    stream = np.zeros(127 * 8, np.int64)
+    low = dfa_scan_fast(pt, jnp.asarray(stream), num_blocks=8, max_iters=4)
+    assert not bool(low.converged)
+    high = dfa_scan_fast(pt, jnp.asarray(stream), num_blocks=8, max_iters=16)
+    assert bool(high.converged)
+    ser = dfa_scan_serial(pt, jnp.asarray(np.zeros(127 * 8, np.uint8)))
+    assert int(high.final_state) == int(ser.final_state)
+
+
+def test_nonzero_start_state(rng):
+    table, accept = random_dfa_table(rng, 32, 3)
+    dt = build_dfa_tables(table, accept)
+    stream = rng.integers(0, 256, size=2048).astype(np.uint8)
+    classes = np.asarray(dt.class_of)[stream]
+    res = dfa_scan_fast(dt, jnp.asarray(classes), num_blocks=16, start=5)
+    ser = dfa_scan_serial(dt, jnp.asarray(stream), start=5)
+    assert bool(res.converged)
+    np.testing.assert_array_equal(np.asarray(res.match_mask), np.asarray(ser.match_mask))
