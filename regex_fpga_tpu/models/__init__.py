@@ -1,9 +1,24 @@
 from .coe import read_coe, write_coe
 from .csr import CsrAutomaton, byte_classes, from_words, load_coe, split_words
 from .oracle import dfa_scan_counts, dfa_step_table, nfa_scan, nfa_scan_trace
+from .regex import CompiledDfa, DfaBlowupError, RegexError, compile_pattern
+from .tokenizer_dfa import (
+    GPT2_PRESPLIT,
+    TokenizerDfa,
+    boundaries_from_flags,
+    build_tokenizer_dfa,
+)
 
 __all__ = [
+    "CompiledDfa",
     "CsrAutomaton",
+    "DfaBlowupError",
+    "GPT2_PRESPLIT",
+    "RegexError",
+    "TokenizerDfa",
+    "boundaries_from_flags",
+    "build_tokenizer_dfa",
+    "compile_pattern",
     "byte_classes",
     "dfa_scan_counts",
     "dfa_step_table",

@@ -1,0 +1,480 @@
+"""Byte-level regex compiler: pattern -> Thompson eps-NFA -> DFA -> minimal DFA.
+
+The reference ships only *compiled* automata (the `.coe` images; no compiler
+exists anywhere in `linfenghuaster/Regex-FPGA` — SURVEY.md SS0), so this
+stage is new surface area the TPU framework must provide to be usable as a
+regex engine: users compile patterns, the reference's users load `.coe`.
+
+Supported syntax (byte-oriented):
+  literals, ``.`` (any byte except \\n), escapes ``\\n \\t \\r \\f \\v \\0
+  \\xNN \\d \\D \\w \\W \\s \\S`` and escaped metachars, classes
+  ``[a-z0-9]`` / negated ``[^...]`` (ranges, escapes), alternation ``|``,
+  groups ``(...)`` (non-capturing ``(?:...)`` accepted), quantifiers
+  ``* + ? {m} {m,} {m,n}``, anchors are NOT supported (streams are
+  unanchored, like the reference rulesets — SURVEY.md SS2.3).
+
+The DFA is produced by subset construction with a configurable state-count
+guard (the shipped IDS rulesets exceed 300k states and must stay on the NFA
+engine — SURVEY.md SS0), then Hopcroft minimization.  Output is a dense
+(256, S) table + accept mask, directly consumable by ``ops.build_dfa_tables``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+__all__ = [
+    "RegexError",
+    "DfaBlowupError",
+    "parse",
+    "compile_nfa",
+    "nfa_to_dfa",
+    "minimize_dfa",
+    "compile_pattern",
+    "CompiledDfa",
+]
+
+
+class RegexError(ValueError):
+    pass
+
+
+class DfaBlowupError(RuntimeError):
+    """Subset construction exceeded the state guard; use the NFA engine."""
+
+
+# ---------------------------------------------------------------------------
+# parsing to an AST
+# ---------------------------------------------------------------------------
+
+_DIGITS = frozenset(range(ord("0"), ord("9") + 1))
+_WORD = (
+    frozenset(range(ord("a"), ord("z") + 1))
+    | frozenset(range(ord("A"), ord("Z") + 1))
+    | _DIGITS
+    | {ord("_")}
+)
+_SPACE = frozenset(b" \t\n\r\f\v")
+_ALL = frozenset(range(256))
+
+
+@dataclasses.dataclass(frozen=True)
+class Lit:
+    chars: frozenset  # set of byte values
+
+
+@dataclasses.dataclass(frozen=True)
+class Cat:
+    parts: tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Alt:
+    options: tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Rep:
+    node: object
+    lo: int
+    hi: int | None  # None = unbounded
+
+
+class _Parser:
+    def __init__(self, pattern: bytes):
+        self.p = pattern
+        self.i = 0
+
+    def error(self, msg: str) -> RegexError:
+        return RegexError(f"{msg} at offset {self.i} in {self.p!r}")
+
+    def peek(self):
+        return self.p[self.i] if self.i < len(self.p) else None
+
+    def eat(self):
+        c = self.p[self.i]
+        self.i += 1
+        return c
+
+    def parse_alt(self):
+        opts = [self.parse_cat()]
+        while self.peek() == ord("|"):
+            self.eat()
+            opts.append(self.parse_cat())
+        return opts[0] if len(opts) == 1 else Alt(tuple(opts))
+
+    def parse_cat(self):
+        parts = []
+        while self.peek() not in (None, ord("|"), ord(")")):
+            parts.append(self.parse_rep())
+        if not parts:
+            return Cat(())
+        return parts[0] if len(parts) == 1 else Cat(tuple(parts))
+
+    def parse_rep(self):
+        node = self.parse_atom()
+        while True:
+            c = self.peek()
+            if c == ord("*"):
+                self.eat()
+                node = Rep(node, 0, None)
+            elif c == ord("+"):
+                self.eat()
+                node = Rep(node, 1, None)
+            elif c == ord("?"):
+                self.eat()
+                node = Rep(node, 0, 1)
+            elif c == ord("{"):
+                save = self.i
+                rep = self._try_braces()
+                if rep is None:
+                    self.i = save
+                    break
+                node = Rep(node, rep[0], rep[1])
+            else:
+                break
+        return node
+
+    def _try_braces(self):
+        self.eat()  # {
+        lo = self._int()
+        if lo is None:
+            return None
+        hi = lo
+        if self.peek() == ord(","):
+            self.eat()
+            hi = self._int()  # None = unbounded
+        if self.peek() != ord("}"):
+            return None
+        self.eat()
+        if hi is not None and hi < lo:
+            raise self.error("bad repeat range")
+        return lo, hi
+
+    def _int(self):
+        s = ""
+        while self.peek() is not None and self.peek() in _DIGITS:
+            s += chr(self.eat())
+        return int(s) if s else None
+
+    def parse_atom(self):
+        c = self.peek()
+        if c is None:
+            raise self.error("unexpected end")
+        if c == ord("("):
+            self.eat()
+            if self.p[self.i : self.i + 2] == b"?:":
+                self.i += 2
+            node = self.parse_alt()
+            if self.peek() != ord(")"):
+                raise self.error("unbalanced (")
+            self.eat()
+            return node
+        if c == ord("["):
+            return self.parse_class()
+        if c == ord("."):
+            self.eat()
+            return Lit(frozenset(_ALL - {ord("\n")}))
+        if c == ord("\\"):
+            self.eat()
+            return Lit(self.parse_escape())
+        if c in b"*+?":
+            raise self.error("quantifier with nothing to repeat")
+        self.eat()
+        return Lit(frozenset({c}))
+
+    def parse_escape(self):
+        if self.peek() is None:
+            raise self.error("trailing backslash")
+        c = self.eat()
+        simple = {
+            ord("n"): b"\n", ord("t"): b"\t", ord("r"): b"\r",
+            ord("f"): b"\f", ord("v"): b"\v", ord("0"): b"\0",
+        }
+        if c in simple:
+            return frozenset(simple[c])
+        if c == ord("x"):
+            hx = self.p[self.i : self.i + 2]
+            if len(hx) != 2:
+                raise self.error("bad \\x escape")
+            self.i += 2
+            try:
+                return frozenset({int(hx, 16)})
+            except ValueError:
+                raise self.error("bad \\x escape")
+        classes = {
+            ord("d"): _DIGITS, ord("D"): _ALL - _DIGITS,
+            ord("w"): _WORD, ord("W"): _ALL - _WORD,
+            ord("s"): _SPACE, ord("S"): _ALL - _SPACE,
+        }
+        if c in classes:
+            return frozenset(classes[c])
+        return frozenset({c})  # escaped literal metachar
+
+    def parse_class(self):
+        self.eat()  # [
+        negate = False
+        if self.peek() == ord("^"):
+            negate = True
+            self.eat()
+        chars: set = set()
+        first = True
+        while True:
+            c = self.peek()
+            if c is None:
+                raise self.error("unbalanced [")
+            if c == ord("]") and not first:
+                self.eat()
+                break
+            first = False
+            if c == ord("\\"):
+                self.eat()
+                sub = self.parse_escape()
+                if len(sub) > 1:
+                    chars |= sub
+                    continue
+                lo = next(iter(sub))
+            else:
+                lo = self.eat()
+            if self.peek() == ord("-") and self.i + 1 < len(self.p) and self.p[self.i + 1] != ord("]"):
+                self.eat()
+                if self.peek() == ord("\\"):
+                    self.eat()
+                    sub = self.parse_escape()
+                    if len(sub) != 1:
+                        raise self.error("bad class range")
+                    hi = next(iter(sub))
+                else:
+                    hi = self.eat()
+                if hi < lo:
+                    raise self.error("bad class range")
+                chars |= set(range(lo, hi + 1))
+            else:
+                chars.add(lo)
+        return Lit(frozenset(_ALL - chars if negate else chars))
+
+
+def parse(pattern: str | bytes):
+    data = pattern.encode() if isinstance(pattern, str) else pattern
+    p = _Parser(data)
+    node = p.parse_alt()
+    if p.i != len(data):
+        raise p.error("unexpected )")
+    return node
+
+
+# ---------------------------------------------------------------------------
+# Thompson construction: AST -> eps-NFA
+# ---------------------------------------------------------------------------
+
+
+class EpsNfa:
+    """States 0..n-1; edges: list of (src, charset|None, dst); None = eps."""
+
+    def __init__(self):
+        self.n = 0
+        self.edges: list[tuple[int, frozenset | None, int]] = []
+
+    def new_state(self) -> int:
+        self.n += 1
+        return self.n - 1
+
+    def add(self, src, charset, dst):
+        self.edges.append((src, charset, dst))
+
+
+def _build(nfa: EpsNfa, node) -> tuple[int, int]:
+    """Returns (entry, exit) state pair for the fragment."""
+    if isinstance(node, Lit):
+        a, b = nfa.new_state(), nfa.new_state()
+        nfa.add(a, node.chars, b)
+        return a, b
+    if isinstance(node, Cat):
+        if not node.parts:
+            a = nfa.new_state()
+            return a, a
+        first = _build(nfa, node.parts[0])
+        cur = first
+        for part in node.parts[1:]:
+            nxt = _build(nfa, part)
+            nfa.add(cur[1], None, nxt[0])
+            cur = nxt
+        return first[0], cur[1]
+    if isinstance(node, Alt):
+        a, b = nfa.new_state(), nfa.new_state()
+        for opt in node.options:
+            f = _build(nfa, opt)
+            nfa.add(a, None, f[0])
+            nfa.add(f[1], None, b)
+        return a, b
+    if isinstance(node, Rep):
+        lo, hi = node.lo, node.hi
+        if hi is not None and hi > 64:
+            raise RegexError("repeat bound too large (>64)")
+        a = nfa.new_state()
+        cur = a
+        for _ in range(lo):
+            f = _build(nfa, node.node)
+            nfa.add(cur, None, f[0])
+            cur = f[1]
+        if hi is None:  # unbounded tail: loop
+            f = _build(nfa, node.node)
+            nfa.add(cur, None, f[0])
+            nfa.add(f[1], None, cur)
+            return a, cur
+        b = nfa.new_state()
+        nfa.add(cur, None, b)
+        for _ in range(hi - lo):
+            f = _build(nfa, node.node)
+            nfa.add(cur, None, f[0])
+            cur = f[1]
+            nfa.add(cur, None, b)
+        return a, b
+    raise TypeError(node)
+
+
+def compile_nfa(pattern: str | bytes) -> tuple[EpsNfa, int, int]:
+    nfa = EpsNfa()
+    entry, exit_ = _build(nfa, parse(pattern))
+    return nfa, entry, exit_
+
+
+# ---------------------------------------------------------------------------
+# subset construction + Hopcroft minimization
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class CompiledDfa:
+    """Dense DFA: ``table[b, s]`` next state on byte b; dead state included
+    (absorbing, index ``dead``); ``accept`` marks accepting states."""
+
+    table: np.ndarray   # (256, S) int32
+    accept: np.ndarray  # (S,) bool
+    start: int
+    dead: int
+
+    @property
+    def num_states(self) -> int:
+        return self.table.shape[1]
+
+
+def nfa_to_dfa(
+    nfa: EpsNfa, entry: int, exit_: int, max_states: int = 100_000
+) -> CompiledDfa:
+    # adjacency
+    eps_adj: list[list[int]] = [[] for _ in range(nfa.n)]
+    char_adj: list[list[tuple[frozenset, int]]] = [[] for _ in range(nfa.n)]
+    for src, charset, dst in nfa.edges:
+        if charset is None:
+            eps_adj[src].append(dst)
+        else:
+            char_adj[src].append((charset, dst))
+
+    def eclose(states: frozenset) -> frozenset:
+        stack, seen = list(states), set(states)
+        while stack:
+            s = stack.pop()
+            for t in eps_adj[s]:
+                if t not in seen:
+                    seen.add(t)
+                    stack.append(t)
+        return frozenset(seen)
+
+    start_set = eclose(frozenset({entry}))
+    ids: dict[frozenset, int] = {start_set: 0}
+    rows: dict[int, np.ndarray] = {}
+    accept: list[bool] = [exit_ in start_set]
+    work = [start_set]
+    while work:
+        cur = work.pop()
+        sid = ids[cur]
+        # successors per byte
+        targets: list[set] = [set() for _ in range(256)]
+        for s in cur:
+            for charset, dst in char_adj[s]:
+                for b in charset:
+                    targets[b].add(dst)
+        row = np.full(256, -1, dtype=np.int64)
+        memo: dict[frozenset, int] = {}
+        for b in range(256):
+            if not targets[b]:
+                continue
+            key = frozenset(targets[b])
+            if key in memo:
+                row[b] = memo[key]
+                continue
+            nxt = eclose(key)
+            if nxt not in ids:
+                if len(ids) >= max_states:
+                    raise DfaBlowupError(
+                        f"subset construction exceeded {max_states} states"
+                    )
+                ids[nxt] = len(ids)
+                accept.append(exit_ in nxt)
+                work.append(nxt)
+            row[b] = memo[key] = ids[nxt]
+        rows[sid] = row
+
+    n = len(ids)
+    dead = n
+    table = np.full((256, n + 1), dead, dtype=np.int32)
+    for sid, row in rows.items():
+        live = row >= 0
+        table[live, sid] = row[live]
+    accept_arr = np.array(accept + [False], dtype=bool)
+    return CompiledDfa(table=table, accept=accept_arr, start=0, dead=dead)
+
+
+def minimize_dfa(dfa: CompiledDfa) -> CompiledDfa:
+    """Hopcroft minimization (partition refinement over the 256-byte alphabet)."""
+    n = dfa.num_states
+    table = dfa.table
+    # initial partition: accepting / non-accepting
+    part = dfa.accept.astype(np.int64).copy()
+    nparts = len(np.unique(part))
+    while True:
+        # signature of each state: (own part, parts of successors on each byte)
+        sig = part[table]  # (256, n)
+        keys = np.concatenate([part[None, :], sig], axis=0).T  # (n, 257)
+        _, part = np.unique(keys, axis=0, return_inverse=True)
+        new_nparts = len(np.unique(part))
+        if new_nparts == nparts:  # refinement only splits; equal count = fixpoint
+            break
+        nparts = new_nparts
+    # rebuild
+    m = int(part.max()) + 1
+    reps = np.zeros(m, dtype=np.int64)
+    reps[part] = np.arange(n)
+    new_table = part[table[:, reps]].astype(np.int32)
+    new_accept = dfa.accept[reps]
+    return CompiledDfa(
+        table=new_table,
+        accept=new_accept,
+        start=int(part[dfa.start]),
+        dead=int(part[dfa.dead]),
+    )
+
+
+def compile_pattern(
+    pattern: str | bytes,
+    max_states: int = 100_000,
+    minimize: bool = True,
+    anchored: bool = True,
+) -> CompiledDfa:
+    """Compile a pattern to a minimal dense DFA.
+
+    ``anchored=True``: accept iff the whole input so far matches (fullmatch
+    semantics).  ``anchored=False``: scanning DFA for ``.*pattern`` — accept
+    at position i iff *some* match ends at i (the natural stream-scanning
+    mode, matching the reference rulesets' unanchored hub structure).
+    """
+    node = parse(pattern)
+    if not anchored:
+        node = Cat((Rep(Lit(frozenset(_ALL)), 0, None), node))
+    nfa = EpsNfa()
+    entry, exit_ = _build(nfa, node)
+    dfa = nfa_to_dfa(nfa, entry, exit_, max_states=max_states)
+    return minimize_dfa(dfa) if minimize else dfa

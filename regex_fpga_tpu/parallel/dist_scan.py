@@ -1,0 +1,147 @@
+"""Distributed scans: shard_map over the (data, seq) mesh.
+
+Layout (SURVEY.md SS5.8): automaton tables are small (0.35-0.5 MiB per
+shipped ruleset) and REPLICATED per chip; byte streams are SHARDED — the
+batch of streams over the ``data`` axis, and each stream's blocks over the
+``seq`` axis.  Cross-chip seams are resolved with the same Jacobi fixpoint
+as intra-chip block seams, except the entry of a chip's first block arrives
+from the previous chip via ``lax.ppermute`` over ICI; the convergence flag
+and match totals reduce with ``psum``.  No other communication exists — the
+inner loop is entirely local MXU work.
+
+The NFA conformance engine distributes over ``data`` only (each stream's
+active-set chain is short-range serial; streams are independent, mirroring
+the reference's two fully independent streams, SURVEY.md SS3.3 item 5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..ops.dfa_fast import chain_pass_finals, chain_pass_full
+from ..ops.nfa_engine import DEFAULT_ACTIVE_BOUND, nfa_scan_batch
+from ..ops.tables import DfaTables, NfaTables
+from .mesh import DATA_AXIS, SEQ_AXIS
+
+__all__ = ["nfa_scan_dist", "dfa_scan_fast_dist"]
+
+
+def nfa_scan_dist(mesh, tables: NfaTables, streams: jnp.ndarray,
+                  active_bound: int = DEFAULT_ACTIVE_BOUND):
+    """Batched NFA scan, streams (B, L) sharded over the data axis.
+
+    Returns per-stream counts (B, S) sharded the same way, plus the
+    psum-aggregated per-state totals (replicated) — the distributed analogue
+    of the reference testbench's final histogram report
+    (``testbench_BLK_Mem.sv:75-85``).
+    """
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None), P()),
+        check_vma=False,
+    )
+    def run(tables, streams_local):
+        res = nfa_scan_batch(tables, streams_local, active_bound)
+        # input is seq-replicated, so reduce over data only; the result is
+        # already identical across the seq axis
+        totals = jax.lax.psum(res.counts.sum(axis=0), axis_name=DATA_AXIS)
+        return res.counts, totals
+
+    return run(tables, streams)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "blocks_per_shard", "max_iters"),
+)
+def dfa_scan_fast_dist(
+    mesh,
+    tables: DfaTables,
+    classes: jnp.ndarray,
+    blocks_per_shard: int = 8192,
+    start: int = 0,
+    max_iters: int = 16,
+):
+    """Distributed fast DFA scan.
+
+    ``classes``: (BATCH, L) byte-class ids; BATCH divisible by the mesh
+    ``data`` axis, L divisible by (seq_size * blocks_per_shard).  Each device
+    runs ``blocks_per_shard`` Jacobi chains over its local span; seam entries
+    flow along ``seq`` via ppermute each iteration.
+
+    Returns (final_states (BATCH,), match_counts (BATCH,), converged ()).
+    """
+    n_seq = mesh.shape[SEQ_AXIS]
+    batch, l = classes.shape
+    assert l % (n_seq * blocks_per_shard) == 0
+    start = jnp.asarray(start, jnp.int32)
+
+    # reshape to expose the seq shards: (BATCH, n_seq, L/n_seq)
+    classes3 = classes.reshape(batch, n_seq, l // n_seq)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, SEQ_AXIS, None)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+        check_vma=False,
+    )
+    def run(tables, cls_local):
+        # cls_local: (b_loc, 1, l_loc)
+        b_loc, _, l_loc = cls_local.shape
+        nb = blocks_per_shard
+        assert l_loc % nb == 0
+        seq_idx = jax.lax.axis_index(SEQ_AXIS)
+        n_seq_ = jax.lax.axis_size(SEQ_AXIS)
+        # (b_loc, B, NB) columns for scan
+        cls_seq = cls_local.reshape(b_loc, nb, l_loc // nb).swapaxes(1, 2)
+
+        fwd = [(i, (i + 1) % n_seq_) for i in range(n_seq_)]
+
+        def one_pass_finals(entries):
+            return jax.vmap(lambda cs, e: chain_pass_finals(tables, cs, e))(
+                cls_seq, entries
+            )
+
+        def body(carry):
+            entries, _, it = carry
+            finals = one_pass_finals(entries)  # (b_loc, NB)
+            # seam: previous shard's last final -> my first entry
+            seam_in = jax.lax.ppermute(finals[:, -1], SEQ_AXIS, fwd)
+            first = jnp.where(seq_idx == 0, start, seam_in)
+            new_entries = jnp.concatenate([first[:, None], finals[:, :-1]], axis=1)
+            local_done = jnp.all(new_entries == entries)
+            ndone = jax.lax.psum(
+                jax.lax.psum(1 - local_done.astype(jnp.int32), DATA_AXIS), SEQ_AXIS
+            )
+            return new_entries, ndone == 0, it + 1
+
+        def cond(carry):
+            _, done, it = carry
+            return jnp.logical_and(~done, it < max_iters)
+
+        entries0 = jnp.full((b_loc, nb), start, dtype=jnp.int32)
+        entries, converged, _ = jax.lax.while_loop(
+            cond, body, (entries0, jnp.array(False), jnp.array(0, jnp.int32))
+        )
+
+        finals, _, acc = jax.vmap(
+            lambda cs, e: chain_pass_full(tables, cs, e)
+        )(cls_seq, entries)
+        # per-stream totals: sum local accept bits, add over seq axis
+        local_counts = acc.sum(axis=(1, 2)).astype(jnp.int32)  # (b_loc,)
+        counts = jax.lax.psum(local_counts, SEQ_AXIS)
+        # final state of the stream = last block's final on the last shard,
+        # broadcast to every seq member via all_gather
+        alls = jax.lax.all_gather(finals[:, -1], SEQ_AXIS)  # (n_seq, b_loc)
+        return alls[-1], counts, converged
+
+    finals, counts, converged = run(tables, classes3)
+    return finals, counts, converged

@@ -1,0 +1,59 @@
+"""Distributed scans on the 8-device virtual CPU mesh (SURVEY.md SS4.4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from regex_fpga_tpu.models import nfa_scan
+from regex_fpga_tpu.ops import build_dfa_tables, build_nfa_tables, dfa_scan_serial
+from regex_fpga_tpu.parallel import dfa_scan_fast_dist, make_mesh, nfa_scan_dist
+from regex_fpga_tpu.utils import load_ruleset, load_trace_pair
+
+from conftest import random_dfa_table, random_nfa
+
+
+def test_eight_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("n_data,n_seq", [(8, 1), (4, 2), (2, 4)])
+def test_nfa_dist_matches_oracle(rng, n_data, n_seq):
+    mesh = make_mesh(n_data, n_seq)
+    aut = random_nfa(rng, n_states=40, n_edges=300, n_accept=4)
+    t = build_nfa_tables(aut)
+    streams = rng.integers(0, 256, size=(8, 512)).astype(np.uint8)
+    counts, totals = nfa_scan_dist(mesh, t, jnp.asarray(streams))
+    expect = np.stack([nfa_scan(aut, s) for s in streams])
+    np.testing.assert_array_equal(np.asarray(counts), expect)
+    np.testing.assert_array_equal(np.asarray(totals), expect.sum(axis=0))
+
+
+def test_nfa_dist_reference(reference_available):
+    mesh = make_mesh(8, 1)
+    aut = load_ruleset("l-7_filter")
+    t = build_nfa_tables(aut)
+    lo, hi = load_trace_pair("l-7_filter", limit=4_000)
+    streams = np.stack([lo, hi] * 4)  # 8 streams over 8 devices
+    counts, totals = nfa_scan_dist(mesh, t, jnp.asarray(streams))
+    np.testing.assert_array_equal(np.asarray(counts[0]), nfa_scan(aut, lo))
+    np.testing.assert_array_equal(np.asarray(counts[1]), nfa_scan(aut, hi))
+
+
+@pytest.mark.parametrize("n_data,n_seq", [(2, 4), (1, 8), (4, 2)])
+def test_dfa_dist_matches_serial(rng, n_data, n_seq):
+    mesh = make_mesh(n_data, n_seq)
+    table, accept = random_dfa_table(rng, 32, 4)
+    dt = build_dfa_tables(table, accept)
+    batch = 2 * n_data
+    l = n_seq * 4 * 64  # 4 blocks/shard, 64-byte blocks
+    streams = rng.integers(0, 256, size=(batch, l)).astype(np.uint8)
+    classes = np.asarray(dt.class_of)[streams]
+    finals, counts, converged = dfa_scan_fast_dist(
+        mesh, dt, jnp.asarray(classes), blocks_per_shard=4
+    )
+    assert bool(converged)
+    for i in range(batch):
+        ser = dfa_scan_serial(dt, jnp.asarray(streams[i]))
+        assert int(finals[i]) == int(ser.final_state), f"stream {i}"
+        assert int(counts[i]) == int(np.asarray(ser.counts).sum()), f"stream {i}"
