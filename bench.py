@@ -1,0 +1,106 @@
+"""Benchmark entry point — prints ONE JSON line with the headline metric.
+
+Headline: single-chip DFA scan throughput (bytes/s) of the block-parallel
+speculative engine (Jacobi fixpoint + gather-free MXU inner loop) on a
+synthetic text stream through the GPT-2-style pre-split tokenizer DFA —
+BASELINE.json config 3/4.  ``vs_baseline`` is the ratio to the 1 GB/s/chip
+north-star target from BASELINE.md (the reference FPGA itself achieves
+~65-129 KB/s derived, SURVEY.md SS6 — also reported for context).
+
+Timing note: on the tunneled TPU platform ``block_until_ready`` does not
+synchronize; every timed region forces a small host transfer instead.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from regex_fpga_tpu.models import build_tokenizer_dfa
+    from regex_fpga_tpu.ops import build_dfa_tables
+    from regex_fpga_tpu.ops.dfa_fast import dfa_scan_fast
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    tok = build_tokenizer_dfa()
+    dt = build_dfa_tables(tok.table, tok.accept)
+    print(
+        f"# tokenizer DFA: S={dt.num_states} C={dt.num_classes}", file=sys.stderr
+    )
+
+    # synthetic text: word-like structure so the pre-split DFA does real work
+    rng = np.random.default_rng(0)
+    frag = (
+        b"The quick brown fox jumps over 1234 lazy dogs, it's 99.5% fine!  "
+        b"pre-split   benchmark text \xc3\xa9t\xc3\xa9 2026... "
+    )
+    l = 1 << 26  # 64 MiB per timed pass
+    reps = int(np.ceil(l / len(frag)))
+    text = np.frombuffer(frag * reps, dtype=np.uint8)[:l]
+    class_lut = np.asarray(dt.class_of)
+    classes = jnp.asarray(class_lut[text].astype(np.int32))
+
+    nb = 65536
+    run = lambda: dfa_scan_fast(dt, classes, num_blocks=nb, start=tok.start)
+
+    # warmup/compile
+    r = run()
+    np.asarray(r.final_state)
+    iters = int(r.iterations)
+
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = run()
+    np.asarray(r.final_state)  # force
+    dt_s = (time.perf_counter() - t0) / n
+    bps = l / dt_s
+
+    # context: conformance sanity on the reference ruleset (quick prefix)
+    conf_ok = None
+    try:
+        from regex_fpga_tpu import api
+        from regex_fpga_tpu.utils import load_trace_pair, reference_root
+        import os
+
+        m = api.compile_ruleset(
+            os.path.join(reference_root(), "Block_Mem/CSR_BlockMem.coe")
+        )
+        lo, _ = load_trace_pair("l-7_filter", limit=30_000)
+        rep = m.scan(lo)
+        conf_ok = rep.histogram(0) == {443: 1, 1386: 1}
+    except Exception as e:  # reference not mounted in bench env
+        print(f"# conformance check skipped: {e}", file=sys.stderr)
+
+    target = 1e9  # BASELINE.md north star, B/s/chip
+    out = {
+        "metric": "dfa_scan_bytes_per_sec_per_chip",
+        "value": round(bps, 1),
+        "unit": "B/s",
+        "vs_baseline": round(bps / target, 4),
+        "detail": {
+            "engine": "dfa-fast (Jacobi + MXU one-hot)",
+            "stream_bytes": l,
+            "num_blocks": nb,
+            "jacobi_iterations": iters,
+            "converged": bool(r.converged),
+            "dfa_states": dt.num_states,
+            "byte_classes": dt.num_classes,
+            "reference_fpga_bytes_per_sec": 129e3,
+            "vs_reference_fpga": round(bps / 129e3, 1),
+            "conformance_l7_prefix_ok": conf_ok,
+            "device": str(dev),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

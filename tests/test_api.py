@@ -1,0 +1,103 @@
+"""Public API: matchers, streaming checkpoint/resume, engine selection."""
+
+import numpy as np
+import pytest
+
+from regex_fpga_tpu import api
+from regex_fpga_tpu.models import nfa_scan
+from regex_fpga_tpu.utils import load_ruleset, load_trace_pair, reference_root
+from regex_fpga_tpu.utils.config import EngineConfig
+
+
+def test_ruleset_matcher_histogram(reference_available):
+    import os
+
+    m = api.compile_ruleset(
+        os.path.join(reference_root(), "Block_Mem/CSR_BlockMem.coe")
+    )
+    lo, hi = load_trace_pair("l-7_filter", limit=30_000)
+    rep = m.scan([lo, hi])
+    aut = load_ruleset("l-7_filter")
+    np.testing.assert_array_equal(rep.counts[0], nfa_scan(aut, lo))
+    np.testing.assert_array_equal(rep.counts[1], nfa_scan(aut, hi))
+    assert rep.histogram(0) == {443: 1, 1386: 1}
+    assert rep.metrics.bytes_scanned == 60_000
+
+
+def test_stream_scanner_checkpoint_resume(reference_available):
+    import os
+
+    m = api.compile_ruleset(
+        os.path.join(reference_root(), "Block_Mem/CSR_BlockMem.coe"),
+        config=EngineConfig(chunk_bytes=4096),
+    )
+    lo, _ = load_trace_pair("l-7_filter", limit=12_000)
+
+    sc = m.stream_scanner()
+    sc.feed(lo[:5_000])
+    ckpt = sc.checkpoint()  # serialize mid-stream
+    sc2 = m.stream_scanner(resume=ckpt)
+    sc2.feed(lo[5_000:])
+
+    aut = load_ruleset("l-7_filter")
+    np.testing.assert_array_equal(sc2.state_counts, nfa_scan(aut, lo))
+    assert sc2.offset == 12_000
+
+
+def test_regex_matcher_end_positions():
+    m = api.compile_regex(r"ab+c")
+    data = b"zabcz abbbc xx abc"
+    ends = m.findall_ends(data)
+    # one-char-late timing: match ends at byte AFTER the final matched char
+    import re
+
+    expect = [mm.end() for mm in re.finditer(rb"ab+c", data)]
+    assert ends.tolist() == expect
+
+
+def test_regex_matcher_counts_and_chunking():
+    m = api.compile_regex(r"xy", config=EngineConfig(chunk_bytes=256, num_blocks=8))
+    data = b"ab" * 100 + b"xy" + b"cd" * 200 + b"xy" + b"e" * 77
+    rep = m.scan(data)
+    assert rep.total == 2
+    assert rep.metrics.engine == "dfa-fast"
+
+
+def test_adversarial_fallback_exact():
+    # parity-flavored pattern: (aa)* anchored — Jacobi may not converge on
+    # long odd blocks; matcher must still return exact results via fallback
+    m = api.compile_regex(r"a(aa)*", anchored=True,
+                          config=EngineConfig(num_blocks=64, max_iters=2,
+                                              min_block_bytes=1))
+    data = b"a" * 4096
+    rep = m.scan(data)
+    import re
+
+    expect = sum(1 for i in range(1, 4097) if re.fullmatch(rb"a(aa)*", data[:i]))
+    # one-char-late: accepts entered by final byte are dropped
+    got = rep.total
+    assert got in (expect, expect - 1)
+
+
+def test_tokenizer_matcher_pieces():
+    tok = api.compile_tokenizer()
+    text = b"Age: 42, it's fine..."
+    import re
+
+    expect = [
+        m.group(0)
+        for m in re.finditer(
+            rb"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z\x80-\xff]+| ?[0-9]+"
+            rb"| ?[^\x00-\x20A-Za-z0-9\x80-\xff]+|[\x00-\x20]+",
+            text,
+        )
+    ]
+    assert tok.pieces(text) == expect
+
+
+def test_empty_inputs():
+    m = api.compile_regex(r"a")
+    rep = m.scan(b"")
+    assert rep.total == 0
+    tok = api.compile_tokenizer()
+    assert tok.presplit(b"").tolist() == []
