@@ -1,0 +1,94 @@
+// Fast CPU golden scanners for conformance diffing.
+//
+// The Python oracle (regex_fpga_tpu/models/oracle.py) is the semantic root
+// but runs at ~100 KB/s — far too slow to diff a TPU engine against
+// multi-GB corpora.  This native scanner implements the same match
+// semantics (reference Design/FPGA.v: accept = out-degree 0, counted one
+// char late, per-state counters; SURVEY.md SS3.3) at ~10^8 bytes/s:
+//
+//  - NFA: bounded active-set walk over a dense per-(class,state) successor
+//    table (same layout as ops/tables.py NfaTables, K-slot fan-out).
+//  - DFA: single-chain table walk (same layout as DfaTables).
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this image).
+//
+// Build: see native/build.sh (g++ -O3 -shared -fPIC).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// NFA scan.
+//   delta:    (C, S+1, K) int32, sentinel = S
+//   class_of: (256,) int32
+//   accept:   (S+1,) uint8 (0/1)
+//   stream:   (len,) uint8
+//   counts:   (S+1,) int64 out (accumulated; caller zeroes)
+//   active_io: (active_cap,) int32 in/out — initial active list
+//     (sentinel-padded); overwritten with the final active list.
+// Returns 0 on success, 1 on active-set overflow (bound exceeded).
+int nfa_scan(const int32_t* delta, const int32_t* class_of,
+             const uint8_t* accept, int64_t S, int64_t K,
+             const uint8_t* stream, int64_t len,
+             int64_t* counts, int32_t* active_io, int64_t active_cap) {
+  std::vector<int32_t> cur(active_io, active_io + active_cap);
+  std::vector<int32_t> nxt;
+  nxt.reserve(active_cap * K);
+  // membership bitmap for dedupe
+  std::vector<uint8_t> in_next(S + 1, 0);
+  int64_t ncur = 0;
+  while (ncur < active_cap && cur[ncur] != S) ncur++;
+  cur.resize(ncur);
+
+  for (int64_t pos = 0; pos < len; ++pos) {
+    const int64_t cls = class_of[stream[pos]];
+    const int32_t* drow = delta + cls * (S + 1) * K;
+    nxt.clear();
+    for (int32_t s : cur) {
+      if (accept[s]) counts[s]++;
+      const int32_t* cell = drow + (int64_t)s * K;
+      for (int64_t k = 0; k < K; ++k) {
+        const int32_t t = cell[k];
+        if (t != S && !in_next[t]) {
+          in_next[t] = 1;
+          nxt.push_back(t);
+        }
+      }
+    }
+    for (int32_t t : nxt) in_next[t] = 0;
+    if ((int64_t)nxt.size() > active_cap) return 1;
+    cur.swap(nxt);
+  }
+  // write back final active list (sorted for determinism)
+  std::vector<int32_t> fin(cur);
+  std::sort(fin.begin(), fin.end());
+  for (int64_t i = 0; i < active_cap; ++i)
+    active_io[i] = i < (int64_t)fin.size() ? fin[i] : (int32_t)S;
+  return 0;
+}
+
+// DFA scan.
+//   table:    (C, S) int32
+//   class_of: (256,) int32
+//   accept:   (S,) uint8
+//   counts:   (S,) int64 out
+//   match_mask: (len,) uint8 out or nullptr
+// Returns the final state.
+int32_t dfa_scan(const int32_t* table, const int32_t* class_of,
+                 const uint8_t* accept, int64_t S,
+                 const uint8_t* stream, int64_t len, int32_t start,
+                 int64_t* counts, uint8_t* match_mask) {
+  int32_t s = start;
+  for (int64_t pos = 0; pos < len; ++pos) {
+    const uint8_t a = accept[s];
+    counts[s] += a;
+    if (match_mask) match_mask[pos] = a;
+    s = table[(int64_t)class_of[stream[pos]] * S + s];
+  }
+  return s;
+}
+
+}  // extern "C"

@@ -1,0 +1,126 @@
+"""Command-line interface.
+
+The reference's only "UI" is the testbench's final ``$display`` report
+(``Simulation/testbench_BLK_Mem.sv:75-85``); the equivalents here:
+
+  python -m regex_fpga_tpu scan --coe RULESET.coe TRACE.mem [TRACE2.mem ...]
+      run the bit-exact NFA engine, print the per-state match histogram
+  python -m regex_fpga_tpu grep PATTERN FILE [...]
+      scan files with a compiled DFA, print match-end offsets
+  python -m regex_fpga_tpu presplit FILE
+      tokenizer pre-split boundaries
+  python -m regex_fpga_tpu conformance
+      reproduce the four reference trace runs and verify the golden tables
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def cmd_scan(args) -> int:
+    from . import api
+    from .utils.traces import REFERENCE_RUN_LENGTH, read_mem_trace
+
+    m = api.compile_ruleset(args.coe)
+    streams = []
+    for path in args.traces:
+        if path.endswith(".mem"):
+            limit = None if args.full else REFERENCE_RUN_LENGTH
+            streams.append(read_mem_trace(path, limit))
+        else:
+            streams.append(np.fromfile(path, dtype=np.uint8))
+    rep = m.scan(streams)
+    for i, path in enumerate(args.traces):
+        print(f"# stream {i}: {path}")
+        for state, count in sorted(rep.histogram(i).items()):
+            print(f"state {state}: {count}")
+    print(json.dumps({"total": rep.total, **json.loads(rep.metrics.to_json())}))
+    return 0
+
+
+def cmd_grep(args) -> int:
+    from . import api
+
+    m = api.compile_regex(args.pattern)
+    status = 1
+    for path in args.files:
+        data = np.fromfile(path, dtype=np.uint8)
+        ends = m.findall_ends(data)
+        if len(ends):
+            status = 0
+        for e in ends.tolist():
+            print(f"{path}:{e}")
+    return status
+
+
+def cmd_presplit(args) -> int:
+    from . import api
+
+    tok = api.compile_tokenizer()
+    data = open(args.file, "rb").read()
+    for piece in tok.pieces(data):
+        sys.stdout.buffer.write(piece)
+        sys.stdout.buffer.write(b"\n")
+    return 0
+
+
+def cmd_conformance(args) -> int:
+    """The four-trace bit-exact gate (SURVEY.md SS4.2) as a CLI check."""
+    from . import api
+    from .utils.traces import RULESETS, load_trace_pair, reference_root
+    import os
+
+    golden_totals = {
+        ("l-7_filter", "lo"): 7, ("l-7_filter", "hi"): 5,
+        ("snort_16", "lo"): 13, ("snort_16", "hi"): 678,
+    }
+    ok = True
+    for name, (coe_rel, _, _) in RULESETS.items():
+        m = api.compile_ruleset(os.path.join(reference_root(), coe_rel))
+        lo, hi = load_trace_pair(name)
+        rep = m.scan([lo, hi])
+        for i, sname in enumerate(("lo", "hi")):
+            got = int(rep.counts[i].sum())
+            want = golden_totals[(name, sname)]
+            mark = "ok" if got == want else "FAIL"
+            if got != want:
+                ok = False
+            print(f"{name}/{sname}: {got} matches (golden {want}) {mark}")
+    return 0 if ok else 1
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="regex_fpga_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("scan", help="scan traces with a .coe ruleset (NFA engine)")
+    s.add_argument("--coe", required=True)
+    s.add_argument("--full", action="store_true",
+                   help="scan whole traces (default: the reference harness's "
+                        "200,000-char limit)")
+    s.add_argument("traces", nargs="+")
+    s.set_defaults(fn=cmd_scan)
+
+    s = sub.add_parser("grep", help="scan files with a regex (DFA engine)")
+    s.add_argument("pattern")
+    s.add_argument("files", nargs="+")
+    s.set_defaults(fn=cmd_grep)
+
+    s = sub.add_parser("presplit", help="tokenizer pre-split a file")
+    s.add_argument("file")
+    s.set_defaults(fn=cmd_presplit)
+
+    s = sub.add_parser("conformance", help="run the reference conformance gate")
+    s.set_defaults(fn=cmd_conformance)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,91 @@
+"""Ingest/checkpoint utilities and the CLI."""
+
+import numpy as np
+import pytest
+
+from regex_fpga_tpu.parallel.ingest import (
+    CheckpointStore,
+    iter_file_chunks,
+    resilient_scan,
+    shard_files,
+)
+
+
+def test_iter_file_chunks(tmp_path):
+    path = tmp_path / "data.bin"
+    data = np.arange(1000, dtype=np.uint8)
+    data.tofile(path)
+    chunks = list(iter_file_chunks(str(path), 256))
+    assert [off for off, _ in chunks] == [0, 256, 512, 768]
+    np.testing.assert_array_equal(np.concatenate([c for _, c in chunks]), data)
+
+
+def test_shard_files(tmp_path):
+    paths = []
+    for i, size in enumerate([10, 500, 300, 50]):
+        p = tmp_path / f"f{i}.bin"
+        p.write_bytes(b"x" * size)
+        paths.append(str(p))
+    s0 = shard_files(paths, 0, 2)
+    s1 = shard_files(paths, 1, 2)
+    assert sorted(s0 + s1) == sorted(paths)
+    assert not set(s0) & set(s1)
+
+
+def test_resilient_scan_retries_and_checkpoints(tmp_path):
+    store = CheckpointStore(str(tmp_path / "ckpt.npz"))
+    failures = {"left": 2}
+
+    def scan_chunk(chunk, carry):
+        if failures["left"] > 0 and chunk[0] == 100:
+            failures["left"] -= 1
+            raise RuntimeError("injected fault")
+        total = (carry["total"] if carry else 0) + int(chunk.sum())
+        return {"total": np.int64(total)}
+
+    data = np.arange(200, dtype=np.uint8)
+    chunks = [(0, data[:100]), (100, data[100:])]
+    carry = resilient_scan(scan_chunk, chunks, store=store, retry_delay=0.0)
+    assert int(carry["total"]) == int(data.sum())
+    # resume from checkpoint skips completed chunks
+    carry2 = resilient_scan(scan_chunk, chunks, store=store, retry_delay=0.0)
+    assert int(carry2["total"]) == int(data.sum())
+
+
+def test_resilient_scan_persistent_failure():
+    def scan_chunk(chunk, carry):
+        raise RuntimeError("always fails")
+
+    with pytest.raises(RuntimeError, match="always fails"):
+        resilient_scan(
+            scan_chunk, [(0, np.zeros(10, np.uint8))], max_retries=1, retry_delay=0.0
+        )
+
+
+def test_cli_grep_and_presplit(tmp_path, capsys):
+    from regex_fpga_tpu.__main__ import main
+
+    f = tmp_path / "input.txt"
+    f.write_bytes(b"alpha 42 beta 7 gamma")
+    assert main(["grep", r"\d+", str(f)]) == 0
+    out = capsys.readouterr().out
+    assert f"{f}:" in out
+
+    assert main(["presplit", str(f)]) == 0
+    out = capsys.readouterr().out
+    assert "alpha" in out
+
+
+def test_cli_scan_mem_trace(tmp_path, capsys, reference_available):
+    import os
+
+    from regex_fpga_tpu.__main__ import main
+    from regex_fpga_tpu.utils import reference_root
+
+    coe = os.path.join(reference_root(), "Block_Mem/CSR_BlockMem.coe")
+    trace = os.path.join(
+        reference_root(), "Simulation/input_trace_lo_l-7_filter.mem"
+    )
+    assert main(["scan", "--coe", coe, trace]) == 0
+    out = capsys.readouterr().out
+    assert "state 443: 1" in out

@@ -1,0 +1,82 @@
+"""Native (C++) golden scanners vs Python oracles."""
+
+import numpy as np
+import pytest
+
+from regex_fpga_tpu.models import dfa_scan_counts, nfa_scan
+from regex_fpga_tpu.ops import build_dfa_tables, build_nfa_tables
+from regex_fpga_tpu.utils import load_ruleset, load_trace_pair
+from regex_fpga_tpu.utils.native import (
+    dfa_scan_native,
+    native_available,
+    nfa_scan_native,
+)
+
+from conftest import random_dfa_table, random_nfa
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native toolchain unavailable"
+)
+
+
+def test_nfa_native_random(rng):
+    aut = random_nfa(rng, n_states=50, n_edges=400, n_accept=5)
+    t = build_nfa_tables(aut)
+    stream = rng.integers(0, 256, size=5000).astype(np.uint8)
+    counts, _ = nfa_scan_native(
+        np.asarray(t.delta), np.asarray(t.class_of), np.asarray(t.accept), stream
+    )
+    np.testing.assert_array_equal(counts[: aut.num_states], nfa_scan(aut, stream))
+
+
+def test_nfa_native_resume(rng):
+    aut = random_nfa(rng, n_states=30, n_edges=250, n_accept=3)
+    t = build_nfa_tables(aut)
+    d, c, a = np.asarray(t.delta), np.asarray(t.class_of), np.asarray(t.accept)
+    stream = rng.integers(0, 256, size=4000).astype(np.uint8)
+    whole, _ = nfa_scan_native(d, c, a, stream)
+    c1, act = nfa_scan_native(d, c, a, stream[:1500])
+    c2, _ = nfa_scan_native(d, c, a, stream[1500:], active=act, counts=c1)
+    np.testing.assert_array_equal(c2, whole)
+
+
+@pytest.mark.slow
+def test_nfa_native_full_conformance(reference_available):
+    aut = load_ruleset("snort_16")
+    t = build_nfa_tables(aut)
+    d, c, a = np.asarray(t.delta), np.asarray(t.class_of), np.asarray(t.accept)
+    lo, hi = load_trace_pair("snort_16")
+    counts, _ = nfa_scan_native(d, c, a, lo)
+    np.testing.assert_array_equal(counts[: aut.num_states], nfa_scan(aut, lo))
+    counts, _ = nfa_scan_native(d, c, a, hi)
+    np.testing.assert_array_equal(counts[: aut.num_states], nfa_scan(aut, hi))
+
+
+def test_dfa_native_random(rng):
+    table, accept = random_dfa_table(rng, 64, 5)
+    dt = build_dfa_tables(table, accept)
+    stream = rng.integers(0, 256, size=30_000).astype(np.uint8)
+    counts, mask, final = dfa_scan_native(
+        np.asarray(dt.table), np.asarray(dt.class_of), np.asarray(dt.accept), stream
+    )
+    np.testing.assert_array_equal(counts, dfa_scan_counts(table, accept, stream))
+    assert mask.sum() == counts.sum()
+
+
+def test_nfa_native_overflow():
+    from regex_fpga_tpu.models import CsrAutomaton
+
+    rng = np.random.default_rng(0)
+    n, per_state = 40, 6
+    aut = CsrAutomaton(
+        offsets=np.arange(n + 1, dtype=np.int64) * per_state,
+        trans_char=rng.integers(0, 2, size=n * per_state).astype(np.uint8),
+        trans_target=rng.integers(0, n, size=n * per_state).astype(np.int32),
+    )
+    t = build_nfa_tables(aut)
+    stream = rng.integers(0, 2, size=50).astype(np.uint8)
+    with pytest.raises(RuntimeError, match="capacity"):
+        nfa_scan_native(
+            np.asarray(t.delta), np.asarray(t.class_of), np.asarray(t.accept),
+            stream, active_cap=4,
+        )
