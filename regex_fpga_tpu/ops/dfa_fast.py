@@ -97,13 +97,16 @@ def _shift_entries(finals: jnp.ndarray, start) -> jnp.ndarray:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_blocks", "max_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("num_blocks", "max_iters", "use_pallas")
+)
 def dfa_scan_fast(
     tables: DfaTables,
     classes: jnp.ndarray,
     num_blocks: int = 65536,
     start: int = 0,
     max_iters: int = 16,
+    use_pallas: bool = False,
 ) -> FastScanResult:
     """Scan a class stream (byte-class ids, length divisible by num_blocks).
 
@@ -119,6 +122,15 @@ def dfa_scan_fast(
     cls_seq = classes.astype(jnp.int32).reshape(num_blocks, b).T
     start = jnp.asarray(start, jnp.int32)
 
+    if use_pallas:
+        from .pallas_dfa import chain_pass_finals_pallas, chain_pass_full_pallas
+
+        pass_finals = lambda e: chain_pass_finals_pallas(tables, cls_seq, e)
+        pass_full = lambda e: chain_pass_full_pallas(tables, cls_seq, e)
+    else:
+        pass_finals = lambda e: chain_pass_finals(tables, cls_seq, e)
+        pass_full = lambda e: chain_pass_full(tables, cls_seq, e)
+
     entries0 = jnp.full((num_blocks,), start, dtype=jnp.int32)
 
     def cond(carry):
@@ -127,7 +139,7 @@ def dfa_scan_fast(
 
     def body(carry):
         entries, _, it = carry
-        finals = chain_pass_finals(tables, cls_seq, entries)
+        finals = pass_finals(entries)
         new_entries = _shift_entries(finals, start)
         done = jnp.all(new_entries == entries)
         return new_entries, done, it + 1
@@ -136,7 +148,7 @@ def dfa_scan_fast(
         cond, body, (entries0, jnp.array(False), jnp.array(0, jnp.int32))
     )
 
-    finals, states, acc = chain_pass_full(tables, cls_seq, entries)
+    finals, states, acc = pass_full(entries)
     # (B, NB) -> stream order (NB, B) -> (L,)
     return FastScanResult(
         final_state=finals[-1],
