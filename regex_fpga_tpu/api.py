@@ -198,6 +198,10 @@ class DfaMatcher:
         self.tables: DfaTables = build_dfa_tables(dfa.table, dfa.accept)
         self._class_lut = np.asarray(self.tables.class_of)
         self.start = dfa.start
+        # populated by compile_regex for finditer support
+        self._reverse_matcher: "DfaMatcher | None" = None
+        self._anchored_np: tuple | None = None
+        self._anchored_start: int = 0
 
     @property
     def num_states(self) -> int:
@@ -311,6 +315,67 @@ class DfaMatcher:
         r.converged = True
         return r
 
+    def finditer(self, data) -> list[tuple[int, int]]:
+        """Non-overlapping (start, end) spans, POSIX leftmost-longest.
+
+        Two-pass design: a backward scan with the reversed-pattern DFA marks
+        every position where some match STARTS (TPU-parallel, same engines);
+        then short anchored forward walks (host-side, bounded by match
+        length) pick the longest match at each leftmost start.  Differs from
+        Python re for patterns like ``ab|abc`` where backtracking picks the
+        first alternative, not the longest.
+        """
+        if self._reverse_matcher is None or self._anchored_np is None:
+            raise NotImplementedError(
+                "finditer requires a pattern-compiled matcher (compile_regex)"
+            )
+        stream = _as_streams(data)[0]
+        if len(stream) == 0:
+            return []
+        # backward pass: ends of reverse matches in the reversed stream are
+        # starts of forward matches: reversed index i -> start L-1-i... the
+        # reverse engine reports accept at position p = state BEFORE byte p
+        # of the reversed stream, i.e. a reverse match ending at reversed
+        # position p-1 = original start L-p; include_final covers start 0.
+        rm = self._reverse_matcher
+        _, rmask, _, _ = rm._scan_stream(stream[::-1])
+        l = len(stream)
+        starts_mask = np.zeros(l, dtype=bool)
+        pos = np.nonzero(rmask)[0]
+        starts_mask[l - pos[pos > 0]] = True
+        acc = np.asarray(rm.tables.accept)
+        if acc[rm._last_final]:
+            starts_mask[0] = True
+
+        table, accept, dead = self._anchored_np
+        spans: list[tuple[int, int]] = []
+        p = 0
+        starts = np.nonzero(starts_mask)[0]
+        si = 0
+        while si < len(starts):
+            s0 = int(starts[si])
+            if s0 < p:
+                si += 1
+                continue
+            # anchored walk from s0: track last accepting position
+            st = self._anchored_start
+            last_end = s0 if accept[st] else -1
+            for i in range(s0, l):
+                st = int(table[stream[i], st])
+                if st == dead:
+                    break
+                if accept[st]:
+                    last_end = i + 1
+            if last_end >= 0:
+                spans.append((s0, last_end))
+                p = max(last_end, s0 + 1)  # empty match: advance one byte
+            si += 1
+        return spans
+
+    def findall(self, data) -> list[bytes]:
+        raw = bytes(_as_streams(data)[0])
+        return [raw[a:b] for a, b in self.finditer(data)]
+
     def findall_ends(self, data) -> np.ndarray:
         """Byte offsets at which a match ends (position just past the last
         matched byte, like ``re.Match.end()``)."""
@@ -333,6 +398,9 @@ class TokenizerMatcher(DfaMatcher):
         self._class_lut = np.asarray(self.tables.class_of)
         self.start = tok.start
         self.dfa = None
+        self._reverse_matcher = None
+        self._anchored_np = None
+        self._anchored_start = 0
 
     def presplit(self, text: bytes | np.ndarray) -> np.ndarray:
         """Token-start byte offsets for ``text`` (maximal-munch, see
@@ -365,9 +433,23 @@ def compile_regex(pattern: str | bytes, anchored: bool = False,
                   max_states: int = 100_000,
                   config: EngineConfig = DEFAULT_CONFIG) -> DfaMatcher:
     """Compile a pattern to the fast DFA engine.  Default is scanning
-    (unanchored) mode: a match is reported wherever it ends in the stream."""
+    (unanchored) mode: a match is reported wherever it ends in the stream.
+    The matcher also supports ``finditer``/``findall`` (leftmost-longest
+    spans) via a reversed-pattern backward scan."""
     dfa = compile_pattern(pattern, max_states=max_states, anchored=anchored)
-    return DfaMatcher(dfa, config)
+    m = DfaMatcher(dfa, config)
+    rev = compile_pattern(
+        pattern, max_states=max_states, anchored=False, reverse=True
+    )
+    m._reverse_matcher = DfaMatcher(rev, config)
+    fwd = compile_pattern(pattern, max_states=max_states, anchored=True)
+    m._anchored_np = (
+        np.ascontiguousarray(fwd.table),  # (256, S), indexed [byte, state]
+        fwd.accept,
+        fwd.dead,
+    )
+    m._anchored_start = fwd.start
+    return m
 
 
 def compile_tokenizer(pattern: str = GPT2_PRESPLIT,

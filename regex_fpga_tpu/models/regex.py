@@ -458,11 +458,27 @@ def minimize_dfa(dfa: CompiledDfa) -> CompiledDfa:
     )
 
 
+def reverse_ast(node):
+    """AST of the reversed language (for backward scans: a match of R ending
+    at i in the stream is a match of reverse(R) starting at i in the
+    reversed stream)."""
+    if isinstance(node, Lit):
+        return node
+    if isinstance(node, Cat):
+        return Cat(tuple(reverse_ast(p) for p in reversed(node.parts)))
+    if isinstance(node, Alt):
+        return Alt(tuple(reverse_ast(o) for o in node.options))
+    if isinstance(node, Rep):
+        return Rep(reverse_ast(node.node), node.lo, node.hi)
+    raise TypeError(node)
+
+
 def compile_pattern(
     pattern: str | bytes,
     max_states: int = 100_000,
     minimize: bool = True,
     anchored: bool = True,
+    reverse: bool = False,
 ) -> CompiledDfa:
     """Compile a pattern to a minimal dense DFA.
 
@@ -472,6 +488,8 @@ def compile_pattern(
     mode, matching the reference rulesets' unanchored hub structure).
     """
     node = parse(pattern)
+    if reverse:
+        node = reverse_ast(node)
     if not anchored:
         node = Cat((Rep(Lit(frozenset(_ALL)), 0, None), node))
     nfa = EpsNfa()

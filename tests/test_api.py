@@ -101,3 +101,56 @@ def test_empty_inputs():
     assert rep.total == 0
     tok = api.compile_tokenizer()
     assert tok.presplit(b"").tolist() == []
+
+
+def ref_leftmost_longest(pat, data):
+    """O(n^2) POSIX leftmost-longest reference via re.fullmatch."""
+    import re
+
+    cre = re.compile(b"(?s)" + pat)
+    spans, p, L = [], 0, len(data)
+    while p <= L - 1:
+        found = False
+        for s in range(p, L):
+            best = -1
+            for e in range(L, s - 1, -1):
+                if cre.fullmatch(data, s, e):
+                    best = e
+                    break
+            if best >= 0:
+                spans.append((s, best))
+                p = max(best, s + 1)
+                found = True
+                break
+        if not found:
+            break
+    return spans
+
+
+@pytest.mark.parametrize(
+    "pat,data",
+    [
+        (rb"ab+c", b"zabcz abbbc xx abc"),
+        (rb"\d+", b"a1b22c333"),
+        (rb"ab|abc", b"xabcx"),  # POSIX longest, not PCRE first-alternative
+        (rb"a*", b"baa b"),
+        (rb"(xy)+", b"xyxy xy x"),
+    ],
+)
+def test_finditer_leftmost_longest(pat, data):
+    m = api.compile_regex(pat, config=EngineConfig(num_blocks=8))
+    assert m.finditer(data) == ref_leftmost_longest(pat, data)
+
+
+def test_finditer_fuzz():
+    rng = np.random.default_rng(7)
+    for pat in [rb"ab+", rb"a|bc", rb"[ab]{2,3}"]:
+        m = api.compile_regex(pat, config=EngineConfig(num_blocks=8))
+        for _ in range(40):
+            data = bytes(rng.choice(list(b"abcx"), size=int(rng.integers(0, 12))))
+            assert m.finditer(data) == ref_leftmost_longest(pat, data), (pat, data)
+
+
+def test_findall():
+    m = api.compile_regex(rb"\d+", config=EngineConfig(num_blocks=8))
+    assert m.findall(b"a1b22c333") == [b"1", b"22", b"333"]
