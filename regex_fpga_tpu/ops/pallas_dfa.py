@@ -1,22 +1,23 @@
 """Pallas TPU kernel for the fast DFA chain pass.
 
-Same contract as ``dfa_fast.chain_pass_full`` /``chain_pass_finals`` but with
-the whole chunk's inner loop fused in VMEM.  The key structural fact: the
-table-row lookup ``rows_t = onehot(cls_t) @ T`` does NOT depend on the chain
-state — only the per-lane select does.  So the kernel:
+Same contract as ``dfa_fast.chain_pass_full``/``chain_pass_finals`` but with
+the whole chunk's inner loop fused in VMEM.  Layout: chains are BLOCK-MAJOR
+(``(NB, B)`` — one row per chain lane), so each byte-step reads a natural
+``(TILE, 1)`` column slice and every intermediate stays 2D (Mosaic cannot
+relayout across the lane dimension, so no reshapes/transposes appear):
 
-  phase A (per W-step window): one ``(W*TILE, C) @ (C, S)`` GEMM on the MXU
-     producing all rows of the window into VMEM scratch (full MXU shapes,
-     no sequential constraint);
-  phase B (sequential): W cheap VPU select-reduce steps
-     ``state <- sum(rows_t * onehot(state), -1)``.
+    col    = cls_ref[:, t]                (TILE, 1) int32
+    oh_c   = col == iota_C                (TILE, C) -> bf16
+    rows   = oh_c @ T                     (TILE, S) f32 via MXU — exact
+    oh_x   = state == iota_S              (TILE, S)
+    state  = sum(rows * oh_x, -1)         (TILE, 1) VPU select-reduce
 
-HBM traffic is ~1 class byte in + 5 bytes out per scanned byte (states +
-accept bits), vs the XLA scan's per-step loop boundaries.  Grid cells tile
-the NB chain lanes; every cell runs the full B-byte chain for its lanes.
+The row GEMM depends only on the byte, not the chain state, so the MXU and
+VPU work of consecutive steps pipeline naturally.  HBM traffic is ~1 class
+byte in + 5 bytes out per scanned byte.
 
-Integer exactness: row values are states < 2^24, exact in f32 accumulation
-from one-hot bf16 operands (SURVEY.md SS7.4 item 4).
+Integer exactness: states < 2^24, one-hot bf16 operands accumulate exactly
+in f32 (SURVEY.md SS7.4 item 4).
 """
 
 from __future__ import annotations
@@ -30,89 +31,101 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .tables import DfaTables
 
-__all__ = ["chain_pass_full_pallas", "chain_pass_finals_pallas"]
+__all__ = ["chain_pass_full_pallas", "chain_pass_finals_pallas", "LANE_TILE"]
 
-LANE_TILE = 256   # chain lanes per grid cell
-WINDOW = 8        # byte-steps per phase-A GEMM
+LANE_TILE = 256   # chain lanes (blocks) per grid cell
+
+
+WINDOW = 128  # lane-aligned store/load granularity (Mosaic: lane indices
+              # must be static multiples of 128; within a window the step
+              # index is a static Python int)
 
 
 def _kernel(cls_ref, t_ref, acc_vec_ref, entry_ref, finals_ref,
-            *out_refs, b, c, s, emit_outputs):
-    """cls_ref: (B, TILE) int32 byte-class columns for this cell's lanes;
-    t_ref: (C, S) bf16 table; acc_vec_ref: (1, S) f32 accept mask;
-    entry_ref: (1, TILE) int32; finals_ref: (1, TILE) int32;
-    out_refs = (states_ref, acc_ref), (B, TILE) each, full pass only."""
-    states_ref, acc_ref = out_refs if emit_outputs else (None, None)
-    tile = cls_ref.shape[1]
+            *rest, b, c, s, emit_outputs):
+    """cls_ref: (TILE, B) int32 block-major classes; t_ref: (C, S) bf16;
+    acc_vec_ref: (1, S) f32; entry/finals: (TILE, 1) int32; when
+    emit_outputs, rest = (states_ref, acc_ref, st_scratch, acc_scratch)."""
+    if emit_outputs:
+        states_ref, acc_ref, st_scr, acc_scr = rest
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
-    acc_vec = acc_vec_ref[0, :]  # (S,)
+    acc_vec = acc_vec_ref[:]  # (1, S)
 
-    def window(w, state):
-        cls_win = cls_ref[pl.ds(w * WINDOW, WINDOW), :]            # (W, TILE)
-        oh = (cls_win.reshape(WINDOW * tile, 1) == iota_c).astype(jnp.bfloat16)
-        rows = jnp.dot(oh, t_ref[:], preferred_element_type=jnp.float32)
-
-        def step(t, state):
-            r = jax.lax.dynamic_slice(rows, (t * tile, 0), (tile, s))
-            oh_x = (state[:, None] == iota_s).astype(jnp.float32)  # (TILE, S)
-            if emit_outputs:
-                states_ref[w * WINDOW + t, :] = state
-                acc_ref[w * WINDOW + t, :] = (
-                    jnp.sum(oh_x * acc_vec[None, :], axis=-1) > 0.0
-                )
-            return jnp.sum(r * oh_x, axis=-1).astype(jnp.int32)
-
+    def window(w, state):  # state: (TILE, 1) int32
+        base = pl.multiple_of(w * WINDOW, WINDOW)
+        chunk = cls_ref[:, pl.ds(base, WINDOW)]  # (TILE, W) aligned load
         for t in range(WINDOW):  # static unroll
-            state = step(t, state)
+            col = chunk[:, t : t + 1]                           # (TILE, 1)
+            oh_c = (col == iota_c).astype(jnp.bfloat16)         # (TILE, C)
+            rows = jnp.dot(oh_c, t_ref[:],
+                           preferred_element_type=jnp.float32)  # (TILE, S)
+            oh_x = (state == iota_s).astype(jnp.float32)        # (TILE, S)
+            if emit_outputs:
+                st_scr[:, t : t + 1] = state
+                acc_scr[:, t : t + 1] = (
+                    jnp.sum(oh_x * acc_vec, axis=-1, keepdims=True) > 0.0
+                ).astype(jnp.int32)
+            state = jnp.sum(rows * oh_x, axis=-1, keepdims=True).astype(jnp.int32)
+        if emit_outputs:
+            states_ref[:, pl.ds(base, WINDOW)] = st_scr[:]
+            acc_ref[:, pl.ds(base, WINDOW)] = acc_scr[:] != 0
         return state
 
-    state = jax.lax.fori_loop(0, b // WINDOW, window, entry_ref[0, :])
-    finals_ref[0, :] = state
+    state = jax.lax.fori_loop(0, b // WINDOW, window, entry_ref[:])
+    finals_ref[:] = state
 
 
-def _pallas_chain(tables: DfaTables, cls_seq: jnp.ndarray, entries: jnp.ndarray,
-                  emit_outputs: bool, interpret: bool):
-    b, nb = cls_seq.shape
+def _pallas_chain(tables: DfaTables, cls_blocks: jnp.ndarray,
+                  entries: jnp.ndarray, emit_outputs: bool, interpret: bool):
+    """cls_blocks: (NB, B) block-major class ids."""
+    nb, b = cls_blocks.shape
     c, s = tables.table.shape
     assert nb % LANE_TILE == 0, f"num_blocks must be a multiple of {LANE_TILE}"
     assert b % WINDOW == 0, f"block bytes must be a multiple of {WINDOW}"
     grid = (nb // LANE_TILE,)
 
-    kernel = functools.partial(
-        _kernel, b=b, c=c, s=s, emit_outputs=emit_outputs
+    kernel = functools.partial(_kernel, b=b, c=c, s=s, emit_outputs=emit_outputs)
+    scratch_shapes = (
+        [
+            pltpu.VMEM((LANE_TILE, WINDOW), jnp.int32),
+            pltpu.VMEM((LANE_TILE, WINDOW), jnp.int32),
+        ]
+        if emit_outputs
+        else []
     )
-    out_shape = [jax.ShapeDtypeStruct((1, nb), jnp.int32)]  # finals
+    out_shape = [jax.ShapeDtypeStruct((nb, 1), jnp.int32)]  # finals
     out_specs = [
-        pl.BlockSpec((1, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+        pl.BlockSpec((LANE_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ]
     if emit_outputs:
         out_shape += [
-            jax.ShapeDtypeStruct((b, nb), jnp.int32),    # states
-            jax.ShapeDtypeStruct((b, nb), jnp.bool_),    # accept bits
+            jax.ShapeDtypeStruct((nb, b), jnp.int32),    # state before byte t
+            jax.ShapeDtypeStruct((nb, b), jnp.bool_),    # accept bits
         ]
         out_specs += [
-            pl.BlockSpec((b, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE_TILE, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE_TILE, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
     acc_vec = tables.accept.astype(jnp.float32)[None, :]  # (1, S)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((b, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE_TILE, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
         out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(cls_seq, tables.table.astype(jnp.bfloat16), acc_vec, entries[None, :])
+    )(cls_blocks, tables.table.astype(jnp.bfloat16), acc_vec, entries[:, None])
     if emit_outputs:
         finals, states, acc = out
-        return finals[0], states, acc
-    return out[0][0], None, None
+        return finals[:, 0], states, acc
+    return out[0][:, 0], None, None
 
 
 def _auto_interpret(interpret):
@@ -123,8 +136,10 @@ def _auto_interpret(interpret):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def chain_pass_finals_pallas(tables: DfaTables, cls_seq: jnp.ndarray,
                              entries: jnp.ndarray, interpret: bool | None = None):
+    """cls_seq: (B, NB) columns (the jnp engines' layout); transposed here to
+    the kernel's block-major layout once per call."""
     finals, _, _ = _pallas_chain(
-        tables, cls_seq, entries, False, _auto_interpret(interpret)
+        tables, cls_seq.T, entries, False, _auto_interpret(interpret)
     )
     return finals
 
@@ -132,4 +147,8 @@ def chain_pass_finals_pallas(tables: DfaTables, cls_seq: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def chain_pass_full_pallas(tables: DfaTables, cls_seq: jnp.ndarray,
                            entries: jnp.ndarray, interpret: bool | None = None):
-    return _pallas_chain(tables, cls_seq, entries, True, _auto_interpret(interpret))
+    finals, states, acc = _pallas_chain(
+        tables, cls_seq.T, entries, True, _auto_interpret(interpret)
+    )
+    # back to the engines' (B, NB) convention
+    return finals, states.T, acc.T

@@ -24,7 +24,7 @@ def test_chain_pass_pallas_vs_reference(seed, s):
     rng = np.random.default_rng(seed)
     table, accept = random_dfa_table(rng, s, max(2, s // 10))
     dt = build_dfa_tables(table, accept)
-    b, nb = 16, 2 * LANE_TILE
+    b, nb = 128, 2 * LANE_TILE
     cls_seq = jnp.asarray(rng.integers(0, dt.num_classes, size=(b, nb), dtype=np.int32))
     entries = jnp.asarray(rng.integers(0, s, size=(nb,), dtype=np.int32))
 
@@ -41,7 +41,7 @@ def test_chain_pass_pallas_vs_reference(seed, s):
 def test_dfa_scan_fast_pallas_end_to_end(rng):
     table, accept = random_dfa_table(rng, 32, 4)
     dt = build_dfa_tables(table, accept)
-    stream = rng.integers(0, 256, size=LANE_TILE * 16).astype(np.uint8)
+    stream = rng.integers(0, 256, size=LANE_TILE * 128).astype(np.uint8)
     classes = np.asarray(dt.class_of)[stream]
     res = dfa_scan_fast(
         dt, jnp.asarray(classes), num_blocks=LANE_TILE, use_pallas=True
