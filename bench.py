@@ -63,11 +63,14 @@ def main() -> None:
     dt_s = (time.perf_counter() - t0) / n
     bps = l / dt_s
 
-    # context: conformance sanity on the reference ruleset (quick prefix)
+    # context: conformance on the reference's own headline workload
+    # (snort_16 NFA ruleset) — exactness + sustained lazy-DFA throughput
     conf_ok = None
+    conf_bps = None
     try:
         from regex_fpga_tpu import api
-        from regex_fpga_tpu.utils import load_trace_pair, reference_root
+        from regex_fpga_tpu.models import nfa_scan
+        from regex_fpga_tpu.utils import load_ruleset, load_trace_pair, reference_root
         import os
 
         m = api.compile_ruleset(
@@ -76,6 +79,18 @@ def main() -> None:
         lo, _ = load_trace_pair("l-7_filter", limit=30_000)
         rep = m.scan(lo)
         conf_ok = rep.histogram(0) == {443: 1, 1386: 1}
+
+        snort = api.compile_ruleset(
+            os.path.join(reference_root(), "Block_Mem/CSR_BlockMem_snort_16.coe")
+        )
+        s_lo, s_hi = load_trace_pair("snort_16")
+        warm = snort.scan([s_lo, s_hi])  # cold: interns the subset automaton
+        conf_ok = conf_ok and int(warm.counts[0].sum()) == 13 \
+            and int(warm.counts[1].sum()) == 678
+        big = np.tile(np.concatenate([s_lo, s_hi]), 20)  # 8 MiB sustained
+        t0 = time.perf_counter()
+        snort.lazy_dfa.host_scan(big)
+        conf_bps = len(big) / (time.perf_counter() - t0)
     except Exception as e:  # reference not mounted in bench env
         print(f"# conformance check skipped: {e}", file=sys.stderr)
 
@@ -95,7 +110,13 @@ def main() -> None:
             "byte_classes": dt.num_classes,
             "reference_fpga_bytes_per_sec": 129e3,
             "vs_reference_fpga": round(bps / 129e3, 1),
-            "conformance_l7_prefix_ok": conf_ok,
+            "conformance_exact": conf_ok,
+            "snort16_conformance_bytes_per_sec": (
+                round(conf_bps, 1) if conf_bps else None
+            ),
+            "snort16_vs_reference_fpga": (
+                round(conf_bps / 37e3, 1) if conf_bps else None
+            ),
             "device": str(dev),
         },
     }

@@ -91,4 +91,27 @@ int32_t dfa_scan(const int32_t* table, const int32_t* class_of,
   return s;
 }
 
+// Lazy-DFA table walk: follow an incrementally-built subset-DFA table until
+// the stream ends or an un-expanded state is reached (the Python side then
+// expands and resumes).  Counts per-subset-state visits.
+//   table:    (C, cap) int32, cell -1 = unexplored (never read for
+//             expanded states), row of un-expanded states unused
+//   expanded: (cap,) uint8 — 1 if the state's row is valid
+//   classes:  (len,) uint8 byte-class ids
+//   visits:   (cap,) int64 — accumulated per-state visit counts
+// Returns the number of bytes consumed; *io_sid is updated in place.
+int64_t lazy_walk(const int32_t* table, int64_t cap,
+                  const uint8_t* expanded, const uint8_t* classes,
+                  int64_t len, int32_t* io_sid, int64_t* visits) {
+  int32_t sid = *io_sid;
+  int64_t pos = 0;
+  for (; pos < len; ++pos) {
+    if (!expanded[sid]) break;
+    visits[sid]++;
+    sid = table[(int64_t)classes[pos] * cap + sid];
+  }
+  *io_sid = sid;
+  return pos;
+}
+
 }  // extern "C"

@@ -82,10 +82,15 @@ class NfaMatcher:
     """Bit-exact NFA matcher for CSR rulesets (the conformance engine).
 
     Strategies:
-      - ``"lazy"`` (default): lazy subset determinization — host interns the
+      - ``"lazy"`` (default): lazy subset determinization — intern the
         workload's reachable subset states (measured: 729 / 18.7k on the
-        reference traces vs >300k for full determinization), device scans at
-        DFA speed with one gather per byte (ops/lazy_scan.py);
+        reference traces vs >300k for full determinization) and walk the
+        incrementally-built table with the native C++ scanner (~100-170 MB/s
+        steady state, models/lazy_dfa.py);
+      - ``"lazy-device"``: same automaton, chunks scanned on-device with
+        Jacobi seams + overlap sync (ops/lazy_scan.py) — the scalable path
+        for real pod hosts (this rig's host<->device tunnel is slower than
+        the native host walk);
       - ``"active-set"``: the bounded-active-set device engine
         (ops/nfa_engine.py) — used by the distributed / multi-ruleset paths
         and as the fallback.
@@ -119,6 +124,8 @@ class NfaMatcher:
         with Timer() as t:
             for i, stream in enumerate(streams):
                 if self.strategy == "lazy":
+                    counts[i], _, _ = self.lazy_dfa.host_scan(stream)
+                elif self.strategy == "lazy-device":
                     from .ops.lazy_scan import lazy_nfa_scan
 
                     counts[i] = lazy_nfa_scan(self.lazy_dfa, stream).counts
@@ -175,7 +182,9 @@ class NfaMatcher:
 
     # -- streaming / checkpoint (SURVEY.md SS5.3-5.4) ----------------------
 
-    def stream_scanner(self, resume: dict | None = None) -> "NfaStreamScanner":
+    def stream_scanner(self, resume: dict | None = None):
+        if self.strategy == "lazy":
+            return LazyStreamScanner(self, resume)
         return NfaStreamScanner(self, resume)
 
 
@@ -214,6 +223,41 @@ class NfaStreamScanner:
         if self.counts is None:
             return np.zeros(self.m.num_states, dtype=np.int64)
         return np.asarray(self.counts)[: self.m.num_states].astype(np.int64)
+
+
+class LazyStreamScanner:
+    """Incremental scanning on the lazy subset DFA; the carry is just
+    (per-NFA-state counts, subset-state id, offset) — the SS5.4 property that
+    the whole matcher state is O(S)."""
+
+    def __init__(self, matcher: "NfaMatcher", resume: dict | None = None):
+        self.m = matcher
+        if resume is None:
+            self.counts = np.zeros(matcher.num_states, dtype=np.int64)
+            self.state_id = matcher.lazy_dfa.start
+            self.offset = 0
+        else:
+            self.counts = np.array(resume["counts"], dtype=np.int64)
+            self.state_id = int(resume["state_id"])
+            self.offset = int(resume["offset"])
+
+    def feed(self, data) -> None:
+        stream = _as_streams(data)[0]
+        self.counts, self.state_id, n = self.m.lazy_dfa.host_scan(
+            stream, self.state_id, self.counts
+        )
+        self.offset += n
+
+    def checkpoint(self) -> dict:
+        return {
+            "counts": np.array(self.counts),
+            "state_id": self.state_id,
+            "offset": self.offset,
+        }
+
+    @property
+    def state_counts(self) -> np.ndarray:
+        return np.array(self.counts)
 
 
 class DfaMatcher:

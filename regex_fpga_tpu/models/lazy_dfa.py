@@ -6,15 +6,16 @@ SURVEY.md SS0), but real workloads touch a tiny corner of the subset space
 conformance traces).  This module builds the subset automaton *lazily* —
 the grep/RE2 "lazy DFA" idea, recast for a device/host split:
 
-  - the host interns subset states and expands transition rows on demand;
-  - snapshots export a dense (C, M+1) int32 table where un-expanded
-    ("frontier") states have all-UNKNOWN rows and UNKNOWN is an absorbing
-    sentinel — the device scans at DFA speed and reports where it fell off
-    the known frontier;
+  - the dense (C, cap) transition table grows INCREMENTALLY as states are
+    interned/expanded; snapshots for the device are a single vectorized
+    copy with frontier rows mapped to an absorbing UNKNOWN sentinel;
+  - host walking uses the native C++ ``lazy_walk`` (one table load per
+    byte, ~10^8 B/s) between expansions, falling back to a Python loop if
+    the native toolchain is unavailable;
   - counts stay per-NFA-state: each subset state knows its accepting
-    members, and a visit to the subset state counts each member once —
-    exactly the reference testbench semantics (SURVEY.md SS3.3; accepting
-    members contribute no successors by construction).
+    members, and a visit counts each member once — exactly the reference
+    testbench semantics (SURVEY.md SS3.3; accepting members contribute no
+    successors by construction).
 """
 
 from __future__ import annotations
@@ -27,28 +28,36 @@ __all__ = ["LazyDfa"]
 
 
 class LazyDfa:
-    def __init__(self, aut: CsrAutomaton):
+    def __init__(self, aut: CsrAutomaton, initial_capacity: int = 1 << 12):
         self.aut = aut
         cls, c = byte_classes(aut)
         self.class_of = cls
         self.num_classes = c
-        # per-NFA-state edge arrays keyed (class, target), class-major sorted
-        # so expansion is pure vectorized numpy (set unions were the cold-
-        # phase bottleneck at snort_16 scale)
+        # per-NFA-state edge keys (class * N + target), sorted+unique, so
+        # expansion is pure vectorized numpy
         n = aut.num_states
-        self._edge_key: list[np.ndarray] = []  # (deg,) int64: cls * N + target
         ecls = cls[aut.trans_char.astype(np.int64)].astype(np.int64)
         ekey = ecls * n + aut.trans_target.astype(np.int64)
-        for s in range(n):
-            lo_, hi_ = int(aut.offsets[s]), int(aut.offsets[s + 1])
-            self._edge_key.append(np.unique(ekey[lo_:hi_]))
+        self._edge_key: list[np.ndarray] = [
+            np.unique(ekey[int(aut.offsets[s]) : int(aut.offsets[s + 1])])
+            for s in range(n)
+        ]
         self._accept_mask = aut.accept_mask
 
+        self._cap = initial_capacity
+        self._table = np.full((c, self._cap), -1, dtype=np.int32)
+        self._expanded = np.zeros(self._cap, dtype=np.uint8)
         self._ids: dict[tuple, int] = {}
         self._sets: list[tuple] = []
-        self._rows: list[np.ndarray | None] = []   # (C,) int32 or None
         self._members_acc: list[tuple[int, ...]] = []
         self.start = self._intern((0,))
+
+        try:
+            from ..utils.native import _load
+
+            self._native = _load()
+        except Exception:
+            self._native = None
 
     # -- interning / expansion ------------------------------------------
 
@@ -56,24 +65,35 @@ class LazyDfa:
     def num_states(self) -> int:
         return len(self._sets)
 
+    def _grow(self, need: int) -> None:
+        while self._cap < need:
+            self._cap *= 2
+        t = np.full((self.num_classes, self._cap), -1, dtype=np.int32)
+        t[:, : self._table.shape[1]] = self._table
+        self._table = t
+        e = np.zeros(self._cap, dtype=np.uint8)
+        e[: len(self._expanded)] = self._expanded
+        self._expanded = e
+
     def _intern(self, key: tuple) -> int:
         """key: sorted tuple of NFA state ids."""
         sid = self._ids.get(key)
         if sid is None:
             sid = len(self._sets)
+            if sid >= self._cap:
+                self._grow(sid + 1)
             self._ids[key] = sid
             self._sets.append(key)
-            self._rows.append(None)
             self._members_acc.append(
                 tuple(s for s in key if self._accept_mask[s])
             )
         return sid
 
     def is_expanded(self, sid: int) -> bool:
-        return self._rows[sid] is not None
+        return bool(self._expanded[sid])
 
     def expand(self, sid: int) -> None:
-        if self._rows[sid] is not None:
+        if self._expanded[sid]:
             return
         n = self.aut.num_states
         cur = self._sets[sid]
@@ -81,7 +101,6 @@ class LazyDfa:
             keys = np.unique(np.concatenate([self._edge_key[s] for s in cur]))
         else:
             keys = np.empty(0, dtype=np.int64)
-        # keys sorted class-major: split into per-class target tuples
         bounds = np.searchsorted(keys, np.arange(self.num_classes + 1) * n)
         targets = (keys % n).astype(np.int64)
         row = np.empty(self.num_classes, dtype=np.int32)
@@ -92,10 +111,11 @@ class LazyDfa:
             if tid is None:
                 tid = memo[key] = self._intern(key)
             row[c_] = tid
-        self._rows[sid] = row
+        self._table[:, sid] = row
+        self._expanded[sid] = 1
 
     def frontier(self) -> list[int]:
-        return [i for i, r in enumerate(self._rows) if r is None]
+        return [i for i in range(self.num_states) if not self._expanded[i]]
 
     # -- host scanning ---------------------------------------------------
 
@@ -113,29 +133,57 @@ class LazyDfa:
         sid = self.start if start_id is None else start_id
         if counts is None:
             counts = np.zeros(self.aut.num_states, dtype=np.int64)
-        classes = self.class_of[np.asarray(stream, dtype=np.uint8)]
-        n = len(classes) if max_bytes is None else min(len(classes), max_bytes)
-        rows = self._rows
-        for p in range(n):
-            for m in self._members_acc[sid]:
-                counts[m] += 1
-            if rows[sid] is None:
-                self.expand(sid)
-            sid = int(rows[sid][classes[p]])
+        data = np.asarray(stream, dtype=np.uint8)
+        n = len(data) if max_bytes is None else min(len(data), max_bytes)
+        classes = np.ascontiguousarray(self.class_of[data[:n]], dtype=np.uint8)
+        visits = np.zeros(self._cap, dtype=np.int64)
+        p = 0
+        if self._native is not None:
+            import ctypes
+
+            i32 = ctypes.c_int32
+            while p < n:
+                if not self._expanded[sid]:
+                    self.expand(sid)
+                if len(visits) < self._cap:
+                    visits = np.concatenate(
+                        [visits, np.zeros(self._cap - len(visits), np.int64)]
+                    )
+                sid_io = i32(sid)
+                consumed = self._native.lazy_walk(
+                    self._table.ctypes.data_as(ctypes.POINTER(i32)),
+                    self._cap,
+                    self._expanded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    classes[p:].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    n - p,
+                    ctypes.byref(sid_io),
+                    visits.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                )
+                sid = int(sid_io.value)
+                p += consumed
+        else:
+            for p in range(n):
+                if not self._expanded[sid]:
+                    self.expand(sid)
+                    if len(visits) < self._cap:
+                        visits = np.concatenate(
+                            [visits, np.zeros(self._cap - len(visits), np.int64)]
+                        )
+                visits[sid] += 1
+                sid = int(self._table[classes[p], sid])
+        counts += self.accept_counts(visits)
         return counts, sid, n
 
-    def warm_restarts(
-        self, stream: np.ndarray, positions, depth: int
-    ) -> None:
+    def warm_restarts(self, stream: np.ndarray, positions, depth: int) -> None:
         """Intern the hub-restart paths used by overlap synchronization.
 
-        Speculative block entries are guessed by scanning a short window
-        from the hub state (ops/dfa_take.py `_sync_entries`); those
-        hub-rooted paths traverse shallow subset states the true chain
-        never visits — intern them so speculation stays on the known
-        subgraph.  By the synchronization property the window ENDPOINTS
-        coincide with true-chain states, so only the shallow prefix states
-        are new, and they are shared across windows of similar content.
+        Speculative block entries are guessed by scanning a short window from
+        the hub state (ops/dfa_take.py ``_sync_entries``); those hub-rooted
+        paths traverse shallow subset states the true chain never visits —
+        intern them so speculation stays on the known subgraph.  Window
+        ENDPOINTS coincide with true-chain states (synchronization), so only
+        the shallow prefix states are new and they are shared across windows
+        of similar content.
         """
         scratch = np.zeros(self.aut.num_states, dtype=np.int64)
         n = len(stream)
@@ -152,17 +200,15 @@ class LazyDfa:
 
         Returns (table (C, P+1) int32, unknown_id = P, accepting-member
         counts (P+1,)).  Frontier states' rows are all-unknown; the unknown
-        row is absorbing.  ``pad_to`` rounds the state dimension up (e.g. to
-        a power of two) so device shapes stay stable as the automaton grows
-        — unused padding ids are never produced by expanded rows.
+        row is absorbing.  ``pad_to`` rounds the state dimension up so
+        device shapes stay stable as the automaton grows.
         """
         m = self.num_states
         p = m if pad_to is None else max(m, pad_to)
         unknown = p
         table = np.full((self.num_classes, p + 1), unknown, dtype=np.int32)
-        for sid, row in enumerate(self._rows):
-            if row is not None:
-                table[:, sid] = row
+        known = self._expanded[:m].astype(bool)
+        table[:, :m] = np.where(known[None, :], self._table[:, :m], unknown)
         n_acc = np.zeros(p + 1, dtype=np.int32)
         n_acc[:m] = [len(a) for a in self._members_acc]
         return table, unknown, n_acc
@@ -170,7 +216,8 @@ class LazyDfa:
     def accept_counts(self, visit_counts: np.ndarray) -> np.ndarray:
         """Map per-subset-state visit counts -> per-NFA-state match counts."""
         out = np.zeros(self.aut.num_states, dtype=np.int64)
-        for sid in np.nonzero(visit_counts[: self.num_states])[0]:
+        limit = min(len(visit_counts), self.num_states)
+        for sid in np.nonzero(visit_counts[:limit])[0]:
             v = int(visit_counts[sid])
             for m in self._members_acc[sid]:
                 out[m] += v

@@ -44,6 +44,11 @@ def _load():
         i32p, i32p, u8p, ctypes.c_int64,
         u8p, ctypes.c_int64, ctypes.c_int32, i64p, u8p,
     ]
+    lib.lazy_walk.restype = ctypes.c_int64
+    lib.lazy_walk.argtypes = [
+        i32p, ctypes.c_int64, u8p, u8p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), i64p,
+    ]
     _LIB = lib
     return lib
 
