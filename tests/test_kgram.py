@@ -1,0 +1,52 @@
+"""k-gram precomposed throughput-mode scanning."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from regex_fpga_tpu.models import build_tokenizer_dfa
+from regex_fpga_tpu.ops import build_dfa_tables, dfa_scan_serial
+from regex_fpga_tpu.ops.kgram import build_kgram, dfa_scan_kgram, map_kgram_classes
+
+from conftest import random_dfa_table
+
+
+@pytest.mark.parametrize("levels", [1, 2, 3])
+def test_kgram_tokenizer_totals_exact(levels):
+    tok = build_tokenizer_dfa()
+    dt = build_dfa_tables(tok.table, tok.accept)
+    kg = build_kgram(dt, levels=levels)
+    assert kg is not None and kg.k == 1 << levels
+    text = (b"Hello world, it's 2026! k-gram test 12.5% ... " * 200)[:8192]
+    data = np.frombuffer(text, np.uint8)
+    ck = map_kgram_classes(kg, data)
+    assert len(ck) == len(data) // kg.k
+    res = dfa_scan_kgram(
+        jnp.asarray(kg.table), jnp.asarray(kg.acc_table), jnp.asarray(ck),
+        num_blocks=32, start=tok.start,
+    )
+    ser = dfa_scan_serial(dt, jnp.asarray(data), start=tok.start)
+    assert bool(res.converged)
+    assert int(res.total) == int(np.asarray(ser.counts).sum())
+    assert int(res.final_state) == int(ser.final_state)
+
+
+def test_kgram_random_dfa(rng):
+    table, accept = random_dfa_table(rng, 12, 3)
+    dt = build_dfa_tables(table, accept)
+    kg = build_kgram(dt, levels=1, max_classes=200_000)
+    stream = rng.integers(0, 256, size=2048).astype(np.uint8)
+    ck = map_kgram_classes(kg, stream)
+    res = dfa_scan_kgram(
+        jnp.asarray(kg.table), jnp.asarray(kg.acc_table), jnp.asarray(ck),
+        num_blocks=16,
+    )
+    ser = dfa_scan_serial(dt, jnp.asarray(stream))
+    assert int(res.total) == int(np.asarray(ser.counts).sum())
+    assert int(res.final_state) == int(ser.final_state)
+
+
+def test_kgram_blowup_guard(rng):
+    table, accept = random_dfa_table(rng, 64, 4)
+    dt = build_dfa_tables(table, accept)
+    assert build_kgram(dt, levels=2, max_classes=512) is None
