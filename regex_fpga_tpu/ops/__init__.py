@@ -13,6 +13,14 @@ from .dfa_fast import (
     chain_pass_full,
     dfa_scan_fast,
 )
+from .dfa_take import (
+    TakeCountsResult,
+    TakeScanResult,
+    dfa_scan_take,
+    dfa_scan_take_counts,
+)
+from .kgram import KgramTables, build_kgram, dfa_scan_kgram, map_kgram_classes
+from .lazy_scan import LazyScanState, lazy_nfa_scan
 from .nfa_engine import (
     DEFAULT_ACTIVE_BOUND,
     NfaScanResult,
@@ -32,6 +40,16 @@ __all__ = [
     "DfaScanResult",
     "DfaTables",
     "FastScanResult",
+    "KgramTables",
+    "LazyScanState",
+    "TakeCountsResult",
+    "TakeScanResult",
+    "build_kgram",
+    "dfa_scan_kgram",
+    "dfa_scan_take",
+    "dfa_scan_take_counts",
+    "lazy_nfa_scan",
+    "map_kgram_classes",
     "chain_pass_finals",
     "chain_pass_full",
     "dfa_scan_fast",
