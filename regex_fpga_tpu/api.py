@@ -196,13 +196,13 @@ class NfaStreamScanner:
     def __init__(self, matcher: NfaMatcher, resume: dict | None = None):
         self.m = matcher
         if resume is None:
-            self.active = None
-            self.counts = None
-            self.offset = 0
-        else:
-            self.active = jnp.asarray(resume["active"], dtype=jnp.int32)
-            self.counts = jnp.asarray(resume["counts"], dtype=jnp.int32)
-            self.offset = int(resume["offset"])
+            resume = {}
+        # a checkpoint taken before the first feed() has no carry arrays
+        active = resume.get("active")
+        counts = resume.get("counts")
+        self.active = None if active is None else jnp.asarray(active, jnp.int32)
+        self.counts = None if counts is None else jnp.asarray(counts, jnp.int32)
+        self.offset = int(resume.get("offset", 0))
 
     def feed(self, data: bytes | np.ndarray) -> None:
         stream = _as_streams(data)[0]
@@ -238,7 +238,10 @@ class LazyStreamScanner:
             self.offset = 0
         else:
             self.counts = np.array(resume["counts"], dtype=np.int64)
-            self.state_id = int(resume["state_id"])
+            # checkpoints carry the subset's NFA MEMBERS (stable across
+            # processes), not the interning-order-dependent id
+            members = tuple(int(x) for x in np.asarray(resume["state_set"]))
+            self.state_id = matcher.lazy_dfa._intern(members)
             self.offset = int(resume["offset"])
 
     def feed(self, data) -> None:
@@ -251,7 +254,9 @@ class LazyStreamScanner:
     def checkpoint(self) -> dict:
         return {
             "counts": np.array(self.counts),
-            "state_id": self.state_id,
+            "state_set": np.array(
+                self.m.lazy_dfa._sets[self.state_id], dtype=np.int64
+            ),
             "offset": self.offset,
         }
 
@@ -269,7 +274,8 @@ class DfaMatcher:
         self.tables: DfaTables = build_dfa_tables(dfa.table, dfa.accept)
         self._class_lut = np.asarray(self.tables.class_of)
         self.start = dfa.start
-        # populated by compile_regex for finditer support
+        # populated by compile_regex for finditer support (built lazily)
+        self._finditer_source: tuple | None = None
         self._reverse_matcher: "DfaMatcher | None" = None
         self._anchored_np: tuple | None = None
         self._anchored_start: int = 0
@@ -292,16 +298,25 @@ class DfaMatcher:
         converged = True
         with Timer() as t:
             for i, stream in enumerate(streams):
-                st, mask, it, conv = self._scan_stream(stream)
+                if not collect_positions:
+                    # counts-only: per-state histogram computed on device,
+                    # per-position arrays never cross the host link
+                    c, it, conv = self._scan_stream_counts(stream)
+                    counts[i] = c
+                else:
+                    st, mask, it, conv = self._scan_stream(stream)
+                    counts[i] = np.bincount(
+                        st[mask], minlength=self.num_states
+                    )
                 iters = max(iters, it)
                 converged &= conv
-                counts[i] = np.bincount(st[mask], minlength=self.num_states)
-                pos = np.nonzero(mask)[0]
+                pos = (np.nonzero(mask)[0] if collect_positions else None)
                 acc = np.asarray(self.tables.accept)
                 if (self.include_final_match and len(stream)
                         and acc[self._last_final]):
                     counts[i, self._last_final] += 1
-                    pos = np.concatenate([pos, [len(stream)]])
+                    if collect_positions:
+                        pos = np.concatenate([pos, [len(stream)]])
                 positions.append(pos)
         m = RunMetrics(
             engine="dfa-fast",
@@ -354,6 +369,37 @@ class DfaMatcher:
         self._last_final = cur
         return states, mask, iters, converged
 
+    def _scan_stream_counts(self, stream: np.ndarray, start=None):
+        """Counts-only chunked scan (device-side histogram, no per-position
+        readback).  Returns (counts (S,), iterations, converged)."""
+        start = self.start if start is None else start
+        classes = self._class_lut[stream]
+        counts = np.zeros(self.num_states, dtype=np.int64)
+        iters, converged = 0, True
+        off, cur = 0, start
+        cb = self.config.chunk_bytes
+        while off < len(stream):
+            chunk = classes[off : off + cb]
+            nb = self._pick_blocks(len(chunk))
+            res = dfa_scan_fast(
+                self.tables, jnp.asarray(chunk), num_blocks=nb,
+                start=cur, max_iters=self.config.max_iters, emit="counts",
+            )
+            if not bool(res.converged):
+                converged = False
+                res = self._exact_fallback(stream[off : off + cb], cur)
+                counts += np.bincount(
+                    np.asarray(res.states)[np.asarray(res.match_mask)],
+                    minlength=self.num_states,
+                )
+            else:
+                counts += np.asarray(res.counts)
+            cur = int(res.final_state)
+            iters = max(iters, int(getattr(res, "iterations", 0)))
+            off += cb
+        self._last_final = cur
+        return counts, iters, converged
+
     def _exact_fallback(self, chunk_bytes: np.ndarray, start):
         """Exact associative-composition path for non-synchronizing automata."""
         stream = jnp.asarray(chunk_bytes)
@@ -362,9 +408,8 @@ class DfaMatcher:
             res = dfa_scan_blocked(self.tables, stream, block_size=block, start=start)
         else:
             res = dfa_scan_serial(self.tables, stream, start=start)
-        # states per position are not produced by the blocked engine; recover
-        # counts via serial states from match_mask + a serial walk when needed
-        ser = dfa_scan_serial(self.tables, stream, start=start)
+        # the blocked engine does not emit per-position states; rebuild them
+        # with a host walk (exact path is a rare corner: adversarial automata)
         states = np.empty(len(chunk_bytes), dtype=np.int32)
         # serial engine emits mask only; rebuild states on host (exact path
         # is a corner case — adversarial automata)
@@ -396,6 +441,19 @@ class DfaMatcher:
         Python re for patterns like ``ab|abc`` where backtracking picks the
         first alternative, not the longest.
         """
+        if self._finditer_source is not None and self._reverse_matcher is None:
+            # built lazily: scan-only users never pay for the reversed and
+            # anchored automata
+            pattern, max_states, config = self._finditer_source
+            rev = compile_pattern(
+                pattern, max_states=max_states, anchored=False, reverse=True
+            )
+            self._reverse_matcher = DfaMatcher(rev, config)
+            fwd = compile_pattern(pattern, max_states=max_states, anchored=True)
+            self._anchored_np = (
+                np.ascontiguousarray(fwd.table), fwd.accept, fwd.dead,
+            )
+            self._anchored_start = fwd.start
         if self._reverse_matcher is None or self._anchored_np is None:
             raise NotImplementedError(
                 "finditer requires a pattern-compiled matcher (compile_regex)"
@@ -469,6 +527,7 @@ class TokenizerMatcher(DfaMatcher):
         self._class_lut = np.asarray(self.tables.class_of)
         self.start = tok.start
         self.dfa = None
+        self._finditer_source = None
         self._reverse_matcher = None
         self._anchored_np = None
         self._anchored_start = 0
@@ -510,17 +569,8 @@ def compile_regex(pattern: str | bytes, anchored: bool = False,
     spans) via a reversed-pattern backward scan."""
     dfa = compile_pattern(pattern, max_states=max_states, anchored=anchored)
     m = DfaMatcher(dfa, config)
-    rev = compile_pattern(
-        pattern, max_states=max_states, anchored=False, reverse=True
-    )
-    m._reverse_matcher = DfaMatcher(rev, config)
-    fwd = compile_pattern(pattern, max_states=max_states, anchored=True)
-    m._anchored_np = (
-        np.ascontiguousarray(fwd.table),  # (256, S), indexed [byte, state]
-        fwd.accept,
-        fwd.dead,
-    )
-    m._anchored_start = fwd.start
+    # finditer's reversed + anchored automata compile lazily on first use
+    m._finditer_source = (pattern, max_states, config)
     return m
 
 

@@ -125,12 +125,11 @@ def regex_to_csr(
         order[sink] = len(order)  # keep an accept state even if unreachable
 
     m = len(order)
-    counts = np.zeros(m + 1, dtype=np.int64)
-    buf: list[tuple[int, int, int]] = []
+    buf_set: set[tuple[int, int, int]] = set()
     for s, b, d in remap_edges:
         if s in order and d in order:
-            buf.append((order[s], b, order[d]))
-    buf.sort()
+            buf_set.add((order[s], b, order[d]))  # closure dupes collapse
+    buf = sorted(buf_set)
     offsets = np.zeros(m + 1, dtype=np.int64)
     chars = np.array([b for (_, b, _) in buf], dtype=np.uint8)
     targets = np.array([d for (_, _, d) in buf], dtype=np.int32)

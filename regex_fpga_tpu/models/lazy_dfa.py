@@ -50,6 +50,10 @@ class LazyDfa:
         self._ids: dict[tuple, int] = {}
         self._sets: list[tuple] = []
         self._members_acc: list[tuple[int, ...]] = []
+        #: bumped on every intern AND every expansion — device-snapshot
+        #: caches must key on this (an expansion can change rows without
+        #: changing num_states)
+        self.version = 0
         self.start = self._intern((0,))
 
         try:
@@ -87,6 +91,7 @@ class LazyDfa:
             self._members_acc.append(
                 tuple(s for s in key if self._accept_mask[s])
             )
+            self.version += 1
         return sid
 
     def is_expanded(self, sid: int) -> bool:
@@ -113,6 +118,7 @@ class LazyDfa:
             row[c_] = tid
         self._table[:, sid] = row
         self._expanded[sid] = 1
+        self.version += 1
 
     def frontier(self) -> list[int]:
         return [i for i in range(self.num_states) if not self._expanded[i]]

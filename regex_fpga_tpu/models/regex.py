@@ -311,7 +311,7 @@ def _build(nfa: EpsNfa, node) -> tuple[int, int]:
         return a, b
     if isinstance(node, Rep):
         lo, hi = node.lo, node.hi
-        if hi is not None and hi > 64:
+        if lo > 64 or (hi is not None and hi > 64):
             raise RegexError("repeat bound too large (>64)")
         a = nfa.new_state()
         cur = a

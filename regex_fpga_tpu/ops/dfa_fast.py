@@ -40,24 +40,35 @@ __all__ = ["FastScanResult", "dfa_scan_fast", "chain_pass_finals", "chain_pass_f
 
 class FastScanResult(NamedTuple):
     final_state: jnp.ndarray   # () int32
-    match_mask: jnp.ndarray    # (L,) bool — accept fired before consuming byte i
-    states: jnp.ndarray        # (L,) int32 — state before consuming byte i
+    match_mask: jnp.ndarray | None  # (L,) bool — accept fired before byte i
+    states: jnp.ndarray | None      # (L,) int32 — state before byte i
     converged: jnp.ndarray     # () bool
     iterations: jnp.ndarray    # () int32
+    counts: jnp.ndarray | None = None  # (S,) per-state counts (counts mode)
+
+
+def _mm_dtype(num_states: int):
+    """bf16 has a 7-bit mantissa: integers are exact only up to 256.  Larger
+    state ids must ride in f32 (exact below 2^24) or they silently corrupt.
+    Off-TPU, bf16 dot may be unsupported entirely — use f32 there too."""
+    if num_states > 256 or jax.default_backend() != "tpu":
+        return jnp.float32
+    return jnp.bfloat16
 
 
 def _step_tables(tables: DfaTables):
-    t = tables.table.astype(jnp.bfloat16)
     c, s = tables.table.shape
+    assert s < (1 << 24), "state ids must stay exactly representable in f32"
+    t = tables.table.astype(_mm_dtype(s))
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
     return t, iota_c, iota_s
 
 
-def _mm_step(t_bf16, iota_c, iota_s, state, cls_t):
+def _mm_step(t_mm, iota_c, iota_s, state, cls_t):
     """One byte for NB chains: state (NB,), cls_t (NB,) -> next state (NB,)."""
-    oh_c = (cls_t[:, None] == iota_c).astype(jnp.bfloat16)
-    rows = jnp.dot(oh_c, t_bf16, preferred_element_type=jnp.float32)
+    oh_c = (cls_t[:, None] == iota_c).astype(t_mm.dtype)
+    rows = jnp.dot(oh_c, t_mm, preferred_element_type=jnp.float32)
     oh_x = (state[:, None] == iota_s).astype(jnp.float32)
     return jnp.sum(rows * oh_x, axis=-1).astype(jnp.int32)
 
@@ -98,7 +109,7 @@ def _shift_entries(finals: jnp.ndarray, start) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_blocks", "max_iters", "use_pallas")
+    jax.jit, static_argnames=("num_blocks", "max_iters", "use_pallas", "emit")
 )
 def dfa_scan_fast(
     tables: DfaTables,
@@ -107,6 +118,7 @@ def dfa_scan_fast(
     start: int = 0,
     max_iters: int = 16,
     use_pallas: bool = False,
+    emit: str = "full",
 ) -> FastScanResult:
     """Scan a class stream (byte-class ids, length divisible by num_blocks).
 
@@ -149,6 +161,21 @@ def dfa_scan_fast(
     )
 
     finals, states, acc = pass_full(entries)
+    if emit == "counts":
+        # per-state accept-visit counts computed ON DEVICE: per-position
+        # arrays never reach the host (host<->device readback is the
+        # bottleneck on tunneled platforms — see bench notes)
+        s_dim = tables.num_states
+        hit = jnp.where(acc, states, s_dim).reshape(-1)
+        counts = jnp.bincount(hit, length=s_dim + 1)[:s_dim].astype(jnp.int32)
+        return FastScanResult(
+            final_state=finals[-1],
+            match_mask=None,
+            states=None,
+            converged=converged,
+            iterations=iters,
+            counts=counts,
+        )
     # (B, NB) -> stream order (NB, B) -> (L,)
     return FastScanResult(
         final_state=finals[-1],

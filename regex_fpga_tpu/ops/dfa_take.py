@@ -169,7 +169,9 @@ def dfa_scan_take_counts(
     )
     finals, states = _chain(table_flat, m1, cls_seq, entries, True)
     visits = jnp.bincount(states.reshape(-1), length=m1)
-    unknown_hit = visits[m1 - 1] > 0
+    # frontier escape shows either as a visited unknown (state before some
+    # byte) or as the LAST transition landing on it (final_state == unknown)
+    unknown_hit = jnp.logical_or(visits[m1 - 1] > 0, finals[-1] == m1 - 1)
     ok = jnp.logical_and(converged, ~unknown_hit)
     new_acc = jnp.where(ok, visits_acc + visits.astype(jnp.int32), visits_acc)
     return TakeCountsResult(

@@ -118,15 +118,19 @@ def dfa_scan_kgram(
     assert l % num_blocks == 0
     b = l // num_blocks
     c, s = table.shape
-    t_bf = table.astype(jnp.bfloat16)
-    a_f = acc_table.astype(jnp.bfloat16)
+    # bf16 is exact only for integers <= 256 (7-bit mantissa); off-TPU
+    # bf16 dot may be unsupported entirely
+    mmdt = (jnp.bfloat16 if s <= 256 and jax.default_backend() == "tpu"
+            else jnp.float32)
+    t_bf = table.astype(mmdt)
+    a_f = acc_table.astype(mmdt)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
     cls_seq = classes_k.astype(jnp.int32).reshape(num_blocks, b).T
     start = jnp.asarray(start, jnp.int32)
 
     def step(state, cls_t, with_acc):
-        oh_c = (cls_t[:, None] == iota_c).astype(jnp.bfloat16)
+        oh_c = (cls_t[:, None] == iota_c).astype(mmdt)
         rows_t = jnp.dot(oh_c, t_bf, preferred_element_type=jnp.float32)
         oh_x = (state[:, None] == iota_s).astype(jnp.float32)
         nxt = jnp.sum(rows_t * oh_x, axis=-1).astype(jnp.int32)

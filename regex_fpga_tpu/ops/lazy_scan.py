@@ -83,7 +83,7 @@ def lazy_nfa_scan(
         p = consumed
 
     def ensure_table():
-        version = ld.num_states
+        version = ld.version  # counts expansions too, not just interns
         pad = _pad_for(ld)
         if cache.version != version or cache.pad != pad:
             table, unknown, _ = ld.snapshot(pad_to=pad)
@@ -182,14 +182,18 @@ def lazy_nfa_scan(
             continue
         states = np.asarray(r2.states)
         unk = states == cache.unknown
-        if not unk.any():  # defensive: clean after all
+        final = int(r2.final_state)
+        if not unk.any() and final != cache.unknown:  # defensive: clean
             counts += ld.accept_counts(
                 np.bincount(states, minlength=cache.pad + 1)
             )
-            sid = int(r2.final_state)
+            sid = final
             p += l
             continue
-        q = int(unk.argmax())  # first unknown; q >= 1 (entry state is known)
+        # first unknown; q >= 1 (entry state is known).  A final transition
+        # landing on unknown shows only via `final` — treat it as unknown at
+        # position len(states)
+        q = int(unk.argmax()) if unk.any() else len(states)
         keep = max(q - 1, 0)
         if keep:
             counts += ld.accept_counts(

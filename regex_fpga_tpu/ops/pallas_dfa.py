@@ -16,8 +16,9 @@ The row GEMM depends only on the byte, not the chain state, so the MXU and
 VPU work of consecutive steps pipeline naturally.  HBM traffic is ~1 class
 byte in + 5 bytes out per scanned byte.
 
-Integer exactness: states < 2^24, one-hot bf16 operands accumulate exactly
-in f32 (SURVEY.md SS7.4 item 4).
+Integer exactness: the table rides in bf16 only when ids <= 256 (7-bit
+mantissa), f32 otherwise (exact below 2^24); accumulation is f32
+(SURVEY.md SS7.4 item 4).
 """
 
 from __future__ import annotations
@@ -57,7 +58,7 @@ def _kernel(cls_ref, t_ref, acc_vec_ref, entry_ref, finals_ref,
         chunk = cls_ref[:, pl.ds(base, WINDOW)]  # (TILE, W) aligned load
         for t in range(WINDOW):  # static unroll
             col = chunk[:, t : t + 1]                           # (TILE, 1)
-            oh_c = (col == iota_c).astype(jnp.bfloat16)         # (TILE, C)
+            oh_c = (col == iota_c).astype(t_ref.dtype)          # (TILE, C)
             rows = jnp.dot(oh_c, t_ref[:],
                            preferred_element_type=jnp.float32)  # (TILE, S)
             oh_x = (state == iota_s).astype(jnp.float32)        # (TILE, S)
@@ -121,7 +122,18 @@ def _pallas_chain(tables: DfaTables, cls_blocks: jnp.ndarray,
         out_specs=out_specs,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(cls_blocks, tables.table.astype(jnp.bfloat16), acc_vec, entries[:, None])
+    )(
+        cls_blocks,
+        # bf16 is exact only for ids <= 256; larger state spaces (and
+        # non-TPU backends without bf16 dot) use f32
+        tables.table.astype(
+            jnp.bfloat16
+            if s <= 256 and jax.default_backend() == "tpu"
+            else jnp.float32
+        ),
+        acc_vec,
+        entries[:, None],
+    )
     if emit_outputs:
         finals, states, acc = out
         return finals[:, 0], states, acc
