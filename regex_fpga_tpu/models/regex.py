@@ -211,6 +211,11 @@ class _Parser:
         }
         if c in classes:
             return frozenset(classes[c])
+        if chr(c).isalnum():
+            # zero-width assertions (\b \B \A \Z) and other letter escapes
+            # are not expressible in this byte-DFA compiler; treating them
+            # as literals would silently change the pattern's meaning
+            raise self.error(f"unsupported escape \\{chr(c)}")
         return frozenset({c})  # escaped literal metachar
 
     def parse_class(self):

@@ -102,6 +102,31 @@ def chain_pass_full(tables: DfaTables, cls_seq: jnp.ndarray, entries: jnp.ndarra
     return finals, states, acc
 
 
+def chain_pass_counts(tables: DfaTables, cls_seq: jnp.ndarray, entries: jnp.ndarray):
+    """Counting pass: per-state visit counts accumulated IN the scan carry.
+
+    The per-step one-hot ``oh_x`` is reduced over lanes into an (S,) f32
+    accumulator (VPU; exact for counts < 2^24) — no per-position arrays
+    reach HBM and no scatter/bincount is needed.  Accept masking happens
+    once at the end: counts[s] = visits[s] * accept[s].
+    """
+    t, iota_c, iota_s = _step_tables(tables)
+    s_dim = tables.num_states
+
+    def body(carry, cls_t):
+        state, visits = carry
+        oh_x = (state[:, None] == iota_s).astype(jnp.float32)
+        visits = visits + jnp.sum(oh_x, axis=0)
+        nxt = _mm_step(t, iota_c, iota_s, state, cls_t)
+        return (nxt, visits), None
+
+    (finals, visits), _ = jax.lax.scan(
+        body, (entries, jnp.zeros((s_dim,), jnp.float32)), cls_seq
+    )
+    counts = (visits * tables.accept.astype(jnp.float32)).astype(jnp.int32)
+    return finals, counts
+
+
 def _shift_entries(finals: jnp.ndarray, start) -> jnp.ndarray:
     return jnp.concatenate(
         [jnp.asarray(start, jnp.int32)[None], finals[:-1]]
@@ -109,7 +134,8 @@ def _shift_entries(finals: jnp.ndarray, start) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_blocks", "max_iters", "use_pallas", "emit")
+    jax.jit,
+    static_argnames=("num_blocks", "max_iters", "use_pallas", "emit", "overlap"),
 )
 def dfa_scan_fast(
     tables: DfaTables,
@@ -119,6 +145,7 @@ def dfa_scan_fast(
     max_iters: int = 16,
     use_pallas: bool = False,
     emit: str = "full",
+    overlap: int = 64,
 ) -> FastScanResult:
     """Scan a class stream (byte-class ids, length divisible by num_blocks).
 
@@ -126,12 +153,20 @@ def dfa_scan_fast(
     blocks scanned in parallel, one chain lane per block.  Byte-class mapping
     of raw bytes happens host-side during ingest (``utils.ingest``) — the
     device loop then pays C*S MACs/byte instead of 256*S.
+
+    Block seams: each lane first replays the last ``overlap`` bytes of the
+    previous block from the start state (speculation); real automata
+    synchronize within that window, making the entry guesses exact, which a
+    single induction check (``finals[l-1] == entries[l]``, lane 0 anchored)
+    verifies.  On success the output pass ran from true entries and its
+    results stand — ~1 pass total.  On failure the engine falls back to the
+    Jacobi fixpoint iteration (exact whenever ``converged``).
     """
     l = classes.shape[0]
     assert l % num_blocks == 0, "stream length must be divisible by num_blocks"
     b = l // num_blocks
-    # (NB, B) blocks; scan wants (B, NB) columns
-    cls_seq = classes.astype(jnp.int32).reshape(num_blocks, b).T
+    blocks = classes.astype(jnp.int32).reshape(num_blocks, b)
+    cls_seq = blocks.T  # (B, NB) scan columns
     start = jnp.asarray(start, jnp.int32)
 
     if use_pallas:
@@ -143,31 +178,55 @@ def dfa_scan_fast(
         pass_finals = lambda e: chain_pass_finals(tables, cls_seq, e)
         pass_full = lambda e: chain_pass_full(tables, cls_seq, e)
 
+    # --- speculative entries: replay the previous block's tail
+    ov = min(overlap, b)
     entries0 = jnp.full((num_blocks,), start, dtype=jnp.int32)
+    if ov > 0:
+        ov_seq = jnp.concatenate(
+            [blocks[:1, b - ov:], blocks[:-1, b - ov:]], axis=0
+        ).T  # (ov, NB); lane 0's rows are junk — its entry is forced below
+        # always the jnp pass: the prescan is tiny and the Pallas kernel
+        # needs WINDOW-aligned block lengths
+        spec = chain_pass_finals(tables, ov_seq, entries0)
+        entries0 = spec.at[0].set(start)
 
-    def cond(carry):
-        _, done, it = carry
-        return jnp.logical_and(~done, it < max_iters)
+    def _jacobi_entries(seed_entries):
+        def cond(carry):
+            _, done, it = carry
+            return jnp.logical_and(~done, it < max_iters)
 
-    def body(carry):
-        entries, _, it = carry
-        finals = pass_finals(entries)
-        new_entries = _shift_entries(finals, start)
-        done = jnp.all(new_entries == entries)
-        return new_entries, done, it + 1
+        def body(carry):
+            entries, _, it = carry
+            finals = pass_finals(entries)
+            new_entries = _shift_entries(finals, start)
+            done = jnp.all(new_entries == entries)
+            return new_entries, done, it + 1
 
-    entries, converged, iters = jax.lax.while_loop(
-        cond, body, (entries0, jnp.array(False), jnp.array(0, jnp.int32))
-    )
+        return jax.lax.while_loop(
+            cond, body, (seed_entries, jnp.array(False), jnp.array(1, jnp.int32))
+        )
 
-    finals, states, acc = pass_full(entries)
     if emit == "counts":
-        # per-state accept-visit counts computed ON DEVICE: per-position
-        # arrays never reach the host (host<->device readback is the
-        # bottleneck on tunneled platforms — see bench notes)
-        s_dim = tables.num_states
-        hit = jnp.where(acc, states, s_dim).reshape(-1)
-        counts = jnp.bincount(hit, length=s_dim + 1)[:s_dim].astype(jnp.int32)
+        # per-state accept-visit counts accumulated ON DEVICE inside the
+        # scan carry (no per-position arrays, no scatter/bincount — those
+        # measured ~20x slower than the scan itself)
+        pass_counts = lambda e: chain_pass_counts(tables, cls_seq, e)
+        finals0, counts0 = pass_counts(entries0)
+        spec_ok = jnp.all(_shift_entries(finals0, start) == entries0)
+
+        def _speculated_c(_):
+            return finals0, counts0, jnp.array(True), jnp.array(1, jnp.int32)
+
+        def _jacobi_c(_):
+            entries, converged, iters = _jacobi_entries(
+                _shift_entries(finals0, start)
+            )
+            finals, counts = pass_counts(entries)
+            return finals, counts, converged, iters
+
+        finals, counts, converged, iters = jax.lax.cond(
+            spec_ok, _speculated_c, _jacobi_c, None
+        )
         return FastScanResult(
             final_state=finals[-1],
             match_mask=None,
@@ -176,6 +235,23 @@ def dfa_scan_fast(
             iterations=iters,
             counts=counts,
         )
+
+    finals0, states0, acc0 = pass_full(entries0)
+    spec_ok = jnp.all(_shift_entries(finals0, start) == entries0)
+
+    def _speculated(_):
+        return finals0, states0, acc0, jnp.array(True), jnp.array(1, jnp.int32)
+
+    def _jacobi(_):
+        entries, converged, iters = _jacobi_entries(
+            _shift_entries(finals0, start)
+        )
+        finals, states, acc = pass_full(entries)
+        return finals, states, acc, converged, iters
+
+    finals, states, acc, converged, iters = jax.lax.cond(
+        spec_ok, _speculated, _jacobi, None
+    )
     # (B, NB) -> stream order (NB, B) -> (L,)
     return FastScanResult(
         final_state=finals[-1],

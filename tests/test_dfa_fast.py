@@ -52,3 +52,31 @@ def test_nonzero_start_state(rng):
     ser = dfa_scan_serial(dt, jnp.asarray(stream), start=5)
     assert bool(res.converged)
     np.testing.assert_array_equal(np.asarray(res.match_mask), np.asarray(ser.match_mask))
+
+
+def test_speculation_single_pass(rng):
+    """Synchronizing input: overlap speculation must verify on the first
+    full pass (iterations == 1) and match the serial oracle exactly."""
+    table, accept = random_dfa_table(rng, 48, 6)
+    dt = build_dfa_tables(table, accept)
+    stream = rng.integers(0, 256, size=8192).astype(np.uint8)
+    classes = np.asarray(dt.class_of)[stream]
+    res = dfa_scan_fast(dt, jnp.asarray(classes), num_blocks=32)
+    assert bool(res.converged)
+    assert int(res.iterations) == 1  # speculation verified, no Jacobi
+    ser = dfa_scan_serial(dt, jnp.asarray(stream))
+    np.testing.assert_array_equal(
+        np.asarray(res.match_mask), np.asarray(ser.match_mask)
+    )
+
+
+def test_speculation_disabled_matches(rng):
+    """overlap=0 reverts to plain Jacobi and stays exact."""
+    table, accept = random_dfa_table(rng, 32, 4)
+    dt = build_dfa_tables(table, accept)
+    stream = rng.integers(0, 256, size=2048).astype(np.uint8)
+    classes = np.asarray(dt.class_of)[stream]
+    res = dfa_scan_fast(dt, jnp.asarray(classes), num_blocks=16, overlap=0)
+    ser = dfa_scan_serial(dt, jnp.asarray(stream))
+    assert bool(res.converged)
+    assert int(res.final_state) == int(ser.final_state)

@@ -50,3 +50,27 @@ def test_kgram_blowup_guard(rng):
     table, accept = random_dfa_table(rng, 64, 4)
     dt = build_dfa_tables(table, accept)
     assert build_kgram(dt, levels=2, max_classes=512) is None
+
+
+def test_kgram_speculation_fallback_mod3():
+    """Mod-3 counter (never synchronizes) with block length not divisible
+    by 3: speculation must fail and the Jacobi fallback must still produce
+    the exact total."""
+    import jax.numpy as jnp
+
+    ptable = np.zeros((256, 3), dtype=np.int32)
+    for s in range(3):
+        ptable[:, s] = (s + 1) % 3
+    pt = build_dfa_tables(ptable, np.array([False, True, False]))
+    kg = build_kgram(pt, levels=1)
+    stream = np.zeros(4 * 26, np.uint8)  # 26 bytes/block, 26 % 3 != 0
+    ck = map_kgram_classes(kg, stream)
+    res = dfa_scan_kgram(
+        jnp.asarray(kg.table), jnp.asarray(kg.acc_table), jnp.asarray(ck),
+        num_blocks=4, max_iters=16,
+    )
+    assert bool(res.converged)
+    assert int(res.iterations) > 1  # speculation could not verify
+    from regex_fpga_tpu.ops import dfa_scan_serial
+    ser = dfa_scan_serial(pt, jnp.asarray(stream))
+    assert int(res.total) == int(np.asarray(ser.counts).sum())
