@@ -94,24 +94,120 @@ int32_t dfa_scan(const int32_t* table, const int32_t* class_of,
 // Lazy-DFA table walk: follow an incrementally-built subset-DFA table until
 // the stream ends or an un-expanded state is reached (the Python side then
 // expands and resumes).  Counts per-subset-state visits.
-//   table:    (C, cap) int32, cell -1 = unexplored (never read for
-//             expanded states), row of un-expanded states unused
+//   table:    (cap, C) int32 STATE-MAJOR — one state's whole class row sits
+//             in 1-2 cache lines, so hot hub states stay resident; cell -1 =
+//             unexplored (never read for expanded states)
 //   expanded: (cap,) uint8 — 1 if the state's row is valid
-//   classes:  (len,) uint8 byte-class ids
+//   lut:      (256,) uint8 byte -> class id
+//   stream:   (len,) raw bytes (class mapping fused into the walk)
 //   visits:   (cap,) int64 — accumulated per-state visit counts
 // Returns the number of bytes consumed; *io_sid is updated in place.
-int64_t lazy_walk(const int32_t* table, int64_t cap,
-                  const uint8_t* expanded, const uint8_t* classes,
+int64_t lazy_walk(const int32_t* table, int64_t C,
+                  const uint8_t* expanded, const uint8_t* lut,
+                  const uint8_t* stream,
                   int64_t len, int32_t* io_sid, int64_t* visits) {
   int32_t sid = *io_sid;
   int64_t pos = 0;
   for (; pos < len; ++pos) {
     if (!expanded[sid]) break;
     visits[sid]++;
-    sid = table[(int64_t)classes[pos] * cap + sid];
+    sid = table[(int64_t)sid * C + lut[stream[pos]]];
   }
   *io_sid = sid;
   return pos;
+}
+
+// Multi-cursor lazy-DFA walk — W independent cursors advanced round-robin
+// one byte each, so their dependent table loads overlap in the memory
+// system (the serial walk above is latency-bound: one load per byte).
+//   table/expanded: as lazy_walk (state-major)
+//   lut/stream: as lazy_walk; cursor c walks [pos[c], end[c])
+//   pos:   (W,) int64 in/out
+//   sids:  (W,) int32 in/out
+//   visits: int64 — visits[c*visits_stride + state] bumped per byte when
+//          count != 0.  stride 0 = one shared histogram (caller threads
+//          pass disjoint buffers and merge); stride = cap gives exact
+//          per-cursor histograms (batch mode: one independent stream per
+//          cursor; disjoint rows are naturally thread-safe)
+// Returns the number of cursors blocked on an un-expanded state (0 means
+// every cursor reached its end).
+}  // extern "C" (resumed below — templates need C++ linkage)
+
+template <bool COUNT>
+static int64_t walk_multi_impl(const int32_t* __restrict table, int64_t C,
+                               const uint8_t* __restrict expanded,
+                               const uint8_t* __restrict lut,
+                               const uint8_t* __restrict stream,
+                               int64_t* __restrict pos,
+                               const int64_t* __restrict end,
+                               int32_t* __restrict sids, int64_t W,
+                               int64_t* __restrict visits,
+                               int64_t visits_stride) {
+  constexpr int64_t MAXW = 512;
+  if (W > MAXW) W = MAXW;
+  // cursor state lives on the stack so the hot loop keeps it in registers /
+  // L1 regardless of aliasing between the caller's int32/int64 buffers
+  int64_t p[MAXW];
+  int32_t s[MAXW];
+  int32_t idx[MAXW];
+  int64_t na = 0;
+  for (int64_t c = 0; c < W; ++c) {
+    p[c] = pos[c];
+    s[c] = sids[c];
+    if (p[c] < end[c]) idx[na++] = (int32_t)c;
+  }
+  while (na) {
+    int64_t alive = na;
+    for (int64_t j = 0; j < alive; ++j) {
+      const int32_t c = idx[j];
+      const int32_t st = s[c];
+      if (!expanded[st] || p[c] >= end[c]) {   // blocked or finished:
+        idx[j--] = idx[--alive];               // compact out of the ring
+        continue;
+      }
+      if (COUNT) visits[(int64_t)c * visits_stride + st]++;
+      s[c] = table[(int64_t)st * C + lut[stream[p[c]++]]];
+    }
+    if (alive == na) continue;  // all still running
+    // some cursor left the ring this sweep; if none remain, stop
+    na = alive;
+  }
+  int64_t blocked = 0;
+  for (int64_t c = 0; c < W; ++c) {
+    pos[c] = p[c];
+    sids[c] = s[c];
+    if (p[c] < end[c]) ++blocked;
+  }
+  return blocked;
+}
+
+extern "C" {
+
+// Multi-cursor lazy-DFA walk — W independent cursors advanced round-robin
+// one byte each, so their dependent table loads overlap in the memory
+// system (the serial walk above is latency-bound: one load per byte).
+//   table/expanded: as lazy_walk (state-major)
+//   lut/stream: as lazy_walk; cursor c walks [pos[c], end[c])
+//   pos:   (W,) int64 in/out
+//   sids:  (W,) int32 in/out
+//   visits: int64 — visits[c*visits_stride + state] bumped per byte when
+//          count != 0.  stride 0 = one shared histogram (caller threads
+//          pass disjoint buffers and merge); stride = cap gives exact
+//          per-cursor histograms (batch mode: one independent stream per
+//          cursor; disjoint rows are naturally thread-safe)
+// Returns the number of cursors blocked on an un-expanded state (0 means
+// every cursor reached its end).  W is capped at 512.
+int64_t lazy_walk_multi(const int32_t* table, int64_t C,
+                        const uint8_t* expanded, const uint8_t* lut,
+                        const uint8_t* stream,
+                        int64_t* pos, const int64_t* end, int32_t* sids,
+                        int64_t W, int64_t* visits, int32_t count,
+                        int64_t visits_stride) {
+  return count
+      ? walk_multi_impl<true>(table, C, expanded, lut, stream, pos, end, sids,
+                              W, visits, visits_stride)
+      : walk_multi_impl<false>(table, C, expanded, lut, stream, pos, end, sids,
+                               W, visits, visits_stride);
 }
 
 }  // extern "C"

@@ -122,7 +122,15 @@ class NfaMatcher:
         counts = np.zeros((len(streams), s), dtype=np.int64)
         positions: list = []
         with Timer() as t:
-            for i, stream in enumerate(streams):
+            if self.strategy == "lazy" and len(streams) > 1:
+                # batch axis: all streams walked concurrently (the
+                # reference's dual-stream design generalized; exact per
+                # stream, no speculation needed)
+                counts[:], _ = self.lazy_dfa.host_scan_batch(streams)
+                streams_iter = []
+            else:
+                streams_iter = list(enumerate(streams))
+            for i, stream in streams_iter:
                 if self.strategy == "lazy":
                     counts[i], _, _ = self.lazy_dfa.host_scan(stream)
                 elif self.strategy == "lazy-device":

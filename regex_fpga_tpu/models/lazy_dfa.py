@@ -32,6 +32,7 @@ class LazyDfa:
         self.aut = aut
         cls, c = byte_classes(aut)
         self.class_of = cls
+        self._class_u8 = np.ascontiguousarray(cls, dtype=np.uint8)
         self.num_classes = c
         # per-NFA-state edge keys (class * N + target), sorted+unique, so
         # expansion is pure vectorized numpy
@@ -45,7 +46,9 @@ class LazyDfa:
         self._accept_mask = aut.accept_mask
 
         self._cap = initial_capacity
-        self._table = np.full((c, self._cap), -1, dtype=np.int32)
+        # STATE-MAJOR (cap, C): a state's whole class row sits in 1-2 cache
+        # lines, so the native walk's hot hub states stay cache-resident
+        self._table = np.full((self._cap, c), -1, dtype=np.int32)
         self._expanded = np.zeros(self._cap, dtype=np.uint8)
         self._ids: dict[tuple, int] = {}
         self._sets: list[tuple] = []
@@ -72,8 +75,8 @@ class LazyDfa:
     def _grow(self, need: int) -> None:
         while self._cap < need:
             self._cap *= 2
-        t = np.full((self.num_classes, self._cap), -1, dtype=np.int32)
-        t[:, : self._table.shape[1]] = self._table
+        t = np.full((self._cap, self.num_classes), -1, dtype=np.int32)
+        t[: self._table.shape[0]] = self._table
         self._table = t
         e = np.zeros(self._cap, dtype=np.uint8)
         e[: len(self._expanded)] = self._expanded
@@ -116,7 +119,7 @@ class LazyDfa:
             if tid is None:
                 tid = memo[key] = self._intern(key)
             row[c_] = tid
-        self._table[:, sid] = row
+        self._table[sid, :] = row
         self._expanded[sid] = 1
         self.version += 1
 
@@ -139,15 +142,15 @@ class LazyDfa:
         sid = self.start if start_id is None else start_id
         if counts is None:
             counts = np.zeros(self.aut.num_states, dtype=np.int64)
-        data = np.asarray(stream, dtype=np.uint8)
+        data = np.ascontiguousarray(np.asarray(stream, dtype=np.uint8))
         n = len(data) if max_bytes is None else min(len(data), max_bytes)
-        classes = np.ascontiguousarray(self.class_of[data[:n]], dtype=np.uint8)
         visits = np.zeros(self._cap, dtype=np.int64)
         p = 0
         if self._native is not None:
             import ctypes
 
             i32 = ctypes.c_int32
+            u8p = ctypes.POINTER(ctypes.c_uint8)
             while p < n:
                 if not self._expanded[sid]:
                     self.expand(sid)
@@ -158,9 +161,10 @@ class LazyDfa:
                 sid_io = i32(sid)
                 consumed = self._native.lazy_walk(
                     self._table.ctypes.data_as(ctypes.POINTER(i32)),
-                    self._cap,
-                    self._expanded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                    classes[p:].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    self.num_classes,
+                    self._expanded.ctypes.data_as(u8p),
+                    self._class_u8.ctypes.data_as(u8p),
+                    data[p:].ctypes.data_as(u8p),
                     n - p,
                     ctypes.byref(sid_io),
                     visits.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -168,6 +172,7 @@ class LazyDfa:
                 sid = int(sid_io.value)
                 p += consumed
         else:
+            classes = self.class_of[data[:n]]
             for p in range(n):
                 if not self._expanded[sid]:
                     self.expand(sid)
@@ -176,9 +181,220 @@ class LazyDfa:
                             [visits, np.zeros(self._cap - len(visits), np.int64)]
                         )
                 visits[sid] += 1
-                sid = int(self._table[classes[p], sid])
+                sid = int(self._table[sid, classes[p]])
         counts += self.accept_counts(visits)
         return counts, sid, n
+
+    def host_scan_multi(
+        self,
+        stream: np.ndarray,
+        start_id: int | None = None,
+        counts: np.ndarray | None = None,
+        chunks: int = 32,
+        overlap: int = 192,
+        threads: int = 2,
+    ) -> tuple[np.ndarray, int, int]:
+        """Speculative multi-cursor host scan — same contract as
+        ``host_scan`` but ~(chunks-way memory-level parallel + threaded).
+
+        The serial walk is latency-bound (one dependent table load per
+        byte); walking ``chunks`` independent cursors round-robin overlaps
+        their cache misses, and ``threads`` ctypes calls run concurrently
+        (the GIL is released during the native call).  Exactness follows
+        the same induction as the TPU engines (ops/dfa_fast.py): cursor c
+        first replays the ``overlap`` bytes before its chunk from the hub
+        start state (speculation); after the main walk, ``finals[c] ==
+        entries[c+1]`` for all seams proves every cursor walked from its
+        true entry.  On any seam mismatch the whole scan falls back to the
+        serial ``host_scan`` (counts are only merged on success, so the
+        fallback sees clean accumulators).
+        """
+        data = np.asarray(stream, dtype=np.uint8)
+        n = len(data)
+        sid0 = self.start if start_id is None else int(start_id)
+        if counts is None:
+            counts = np.zeros(self.aut.num_states, dtype=np.int64)
+        chunks = min(chunks, 512)  # native walker's per-call cursor cap
+        if self._native is None or n < chunks * max(4 * overlap, 2048):
+            return self.host_scan(data, sid0, counts)
+
+        import ctypes
+        import threading as _threading
+
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        data = np.ascontiguousarray(data)
+        lut_ptr = self._class_u8.ctypes.data_as(u8p)
+        data_ptr = data.ctypes.data_as(u8p)
+        bounds = np.linspace(0, n, chunks + 1).astype(np.int64)
+
+        def drive(pos, end, sids, visits_list, count):
+            """Walk all cursors to their ends, expanding blocked states
+            between rounds.  ``visits_list`` holds one buffer per thread
+            group (ignored when count == 0)."""
+            groups = np.array_split(np.arange(len(pos)), max(1, threads))
+            while True:
+                def run(g, vi):
+                    w = len(g)
+                    if w == 0:
+                        return
+                    self._native.lazy_walk_multi(
+                        self._table.ctypes.data_as(i32p),
+                        self.num_classes,
+                        self._expanded.ctypes.data_as(u8p),
+                        lut_ptr,
+                        data_ptr,
+                        pos[g[0]:].ctypes.data_as(i64p),
+                        end[g[0]:].ctypes.data_as(i64p),
+                        sids[g[0]:].ctypes.data_as(i32p),
+                        w,
+                        vi.ctypes.data_as(i64p),
+                        count,
+                        0,  # shared histogram per thread buffer
+                    )
+
+                ts = []
+                for gi, g in enumerate(groups):
+                    vi = visits_list[gi % len(visits_list)]
+                    t = _threading.Thread(target=run, args=(g, vi))
+                    t.start()
+                    ts.append(t)
+                for t in ts:
+                    t.join()
+                blocked = np.nonzero(pos < end)[0]
+                if len(blocked) == 0:
+                    return
+                for c in blocked:
+                    self.expand(int(sids[c]))
+                for gi in range(len(visits_list)):
+                    if len(visits_list[gi]) < self._cap:
+                        visits_list[gi] = np.concatenate([
+                            visits_list[gi],
+                            np.zeros(self._cap - len(visits_list[gi]), np.int64),
+                        ])
+
+        # --- prescan: speculative entries for chunks 1..chunks-1
+        pre_pos = np.maximum(bounds[1:-1] - overlap, 0).astype(np.int64)
+        pre_end = bounds[1:-1].copy()
+        pre_sids = np.full(chunks - 1, self.start, dtype=np.int32)
+        dummy = [np.zeros(1, np.int64)]
+        drive(pre_pos, pre_end, pre_sids, dummy, 0)
+        entries = np.concatenate([[sid0], pre_sids]).astype(np.int32)
+
+        # --- main counted walk
+        pos = bounds[:-1].copy()
+        end = bounds[1:].copy()
+        sids = entries.copy()
+        visits_list = [
+            np.zeros(self._cap, np.int64) for _ in range(max(1, threads))
+        ]
+        drive(pos, end, sids, visits_list, 1)
+
+        if not np.array_equal(sids[:-1], entries[1:]):
+            return self.host_scan(data, sid0, counts)  # rare: resync failed
+        visits = np.zeros(self._cap, np.int64)
+        for v in visits_list:
+            visits[: len(v)] += v
+        counts += self.accept_counts(visits)
+        return counts, int(sids[-1]), n
+
+    def host_scan_batch(
+        self,
+        streams,
+        start_ids=None,
+        threads: int = 2,
+    ):
+        """Scan N independent byte streams concurrently — the reference's
+        dual-stream axis (``Design/FPGA.v:54-57``) generalized to arbitrary
+        batch, and the RELIABLE parallel axis for IDS rulesets whose
+        subset automata carry unbounded history (``.*A.*B`` content chains
+        never hub-synchronize, so chunk speculation inside one stream
+        falls back; independent flows need no speculation at all).
+
+        Each stream is one walk cursor; the multi-cursor kernel overlaps
+        their dependent table loads (measured ~6x one cursor on this host)
+        and per-cursor visit rows keep the histograms exact per stream.
+
+        Returns (counts (N, num_nfa_states) int64, finals (N,) int32).
+        """
+        streams = [
+            np.ascontiguousarray(np.asarray(s, dtype=np.uint8))
+            for s in streams
+        ]
+        n_streams = len(streams)
+        if n_streams == 0:
+            return np.zeros((0, self.aut.num_states), np.int64), np.zeros(
+                0, np.int32
+            )
+        starts = (
+            np.full(n_streams, self.start, np.int32)
+            if start_ids is None
+            else np.asarray(start_ids, np.int32).copy()
+        )
+        if self._native is None or n_streams == 1:
+            counts = np.zeros((n_streams, self.aut.num_states), np.int64)
+            finals = np.zeros(n_streams, np.int32)
+            for i, s in enumerate(streams):
+                _, finals[i], _ = self.host_scan(s, int(starts[i]), counts[i])
+            return counts, finals
+
+        import ctypes
+        import threading as _threading
+
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        data = np.concatenate(streams)
+        lut_ptr = self._class_u8.ctypes.data_as(u8p)
+        data_ptr = data.ctypes.data_as(u8p)
+        bounds = np.concatenate(
+            [[0], np.cumsum([len(s) for s in streams])]
+        ).astype(np.int64)
+        pos = bounds[:-1].copy()
+        end = bounds[1:].copy()
+        sids = starts.astype(np.int32)
+        # one visits row per stream; thread groups touch disjoint rows
+        visits = np.zeros((n_streams, self._cap), np.int64)
+        groups = np.array_split(np.arange(n_streams), max(1, threads))
+        groups = [g for g in groups if len(g)]
+
+        while True:
+            def run(g, vrow0):
+                self._native.lazy_walk_multi(
+                    self._table.ctypes.data_as(i32p),
+                    self.num_classes,
+                    self._expanded.ctypes.data_as(u8p),
+                    lut_ptr,
+                    data_ptr,
+                    pos[g[0]:].ctypes.data_as(i64p),
+                    end[g[0]:].ctypes.data_as(i64p),
+                    sids[g[0]:].ctypes.data_as(i32p),
+                    len(g),
+                    visits[g[0]:].ctypes.data_as(i64p),
+                    1,
+                    visits.shape[1],
+                )
+
+            ts = [
+                _threading.Thread(target=run, args=(g, g[0])) for g in groups
+            ]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            blocked = np.nonzero(pos < end)[0]
+            if len(blocked) == 0:
+                break
+            for c in blocked:
+                self.expand(int(sids[c]))
+            if visits.shape[1] < self._cap:
+                grown = np.zeros((n_streams, self._cap), np.int64)
+                grown[:, : visits.shape[1]] = visits
+                visits = grown
+
+        counts = np.stack([self.accept_counts(v) for v in visits])
+        return counts, sids
 
     def warm_restarts(self, stream: np.ndarray, positions, depth: int) -> None:
         """Intern the hub-restart paths used by overlap synchronization.
@@ -214,17 +430,33 @@ class LazyDfa:
         unknown = p
         table = np.full((self.num_classes, p + 1), unknown, dtype=np.int32)
         known = self._expanded[:m].astype(bool)
-        table[:, :m] = np.where(known[None, :], self._table[:, :m], unknown)
+        table[:, :m] = np.where(known[None, :], self._table[:m].T, unknown)
         n_acc = np.zeros(p + 1, dtype=np.int32)
         n_acc[:m] = [len(a) for a in self._members_acc]
         return table, unknown, n_acc
 
+    def _acc_pairs(self) -> tuple[np.ndarray, np.ndarray]:
+        """(sid, accepting-member) pairs as flat arrays, cached per version."""
+        if getattr(self, "_acc_pairs_version", -1) != self.version:
+            sids: list[int] = []
+            mems: list[int] = []
+            for sid, members in enumerate(self._members_acc):
+                sids.extend([sid] * len(members))
+                mems.extend(members)
+            self._acc_sid = np.asarray(sids, dtype=np.int64)
+            self._acc_mem = np.asarray(mems, dtype=np.int64)
+            self._acc_pairs_version = self.version
+        return self._acc_sid, self._acc_mem
+
     def accept_counts(self, visit_counts: np.ndarray) -> np.ndarray:
         """Map per-subset-state visit counts -> per-NFA-state match counts."""
-        out = np.zeros(self.aut.num_states, dtype=np.int64)
-        limit = min(len(visit_counts), self.num_states)
-        for sid in np.nonzero(visit_counts[:limit])[0]:
-            v = int(visit_counts[sid])
-            for m in self._members_acc[sid]:
-                out[m] += v
-        return out
+        sid_arr, mem_arr = self._acc_pairs()
+        keep = sid_arr < len(visit_counts)
+        if not keep.all():
+            sid_arr, mem_arr = sid_arr[keep], mem_arr[keep]
+        if len(sid_arr) == 0:
+            return np.zeros(self.aut.num_states, dtype=np.int64)
+        # float64 weights are exact below 2^53 — far above any visit count
+        w = visit_counts[sid_arr].astype(np.float64)
+        out = np.bincount(mem_arr, weights=w, minlength=self.aut.num_states)
+        return out.astype(np.int64)

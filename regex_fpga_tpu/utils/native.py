@@ -24,7 +24,11 @@ def _load():
     if _LIB is not None:
         return _LIB
     so = os.path.abspath(os.path.join(_NATIVE_DIR, "libgolden_scan.so"))
-    if not os.path.exists(so):
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "golden_scan.cpp"))
+    stale = not os.path.exists(so) or (
+        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so)
+    )
+    if stale:
         subprocess.run(
             ["sh", os.path.join(_NATIVE_DIR, "build.sh")],
             check=True,
@@ -46,8 +50,14 @@ def _load():
     ]
     lib.lazy_walk.restype = ctypes.c_int64
     lib.lazy_walk.argtypes = [
-        i32p, ctypes.c_int64, u8p, u8p, ctypes.c_int64,
+        i32p, ctypes.c_int64, u8p, u8p, u8p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), i64p,
+    ]
+    lib.lazy_walk_multi.restype = ctypes.c_int64
+    lib.lazy_walk_multi.argtypes = [
+        i32p, ctypes.c_int64, u8p, u8p, u8p,
+        i64p, i64p, i32p, ctypes.c_int64, i64p, ctypes.c_int32,
+        ctypes.c_int64,
     ]
     _LIB = lib
     return lib
