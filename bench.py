@@ -70,11 +70,12 @@ def main() -> None:
     kg = build_kgram(dt, levels=2)
     ck = jnp2.asarray(map_kgram_classes(kg, text))
     tj, aj = jnp2.asarray(kg.table), jnp2.asarray(kg.acc_table)
-    rk = dfa_scan_kgram(tj, aj, ck, num_blocks=nb, start=tok.start)
+    nbk = 16384  # measured best: longer blocks amortize the overlap prescan
+    rk = dfa_scan_kgram(tj, aj, ck, num_blocks=nbk, start=tok.start)
     np.asarray(rk.final_state)
     t0 = time.perf_counter()
     for _ in range(n):
-        rk = dfa_scan_kgram(tj, aj, ck, num_blocks=nb, start=tok.start)
+        rk = dfa_scan_kgram(tj, aj, ck, num_blocks=nbk, start=tok.start)
     np.asarray(rk.final_state)
     kgram_bps = l / ((time.perf_counter() - t0) / n)
 

@@ -104,7 +104,8 @@ class KgramScanResult(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_blocks", "max_iters", "overlap")
+    jax.jit,
+    static_argnames=("num_blocks", "max_iters", "overlap", "use_pallas"),
 )
 def dfa_scan_kgram(
     table: jnp.ndarray,       # (C_k, S) int32
@@ -114,6 +115,7 @@ def dfa_scan_kgram(
     start: int = 0,
     max_iters: int = 16,
     overlap: int = 16,
+    use_pallas: bool = False,
 ) -> KgramScanResult:
     """Speculative chain scan over k-gram steps; returns final state + exact
     total match count.
@@ -183,11 +185,24 @@ def dfa_scan_kgram(
         nxt, acc = step(st, cl)
         return (nxt, tot + acc), None
 
-    def pass_full(entries):
-        (finals, totals), _ = jax.lax.scan(
-            full_body, (entries, jnp.zeros_like(entries)), cls_seq
+    if use_pallas:
+        from .pallas_kgram import KGRAM_LANE_TILE, kgram_chain_pallas
+
+        assert s <= 64 and num_blocks % KGRAM_LANE_TILE == 0 and b % 128 == 0, (
+            "pallas k-gram path needs S <= 64, num_blocks % "
+            f"{KGRAM_LANE_TILE} == 0 and steps/block % 128 == 0"
         )
-        return finals, totals
+        ta128 = jnp.zeros((c, 128), jnp.int32)
+        ta128 = ta128.at[:, :s].set(table).at[:, 64 : 64 + s].set(acc_table)
+
+        def pass_full(entries):
+            return kgram_chain_pallas(ta128, blocks, entries)
+    else:
+        def pass_full(entries):
+            (finals, totals), _ = jax.lax.scan(
+                full_body, (entries, jnp.zeros_like(entries)), cls_seq
+            )
+            return finals, totals
 
     def cond(carry):
         return jnp.logical_and(~carry[3], carry[4] < max_iters)

@@ -74,3 +74,23 @@ def test_kgram_speculation_fallback_mod3():
     from regex_fpga_tpu.ops import dfa_scan_serial
     ser = dfa_scan_serial(pt, jnp.asarray(stream))
     assert int(res.total) == int(np.asarray(ser.counts).sum())
+
+
+def test_kgram_pallas_matches_jnp(rng):
+    """Pallas k-gram chain (interpret mode off-TPU) == jnp engine."""
+    import jax.numpy as jnp
+    from regex_fpga_tpu.models import build_tokenizer_dfa
+    from regex_fpga_tpu.ops import build_dfa_tables
+
+    tok = build_tokenizer_dfa()
+    dt = build_dfa_tables(tok.table, tok.accept)
+    kg = build_kgram(dt, levels=1)
+    stream = rng.integers(0, 256, size=512 * 128 * 2).astype(np.uint8)
+    ck = jnp.asarray(map_kgram_classes(kg, stream))
+    tj, aj = jnp.asarray(kg.table), jnp.asarray(kg.acc_table)
+    ref = dfa_scan_kgram(tj, aj, ck, num_blocks=512, start=tok.start)
+    got = dfa_scan_kgram(tj, aj, ck, num_blocks=512, start=tok.start,
+                         use_pallas=True)
+    assert int(got.total) == int(ref.total)
+    assert int(got.final_state) == int(ref.final_state)
+    assert bool(got.converged)
