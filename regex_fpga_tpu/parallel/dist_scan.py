@@ -59,7 +59,7 @@ def nfa_scan_dist(mesh, tables: NfaTables, streams: jnp.ndarray,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "blocks_per_shard", "max_iters"),
+    static_argnames=("mesh", "blocks_per_shard", "max_iters", "overlap"),
 )
 def dfa_scan_fast_dist(
     mesh,
@@ -68,6 +68,7 @@ def dfa_scan_fast_dist(
     blocks_per_shard: int = 8192,
     start: int = 0,
     max_iters: int = 16,
+    overlap: int = 64,
 ):
     """Distributed fast DFA scan.
 
@@ -75,6 +76,13 @@ def dfa_scan_fast_dist(
     ``data`` axis, L divisible by (seq_size * blocks_per_shard).  Each device
     runs ``blocks_per_shard`` Jacobi chains over its local span; seam entries
     flow along ``seq`` via ppermute each iteration.
+
+    Block AND chip seams are speculated first (ops/dfa_fast.py): every
+    block's entry guess comes from replaying the previous block's last
+    ``overlap`` bytes from the start state — the previous SHARD's tail
+    arrives via one ``ppermute`` — and the Jacobi fixpoint loop then serves
+    as the exactness verifier (1 iteration when the automaton synchronizes,
+    plain iteration otherwise).
 
     Returns (final_states (BATCH,), match_counts (BATCH,), converged ()).
     """
@@ -128,6 +136,22 @@ def dfa_scan_fast_dist(
             return jnp.logical_and(~done, it < max_iters)
 
         entries0 = jnp.full((b_loc, nb), start, dtype=jnp.int32)
+        b_len = l_loc // nb
+        ov = min(overlap, b_len)
+        if ov > 0:
+            blocks_l = cls_local.reshape(b_loc, nb, b_len)
+            tails = blocks_l[:, :, b_len - ov:]           # (b_loc, NB, ov)
+            # previous shard's last-block tail seeds this shard's block 0
+            seam_tail = jax.lax.ppermute(tails[:, -1], SEQ_AXIS, fwd)
+            ov_blocks = jnp.concatenate(
+                [seam_tail[:, None], tails[:, :-1]], axis=1
+            )
+            ov_seq = ov_blocks.swapaxes(1, 2)             # (b_loc, ov, NB)
+            spec = jax.vmap(
+                lambda cs, e: chain_pass_finals(tables, cs, e)
+            )(ov_seq, entries0)
+            first0 = jnp.where(seq_idx == 0, start, spec[:, 0])
+            entries0 = spec.at[:, 0].set(first0)
         entries, converged, _ = jax.lax.while_loop(
             cond, body, (entries0, jnp.array(False), jnp.array(0, jnp.int32))
         )
