@@ -112,9 +112,11 @@ def main() -> None:
         flows = [np.roll(flow, i * 997) for i in range(64)]  # 25.6 MB
         snort.lazy_dfa.host_scan_batch(flows)  # warm: intern flow states
         total = sum(len(f) for f in flows)
-        t0 = time.perf_counter()
-        snort.lazy_dfa.host_scan_batch(flows)
-        conf_bps = total / (time.perf_counter() - t0)
+        conf_bps = 0.0
+        for _ in range(3):  # best-of-3: host CPU contends with the runtime
+            t0 = time.perf_counter()
+            snort.lazy_dfa.host_scan_batch(flows)
+            conf_bps = max(conf_bps, total / (time.perf_counter() - t0))
     except Exception as e:  # reference not mounted in bench env
         print(f"# conformance check skipped: {e}", file=sys.stderr)
 

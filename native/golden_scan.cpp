@@ -117,20 +117,6 @@ int64_t lazy_walk(const int32_t* table, int64_t C,
   return pos;
 }
 
-// Multi-cursor lazy-DFA walk — W independent cursors advanced round-robin
-// one byte each, so their dependent table loads overlap in the memory
-// system (the serial walk above is latency-bound: one load per byte).
-//   table/expanded: as lazy_walk (state-major)
-//   lut/stream: as lazy_walk; cursor c walks [pos[c], end[c])
-//   pos:   (W,) int64 in/out
-//   sids:  (W,) int32 in/out
-//   visits: int64 — visits[c*visits_stride + state] bumped per byte when
-//          count != 0.  stride 0 = one shared histogram (caller threads
-//          pass disjoint buffers and merge); stride = cap gives exact
-//          per-cursor histograms (batch mode: one independent stream per
-//          cursor; disjoint rows are naturally thread-safe)
-// Returns the number of cursors blocked on an un-expanded state (0 means
-// every cursor reached its end).
 }  // extern "C" (resumed below — templates need C++ linkage)
 
 template <bool COUNT>

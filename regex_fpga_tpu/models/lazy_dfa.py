@@ -354,13 +354,17 @@ class LazyDfa:
         pos = bounds[:-1].copy()
         end = bounds[1:].copy()
         sids = starts.astype(np.int32)
-        # one visits row per stream; thread groups touch disjoint rows
+        # one visits row per stream; thread groups touch disjoint rows.
+        # the native walker caps W at 512 per call (and silently truncates),
+        # so group size must stay below that or truncated cursors would
+        # never advance and the expansion loop below would spin forever
         visits = np.zeros((n_streams, self._cap), np.int64)
-        groups = np.array_split(np.arange(n_streams), max(1, threads))
+        n_groups = max(max(1, threads), -(-n_streams // 512))
+        groups = np.array_split(np.arange(n_streams), n_groups)
         groups = [g for g in groups if len(g)]
 
         while True:
-            def run(g, vrow0):
+            def run(g):
                 self._native.lazy_walk_multi(
                     self._table.ctypes.data_as(i32p),
                     self.num_classes,
@@ -377,7 +381,7 @@ class LazyDfa:
                 )
 
             ts = [
-                _threading.Thread(target=run, args=(g, g[0])) for g in groups
+                _threading.Thread(target=run, args=(g,)) for g in groups
             ]
             for t in ts:
                 t.start()

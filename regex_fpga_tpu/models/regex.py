@@ -211,7 +211,7 @@ class _Parser:
         }
         if c in classes:
             return frozenset(classes[c])
-        if chr(c).isalnum():
+        if c < 128 and chr(c).isalnum():
             # zero-width assertions (\b \B \A \Z) and other letter escapes
             # are not expressible in this byte-DFA compiler; treating them
             # as literals would silently change the pattern's meaning

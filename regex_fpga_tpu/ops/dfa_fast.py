@@ -35,7 +35,13 @@ import jax.numpy as jnp
 
 from .tables import DfaTables
 
-__all__ = ["FastScanResult", "dfa_scan_fast", "chain_pass_finals", "chain_pass_full"]
+__all__ = [
+    "FastScanResult",
+    "dfa_scan_fast",
+    "chain_pass_finals",
+    "chain_pass_full",
+    "mm_dtype",
+]
 
 
 class FastScanResult(NamedTuple):
@@ -47,13 +53,19 @@ class FastScanResult(NamedTuple):
     counts: jnp.ndarray | None = None  # (S,) per-state counts (counts mode)
 
 
-def _mm_dtype(num_states: int):
-    """bf16 has a 7-bit mantissa: integers are exact only up to 256.  Larger
+def mm_dtype(num_states: int):
+    """Matmul dtype for exact one-hot table lookups — THE single source of
+    the exactness rule (kgram.py and pallas_dfa.py import it too).
+
+    bf16 has a 7-bit mantissa: integers are exact only up to 256.  Larger
     state ids must ride in f32 (exact below 2^24) or they silently corrupt.
     Off-TPU, bf16 dot may be unsupported entirely — use f32 there too."""
     if num_states > 256 or jax.default_backend() != "tpu":
         return jnp.float32
     return jnp.bfloat16
+
+
+_mm_dtype = mm_dtype  # internal alias
 
 
 def _step_tables(tables: DfaTables):
@@ -105,8 +117,9 @@ def chain_pass_full(tables: DfaTables, cls_seq: jnp.ndarray, entries: jnp.ndarra
 def chain_pass_counts(tables: DfaTables, cls_seq: jnp.ndarray, entries: jnp.ndarray):
     """Counting pass: per-state visit counts accumulated IN the scan carry.
 
-    The per-step one-hot ``oh_x`` is reduced over lanes into an (S,) f32
-    accumulator (VPU; exact for counts < 2^24) — no per-position arrays
+    The per-step one-hot ``oh_x`` is reduced over lanes in f32 (exact: the
+    per-step sum is at most NB < 2^24) and added into an int32 accumulator
+    (exact to 2^31, far above any chunk length) — no per-position arrays
     reach HBM and no scatter/bincount is needed.  Accept masking happens
     once at the end: counts[s] = visits[s] * accept[s].
     """
@@ -116,14 +129,14 @@ def chain_pass_counts(tables: DfaTables, cls_seq: jnp.ndarray, entries: jnp.ndar
     def body(carry, cls_t):
         state, visits = carry
         oh_x = (state[:, None] == iota_s).astype(jnp.float32)
-        visits = visits + jnp.sum(oh_x, axis=0)
+        visits = visits + jnp.sum(oh_x, axis=0).astype(jnp.int32)
         nxt = _mm_step(t, iota_c, iota_s, state, cls_t)
         return (nxt, visits), None
 
     (finals, visits), _ = jax.lax.scan(
-        body, (entries, jnp.zeros((s_dim,), jnp.float32)), cls_seq
+        body, (entries, jnp.zeros((s_dim,), jnp.int32)), cls_seq
     )
-    counts = (visits * tables.accept.astype(jnp.float32)).astype(jnp.int32)
+    counts = visits * tables.accept.astype(jnp.int32)
     return finals, counts
 
 

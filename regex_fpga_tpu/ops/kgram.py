@@ -138,15 +138,15 @@ def dfa_scan_kgram(
     remain exact whenever ``converged`` is True.  The reference engine has
     no analogue — its chain is serial per char (``Design/FPGA.v:733-737``).
     """
+    from .dfa_fast import mm_dtype
+
     l = classes_k.shape[0]
     assert l % num_blocks == 0
     b = l // num_blocks
     c, s = table.shape
-    # bf16 is exact only for integers <= 256 (7-bit mantissa); off-TPU
-    # bf16 dot may be unsupported entirely.  Accept counts per step are
-    # bounded by k (build_kgram caps levels well below 256).
-    mmdt = (jnp.bfloat16 if s <= 256 and jax.default_backend() == "tpu"
-            else jnp.float32)
+    # exactness rule shared with the other engines; accept counts per step
+    # are bounded by k (build_kgram caps levels well below 256)
+    mmdt = mm_dtype(s)
     ta = jnp.concatenate([table, acc_table], axis=1).astype(mmdt)  # (C, 2S)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
@@ -186,14 +186,17 @@ def dfa_scan_kgram(
         return (nxt, tot + acc), None
 
     if use_pallas:
-        from .pallas_kgram import KGRAM_LANE_TILE, kgram_chain_pallas
+        from .pallas_kgram import (
+            KGRAM_LANE_TILE,
+            kgram_chain_pallas,
+            pack_ta128,
+        )
 
         assert s <= 64 and num_blocks % KGRAM_LANE_TILE == 0 and b % 128 == 0, (
             "pallas k-gram path needs S <= 64, num_blocks % "
             f"{KGRAM_LANE_TILE} == 0 and steps/block % 128 == 0"
         )
-        ta128 = jnp.zeros((c, 128), jnp.int32)
-        ta128 = ta128.at[:, :s].set(table).at[:, 64 : 64 + s].set(acc_table)
+        ta128 = pack_ta128(table, acc_table)
 
         def pass_full(entries):
             return kgram_chain_pallas(ta128, blocks, entries)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .dfa_fast import mm_dtype
 from .tables import DfaTables
 
 __all__ = ["chain_pass_full_pallas", "chain_pass_finals_pallas", "LANE_TILE"]
@@ -124,13 +125,8 @@ def _pallas_chain(tables: DfaTables, cls_blocks: jnp.ndarray,
         interpret=interpret,
     )(
         cls_blocks,
-        # bf16 is exact only for ids <= 256; larger state spaces (and
-        # non-TPU backends without bf16 dot) use f32
-        tables.table.astype(
-            jnp.bfloat16
-            if s <= 256 and jax.default_backend() == "tpu"
-            else jnp.float32
-        ),
+        # exactness rule shared with the other engines (dfa_fast.mm_dtype)
+        tables.table.astype(mm_dtype(s)),
         acc_vec,
         entries[:, None],
     )

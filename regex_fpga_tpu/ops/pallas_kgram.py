@@ -42,14 +42,16 @@ _SUB = 32               # static steps per loop body (larger unrolls blow up
                         # the Mosaic program: 64+ fails to compile, 32 is ~5s)
 
 
-def pack_ta128(table: np.ndarray, acc_table: np.ndarray) -> np.ndarray:
-    """Pack (C, S) transition + accept tables into the (C, 128) layout."""
+def pack_ta128(table, acc_table) -> jnp.ndarray:
+    """Pack (C, S) transition + accept tables into the (C, 128) layout.
+
+    The single source of the kernel's lane contract (transitions at lane s,
+    accept counts at lane 64 + s); jit-traceable, accepts numpy or jnp.
+    """
     c, s = table.shape
     assert s <= 64, "pallas k-gram path requires S <= 64"
-    ta = np.zeros((c, 128), dtype=np.int32)
-    ta[:, :s] = np.asarray(table)
-    ta[:, 64 : 64 + s] = np.asarray(acc_table)
-    return ta
+    ta = jnp.zeros((c, 128), dtype=jnp.int32)
+    return ta.at[:, :s].set(table).at[:, 64 : 64 + s].set(acc_table)
 
 
 def _kernel(cls_ref, ta_ref, entry_ref, finals_ref, tot_ref, *, b, c):

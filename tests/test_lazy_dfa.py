@@ -146,3 +146,20 @@ def test_api_scan_batch_conformance():
     ser_hi, _, _ = m.lazy_dfa.host_scan(hi)
     np.testing.assert_array_equal(rep.counts[0], ser_lo)
     np.testing.assert_array_equal(rep.counts[1], ser_hi)
+
+
+def test_host_scan_batch_many_streams(rng):
+    """>512 streams exceed the native walker's per-call cursor cap; the
+    Python side must split groups so every cursor still advances."""
+    aut = random_nfa(rng, n_states=20, n_edges=150, n_accept=3)
+    ld = LazyDfa(aut)
+    streams = [
+        rng.integers(0, 256, size=200 + (i % 7)).astype(np.uint8)
+        for i in range(530)
+    ]
+    counts, finals = ld.host_scan_batch(streams, threads=2)
+    for i in (0, 263, 529):
+        ref = np.zeros(aut.num_states, np.int64)
+        ref, fin, _ = ld.host_scan(streams[i], None, ref)
+        np.testing.assert_array_equal(counts[i], ref)
+        assert int(finals[i]) == fin

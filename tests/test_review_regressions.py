@@ -113,3 +113,29 @@ def test_nfa_stream_scanner_empty_checkpoint_resume(reference_available):
     sc2.feed(lo)
     aut = load_coe(coe)
     np.testing.assert_array_equal(sc2.state_counts, nfa_scan(aut, lo))
+
+
+def test_counts_mode_exact_beyond_f32_limit():
+    """Per-state visit counts must stay exact past 2^24 visits of one state
+    (f32 integer limit) — regression for the f32 accumulator."""
+    import jax.numpy as jnp
+    from regex_fpga_tpu.ops import build_dfa_tables
+    from regex_fpga_tpu.ops.dfa_fast import chain_pass_counts
+
+    # 2-state DFA: state 0 self-loops on class 0; state 0 accepting
+    table = np.zeros((256, 2), dtype=np.int32)
+    dt = build_dfa_tables(table, np.array([True, False]))
+    nb, b = 4096, 8192  # 32Mi visits of state 0 > 2^24
+    cls_seq = jnp.zeros((b, nb), jnp.int32)
+    entries = jnp.zeros((nb,), jnp.int32)
+    _, counts = chain_pass_counts(dt, cls_seq, entries)
+    assert int(counts[0]) == nb * b, int(counts[0])
+
+
+def test_escaped_high_byte_literal():
+    """Escaped non-ASCII bytes are literals; only ASCII letter escapes are
+    rejected as unsupported assertions."""
+    from regex_fpga_tpu import api
+
+    m = api.compile_regex(b"\\\xe9+")
+    assert m.findall(b"abc\xe9\xe9def\xe9") == [b"\xe9\xe9", b"\xe9"]
