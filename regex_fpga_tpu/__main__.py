@@ -50,6 +50,13 @@ def cmd_grep(args) -> int:
     status = 1
     for path in args.files:
         data = np.fromfile(path, dtype=np.uint8)
+        if args.count:
+            # grep -c throughput mode: k-gram engine, no per-position output
+            n = m.count([data])
+            if n:
+                status = 0
+            print(f"{path}:{n}")
+            continue
         ends = m.findall_ends(data)
         if len(ends):
             status = 0
@@ -109,6 +116,12 @@ def main(argv=None) -> int:
     s = sub.add_parser("grep", help="scan files with a regex (DFA engine)")
     s.add_argument("pattern")
     s.add_argument("files", nargs="+")
+    s.add_argument(
+        "-c", "--count", action="store_true",
+        help="print match-EVENT counts only (accept-state visits, the "
+             "reference FPGA's counting semantics) via the k-gram "
+             "throughput engine; use plain grep for span offsets",
+    )
     s.set_defaults(fn=cmd_grep)
 
     s = sub.add_parser("presplit", help="tokenizer pre-split a file")

@@ -347,6 +347,70 @@ class DfaMatcher:
             nb //= 2
         return max(nb, 1)
 
+    def _kgram(self):
+        """Cached k-gram tables (4 bytes/engine step), or None on blowup."""
+        if not hasattr(self, "_kgram_cache"):
+            from .ops.kgram import build_kgram
+
+            kg = build_kgram(self.tables, levels=2)
+            if kg is None:
+                self._kgram_cache = None
+            else:
+                self._kgram_cache = (
+                    kg,
+                    jnp.asarray(kg.table),
+                    jnp.asarray(kg.acc_table),
+                )
+        return self._kgram_cache
+
+    def count(self, data) -> int:
+        """Total match count — the throughput mode (``grep -c``).
+
+        Uses the k-gram engine (4 bytes per MXU step, exact totals,
+        measured ~6 GB/s/chip) when the composed class count stays small,
+        with any non-divisible tail finished by the serial scanner from
+        the k-gram carry state.  Always equals ``scan(data).total``.
+        """
+        from .ops.kgram import dfa_scan_kgram, map_kgram_classes
+
+        total = 0
+        for stream in _as_streams(data):
+            if len(stream) == 0:
+                continue
+            kgc = self._kgram()
+            if kgc is None:
+                total += int(self.scan([stream]).counts.sum())
+                continue
+            kg, tj, aj = kgc
+            steps = len(stream) // kg.k
+            nb = self._pick_blocks(max(steps, 1))
+            main_steps = (steps // nb) * nb
+            main_len = main_steps * kg.k
+            cur = self.start
+            if main_len:
+                ck = map_kgram_classes(kg, stream[:main_len])
+                res = dfa_scan_kgram(
+                    tj, aj, jnp.asarray(ck), num_blocks=nb, start=cur,
+                    max_iters=self.config.max_iters,
+                )
+                if not bool(res.converged):
+                    total += int(self.scan([stream]).counts.sum())
+                    continue
+                total += int(res.total)
+                cur = int(res.final_state)
+            tail = stream[main_len:]
+            if len(tail):
+                ser = dfa_scan_serial(
+                    self.tables, jnp.asarray(tail), start=cur
+                )
+                total += int(np.asarray(ser.counts).sum())
+                cur = int(ser.final_state)
+            if self.include_final_match and bool(
+                np.asarray(self.tables.accept)[cur]
+            ):
+                total += 1
+        return total
+
     def _scan_stream(self, stream: np.ndarray, start=None):
         """Returns (states (L,), match_mask (L,), iterations, converged).
         ``states[i]`` is the state before byte i; the final state is stored

@@ -154,3 +154,24 @@ def test_finditer_fuzz():
 def test_findall():
     m = api.compile_regex(rb"\d+", config=EngineConfig(num_blocks=8))
     assert m.findall(b"a1b22c333") == [b"1", b"22", b"333"]
+
+
+def test_count_equals_scan_total(rng):
+    """DfaMatcher.count (k-gram fast path + serial tail) == scan().total on
+    assorted stream lengths, including non-divisible tails and tiny inputs."""
+    from regex_fpga_tpu import api
+
+    m = api.compile_regex(rb"[a-z]+[0-9]|foo|\s\s")
+    base = (b"foo bar12 baz9  qux q7 " * 300)
+    for n in (0, 1, 5, 63, 1024, len(base), len(base) - 3):
+        data = np.frombuffer(base[:n], dtype=np.uint8)
+        want = int(m.scan([data]).counts.sum()) if n else 0
+        assert m.count([data]) == want, n
+
+
+def test_count_random_dfa(rng):
+    from regex_fpga_tpu import api
+
+    m = api.compile_regex(rb"ab*c|d")
+    data = rng.integers(0, 256, size=10_007).astype(np.uint8)
+    assert m.count(data) == int(m.scan(data).counts.sum())
