@@ -133,6 +133,7 @@ def main() -> None:
             "kgram4_converged": bool(rk.converged),
             "stream_bytes": l,
             "num_blocks": nb,
+            "kgram_num_blocks": 16384,
             "jacobi_iterations": iters,
             "converged": bool(r.converged),
             "dfa_states": dt.num_states,

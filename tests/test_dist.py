@@ -57,3 +57,34 @@ def test_dfa_dist_matches_serial(rng, n_data, n_seq):
         ser = dfa_scan_serial(dt, jnp.asarray(streams[i]))
         assert int(finals[i]) == int(ser.final_state), f"stream {i}"
         assert int(counts[i]) == int(np.asarray(ser.counts).sum()), f"stream {i}"
+
+
+def test_multihost_single_process_topology():
+    """init_distributed is a safe no-op single-process; global_mesh spans
+    the full (virtual 8-device) topology and runs a distributed scan."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from regex_fpga_tpu.models import build_tokenizer_dfa
+    from regex_fpga_tpu.ops import build_dfa_tables, dfa_scan_serial
+    from regex_fpga_tpu.parallel import dfa_scan_fast_dist
+    from regex_fpga_tpu.parallel.multihost import global_mesh, init_distributed
+
+    topo = init_distributed()
+    assert topo.host_count == 1 and topo.host_index == 0
+    assert topo.global_devices == len(jax.devices())
+
+    mesh = global_mesh(n_seq=4)
+    tok = build_tokenizer_dfa()
+    dt = build_dfa_tables(tok.table, tok.accept)
+    rng = np.random.default_rng(3)
+    streams = rng.integers(0, 256, size=(2, 4 * 8 * 128), dtype=np.int64).astype(np.uint8)
+    classes = jnp.asarray(np.asarray(dt.class_of)[streams].astype(np.int32))
+    finals, counts, conv = dfa_scan_fast_dist(
+        mesh, dt, classes, blocks_per_shard=8, start=tok.start
+    )
+    assert bool(conv)
+    for i in range(2):
+        ser = dfa_scan_serial(dt, jnp.asarray(streams[i]), start=tok.start)
+        assert int(finals[i]) == int(ser.final_state)
+        assert int(counts[i]) == int(np.asarray(ser.counts).sum())
