@@ -71,11 +71,13 @@ def main() -> None:
     ck = jnp2.asarray(map_kgram_classes(kg, text))
     tj, aj = jnp2.asarray(kg.table), jnp2.asarray(kg.acc_table)
     nbk = 16384  # measured best: longer blocks amortize the overlap prescan
-    rk = dfa_scan_kgram(tj, aj, ck, num_blocks=nbk, start=tok.start)
+    rk = dfa_scan_kgram(tj, aj, ck, num_blocks=nbk, start=tok.start,
+                        acc_bound=kg.k)
     np.asarray(rk.final_state)
     t0 = time.perf_counter()
     for _ in range(n):
-        rk = dfa_scan_kgram(tj, aj, ck, num_blocks=nbk, start=tok.start)
+        rk = dfa_scan_kgram(tj, aj, ck, num_blocks=nbk, start=tok.start,
+                            acc_bound=kg.k)
     np.asarray(rk.final_state)
     kgram_bps = l / ((time.perf_counter() - t0) / n)
 

@@ -382,33 +382,45 @@ class DfaMatcher:
                 total += int(self.scan([stream]).counts.sum())
                 continue
             kg, tj, aj = kgc
-            steps = len(stream) // kg.k
-            nb = self._pick_blocks(max(steps, 1))
-            main_steps = (steps // nb) * nb
-            main_len = main_steps * kg.k
+            cb = self.config.chunk_bytes  # corpus-scale: bounded host/HBM use
             cur = self.start
-            if main_len:
-                ck = map_kgram_classes(kg, stream[:main_len])
-                res = dfa_scan_kgram(
-                    tj, aj, jnp.asarray(ck), num_blocks=nb, start=cur,
-                    max_iters=self.config.max_iters,
-                )
-                if not bool(res.converged):
-                    total += int(self.scan([stream]).counts.sum())
-                    continue
-                total += int(res.total)
-                cur = int(res.final_state)
-            tail = stream[main_len:]
-            if len(tail):
-                ser = dfa_scan_serial(
-                    self.tables, jnp.asarray(tail), start=cur
-                )
-                total += int(np.asarray(ser.counts).sum())
-                cur = int(ser.final_state)
+            stream_total = 0
+            diverged = False
+            off = 0
+            while off < len(stream):
+                chunk = stream[off : off + cb]
+                steps = len(chunk) // kg.k
+                nb = self._pick_blocks(max(steps, 1))
+                main_steps = (steps // nb) * nb
+                main_len = main_steps * kg.k
+                if main_len:
+                    ck = map_kgram_classes(kg, chunk[:main_len])
+                    res = dfa_scan_kgram(
+                        tj, aj, jnp.asarray(ck), num_blocks=nb, start=cur,
+                        max_iters=self.config.max_iters, acc_bound=kg.k,
+                    )
+                    if not bool(res.converged):
+                        diverged = True
+                        break
+                    stream_total += int(res.total)
+                    cur = int(res.final_state)
+                tail = chunk[main_len:]
+                if len(tail):
+                    ser = dfa_scan_serial(
+                        self.tables, jnp.asarray(tail), start=cur
+                    )
+                    stream_total += int(np.asarray(ser.counts).sum())
+                    cur = int(ser.final_state)
+                off += cb
+            if diverged:  # rare: non-synchronizing automaton — exact
+                # fallback over the WHOLE stream (partial totals discarded)
+                total += int(self.scan([stream]).counts.sum())
+                continue
             if self.include_final_match and bool(
                 np.asarray(self.tables.accept)[cur]
             ):
-                total += 1
+                stream_total += 1
+            total += stream_total
         return total
 
     def _scan_stream(self, stream: np.ndarray, start=None):

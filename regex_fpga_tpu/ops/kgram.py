@@ -105,7 +105,9 @@ class KgramScanResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_blocks", "max_iters", "overlap", "use_pallas"),
+    static_argnames=(
+        "num_blocks", "max_iters", "overlap", "use_pallas", "acc_bound"
+    ),
 )
 def dfa_scan_kgram(
     table: jnp.ndarray,       # (C_k, S) int32
@@ -116,6 +118,7 @@ def dfa_scan_kgram(
     max_iters: int = 16,
     overlap: int = 16,
     use_pallas: bool = False,
+    acc_bound: int | None = None,
 ) -> KgramScanResult:
     """Speculative chain scan over k-gram steps; returns final state + exact
     total match count.
@@ -144,23 +147,47 @@ def dfa_scan_kgram(
     assert l % num_blocks == 0
     b = l // num_blocks
     c, s = table.shape
-    # exactness rule shared with the other engines; accept counts per step
-    # are bounded by k (build_kgram caps levels well below 256)
-    mmdt = mm_dtype(s)
-    ta = jnp.concatenate([table, acc_table], axis=1).astype(mmdt)  # (C, 2S)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
     blocks = classes_k.astype(jnp.int32).reshape(num_blocks, b)
     cls_seq = blocks.T  # (B, NB) scan columns
     start = jnp.asarray(start, jnp.int32)
 
-    def step(state, cls_t):
-        oh_c = (cls_t[:, None] == iota_c).astype(mmdt)
-        rows = jnp.dot(oh_c, ta, preferred_element_type=jnp.float32)
-        oh_x = (state[:, None] == iota_s).astype(jnp.float32)
-        nxt = jnp.sum(rows[:, :s] * oh_x, axis=-1).astype(jnp.int32)
-        acc = jnp.sum(rows[:, s:] * oh_x, axis=-1).astype(jnp.int32)
-        return nxt, acc
+    # When the caller promises acc values <= acc_bound (k, known statically),
+    # transition and accept pack into ONE value T*mult + A — one select
+    # instead of two (measured ~5% faster).  Exactness: packed values must
+    # stay exactly representable (mm_dtype: bf16 <= 256, f32 < 2^24).
+    mult = 0
+    if acc_bound is not None:
+        mult = 1
+        while mult <= acc_bound:
+            mult *= 2
+        if (s - 1) * mult + acc_bound >= (1 << 24):
+            mult = 0  # out of exact f32 range: use the split tables
+    if mult:
+        packed_max = (s - 1) * mult + acc_bound
+        mmdt = mm_dtype(packed_max)
+        pk = (table * mult + acc_table).astype(mmdt)  # (C, S)
+
+        def step(state, cls_t):
+            oh_c = (cls_t[:, None] == iota_c).astype(mmdt)
+            rows = jnp.dot(oh_c, pk, preferred_element_type=jnp.float32)
+            oh_x = (state[:, None] == iota_s).astype(jnp.float32)
+            v = jnp.sum(rows * oh_x, axis=-1).astype(jnp.int32)
+            return v // mult, v % mult
+    else:
+        # exactness rule shared with the other engines; accept counts per
+        # step are bounded by k (build_kgram caps levels well below 256)
+        mmdt = mm_dtype(s)
+        ta = jnp.concatenate([table, acc_table], axis=1).astype(mmdt)
+
+        def step(state, cls_t):
+            oh_c = (cls_t[:, None] == iota_c).astype(mmdt)
+            rows = jnp.dot(oh_c, ta, preferred_element_type=jnp.float32)
+            oh_x = (state[:, None] == iota_s).astype(jnp.float32)
+            nxt = jnp.sum(rows[:, :s] * oh_x, axis=-1).astype(jnp.int32)
+            acc = jnp.sum(rows[:, s:] * oh_x, axis=-1).astype(jnp.int32)
+            return nxt, acc
 
     # --- speculation prescan: lane l replays the tail of block l-1
     ov = min(overlap, b)

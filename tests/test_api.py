@@ -175,3 +175,16 @@ def test_count_random_dfa(rng):
     m = api.compile_regex(rb"ab*c|d")
     data = rng.integers(0, 256, size=10_007).astype(np.uint8)
     assert m.count(data) == int(m.scan(data).counts.sum())
+
+
+def test_count_chunked_carry(rng):
+    """count() with a tiny chunk size (forces multi-chunk carries) must
+    equal the single-shot scan total."""
+    from regex_fpga_tpu import api
+    from regex_fpga_tpu.utils.config import EngineConfig
+
+    cfg = EngineConfig(chunk_bytes=512)
+    m = api.compile_regex(rb"[a-z]+[0-9]", config=cfg)
+    base = (b"foo bar12 baz9 quux7 " * 200)
+    data = np.frombuffer(base, dtype=np.uint8)
+    assert m.count([data]) == int(m.scan([data]).counts.sum())

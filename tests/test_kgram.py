@@ -94,3 +94,19 @@ def test_kgram_pallas_matches_jnp(rng):
     assert int(got.total) == int(ref.total)
     assert int(got.final_state) == int(ref.final_state)
     assert bool(got.converged)
+
+
+def test_kgram_packed_equals_split(rng):
+    """acc_bound packed path (one select, T*mult+A) == split tables."""
+    import jax.numpy as jnp
+
+    table, accept = random_dfa_table(rng, 48, 6)
+    dt = build_dfa_tables(table, accept)
+    kg = build_kgram(dt, levels=1, max_classes=100_000)
+    stream = rng.integers(0, 256, size=8 * 64 * 4).astype(np.uint8)
+    ck = jnp.asarray(map_kgram_classes(kg, stream))
+    tj, aj = jnp.asarray(kg.table), jnp.asarray(kg.acc_table)
+    split = dfa_scan_kgram(tj, aj, ck, num_blocks=8)
+    packed = dfa_scan_kgram(tj, aj, ck, num_blocks=8, acc_bound=kg.k)
+    assert int(packed.total) == int(split.total)
+    assert int(packed.final_state) == int(split.final_state)
