@@ -47,7 +47,9 @@ __all__ = [
     "TokenizerMatcher",
     "compile_ruleset",
     "compile_regex",
+    "compile_regex_set",
     "compile_tokenizer",
+    "RuleSetMatcher",
 ]
 
 
@@ -661,3 +663,55 @@ def compile_regex(pattern: str | bytes, anchored: bool = False,
 def compile_tokenizer(pattern: str = GPT2_PRESPLIT,
                       config: EngineConfig = DEFAULT_CONFIG) -> TokenizerMatcher:
     return TokenizerMatcher(build_tokenizer_dfa(pattern), config)
+
+
+@dataclasses.dataclass
+class RuleSetReport:
+    """Per-rule match counts (streams x rules) + the underlying per-state
+    report (reference testbench semantics)."""
+
+    rule_counts: np.ndarray     # (num_streams, num_rules) int64
+    report: ScanReport
+
+    def histogram(self, stream: int = 0) -> dict[int, int]:
+        row = self.rule_counts[stream]
+        return {int(i): int(c) for i, c in enumerate(row) if c}
+
+
+class RuleSetMatcher:
+    """Multi-rule matcher: a set of regexes compiled into ONE reference-
+    convention CSR NFA (the ruleset compiler the reference never shipped,
+    SURVEY.md SS0) and scanned by the bit-exact conformance engine with
+    per-rule match attribution."""
+
+    def __init__(self, patterns, config: EngineConfig = DEFAULT_CONFIG,
+                 strategy: str = "lazy"):
+        from .models.export_csr import regexes_to_csr
+
+        self.patterns = list(patterns)
+        self.automaton, self.owner = regexes_to_csr(self.patterns)
+        self.matcher = NfaMatcher(self.automaton, config, strategy=strategy)
+
+    @property
+    def num_rules(self) -> int:
+        return len(self.patterns)
+
+    def scan(self, data) -> RuleSetReport:
+        rep = self.matcher.scan(data)
+        per = np.zeros((rep.counts.shape[0], self.num_rules), np.int64)
+        for i in range(self.num_rules):
+            per[:, i] = rep.counts[:, self.owner == i].sum(axis=1)
+        return RuleSetReport(rule_counts=per, report=rep)
+
+    def export_coe(self, path: str) -> None:
+        """Write the combined ruleset as a reference-loadable .coe image."""
+        from .models.coe import write_coe
+
+        write_coe(path, self.automaton.to_words())
+
+
+def compile_regex_set(patterns, config: EngineConfig = DEFAULT_CONFIG,
+                      strategy: str = "lazy") -> RuleSetMatcher:
+    """Compile a list of patterns into one multi-rule NFA ruleset with
+    per-rule match counts (IDS-style)."""
+    return RuleSetMatcher(patterns, config, strategy=strategy)

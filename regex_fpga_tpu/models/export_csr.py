@@ -21,7 +21,7 @@ from .coe import write_coe
 from .csr import CsrAutomaton
 from .regex import compile_nfa
 
-__all__ = ["regex_to_csr", "export_coe"]
+__all__ = ["regex_to_csr", "regexes_to_csr", "export_coe"]
 
 
 def regex_to_csr(
@@ -136,6 +136,61 @@ def regex_to_csr(
     srcs = np.array([s for (s, _, _) in buf], dtype=np.int64)
     offsets[1:] = np.cumsum(np.bincount(srcs, minlength=m))
     return CsrAutomaton(offsets=offsets, trans_char=chars, trans_target=targets)
+
+
+def regexes_to_csr(
+    patterns,
+    truncate_at_accept: bool = True,
+) -> tuple[CsrAutomaton, np.ndarray]:
+    """Compile a SET of patterns into one reference-convention CSR NFA —
+    the ruleset-compiler the reference ecosystem never published (its
+    shipped `.coe` images are multi-rule automata of exactly this shape,
+    SURVEY.md SS0/SS2.3).
+
+    Each pattern keeps its own accept states, so the per-state match
+    histogram attributes every match to its rule — the reference testbench's
+    per-state counters (``testbench_BLK_Mem.sv:61-69``) become per-rule
+    counters.  Returns ``(automaton, owner)`` where ``owner[s]`` is the
+    pattern index owning state ``s`` (-1 for the shared hub state 0).
+
+    Merging the per-pattern hubs into one state 0 is exact: every pattern
+    automaton is unanchored, so state 0 self-loops on all bytes and stays
+    active forever (the shipped rulesets' structure, SURVEY.md SS2.3) —
+    extra in-edges to the merged hub change nothing.
+    """
+    auts = [
+        regex_to_csr(p, unanchored=True, truncate_at_accept=truncate_at_accept)
+        for p in patterns
+    ]
+    owner = [-1]  # merged hub
+    edges: set[tuple[int, int, int]] = set()
+    next_id = 1
+    for i, a in enumerate(auts):
+        n = a.num_states
+        remap = {0: 0}
+        for s in range(1, n):
+            remap[s] = next_id
+            owner.append(i)
+            next_id += 1
+        for s in range(n):
+            lo, hi = int(a.offsets[s]), int(a.offsets[s + 1])
+            for j in range(lo, hi):
+                edges.add((
+                    remap[s],
+                    int(a.trans_char[j]),
+                    remap[int(a.trans_target[j])],
+                ))
+    buf = sorted(edges)
+    m = next_id
+    offsets = np.zeros(m + 1, dtype=np.int64)
+    srcs = np.array([s for (s, _, _) in buf], dtype=np.int64)
+    offsets[1:] = np.cumsum(np.bincount(srcs, minlength=m))
+    aut = CsrAutomaton(
+        offsets=offsets,
+        trans_char=np.array([b for (_, b, _) in buf], dtype=np.uint8),
+        trans_target=np.array([d for (_, _, d) in buf], dtype=np.int32),
+    )
+    return aut, np.asarray(owner, dtype=np.int64)
 
 
 def export_coe(pattern: str | bytes, path: str, **kw) -> CsrAutomaton:

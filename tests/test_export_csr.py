@@ -71,3 +71,37 @@ def test_determinism():
     a = np.asarray(nfa_scan_jax(t, data).counts)
     b = np.asarray(nfa_scan_jax(t, data).counts)
     np.testing.assert_array_equal(a, b)
+
+
+def test_regex_set_per_rule_counts():
+    """Multi-rule ruleset: per-rule counts equal each pattern's isolated
+    single-rule automaton totals (the hub merge is exact)."""
+    from regex_fpga_tpu import api
+    from regex_fpga_tpu.models.export_csr import regex_to_csr
+
+    patterns = [rb"abc", rb"[0-9][0-9]", rb"x.z"]
+    rs = api.compile_regex_set(patterns)
+    text = b"abc 12 xyz abc 99 x_z nothing 4 abcd 77"
+    data = np.frombuffer(text, dtype=np.uint8)
+    got = rs.scan([data]).rule_counts[0]
+    for i, p in enumerate(patterns):
+        solo = api.compile_ruleset(regex_to_csr(p))
+        want = int(solo.scan([data]).counts.sum())
+        assert int(got[i]) == want, (p, int(got[i]), want)
+    assert got.sum() > 0
+
+
+def test_regex_set_coe_roundtrip(tmp_path):
+    """Exported multi-rule .coe reloads to identical per-rule totals."""
+    from regex_fpga_tpu import api
+
+    patterns = [rb"foo+", rb"ba[rz]"]
+    rs = api.compile_regex_set(patterns)
+    path = str(tmp_path / "ruleset.coe")
+    rs.export_coe(path)
+    reloaded = api.compile_ruleset(path)
+    text = b"foo bar foooo baz barbar"
+    data = np.frombuffer(text, dtype=np.uint8)
+    a = rs.scan([data]).report.counts
+    b = reloaded.scan([data]).counts
+    np.testing.assert_array_equal(a, b)
