@@ -65,6 +65,34 @@ def cmd_grep(args) -> int:
     return status
 
 
+def cmd_compile_rules(args) -> int:
+    """Compile a rule file (one regex per line, # comments) into a
+    reference-format .coe ruleset image — the toolchain the reference
+    ecosystem never published."""
+    from . import api
+
+    patterns = []
+    for line in open(args.rules, "rb").read().splitlines():
+        line = line.strip()
+        if line and not line.startswith(b"#"):
+            patterns.append(line)
+    if not patterns:
+        print("no rules found", file=sys.stderr)
+        return 1
+    rs = api.compile_regex_set(patterns)
+    rs.export_coe(args.output)
+    print(
+        f"{len(patterns)} rules -> {rs.automaton.num_states} states, "
+        f"{len(rs.automaton.trans_char)} transitions -> {args.output}"
+    )
+    if args.scan:
+        data = np.fromfile(args.scan, dtype=np.uint8)
+        rep = rs.scan([data])
+        for i, (p, c) in enumerate(zip(patterns, rep.rule_counts[0])):
+            print(f"rule {i} ({p.decode('latin1')}): {int(c)} matches")
+    return 0
+
+
 def cmd_presplit(args) -> int:
     from . import api
 
@@ -123,6 +151,15 @@ def main(argv=None) -> int:
              "throughput engine; use plain grep for span offsets",
     )
     s.set_defaults(fn=cmd_grep)
+
+    s = sub.add_parser(
+        "compile-rules",
+        help="compile a rule file (one regex/line) to a .coe ruleset",
+    )
+    s.add_argument("rules")
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("--scan", help="optionally scan a file and report per-rule counts")
+    s.set_defaults(fn=cmd_compile_rules)
 
     s = sub.add_parser("presplit", help="tokenizer pre-split a file")
     s.add_argument("file")

@@ -89,3 +89,22 @@ def test_cli_scan_mem_trace(tmp_path, capsys, reference_available):
     assert main(["scan", "--coe", coe, trace]) == 0
     out = capsys.readouterr().out
     assert "state 443: 1" in out
+
+
+def test_cli_compile_rules(tmp_path):
+    import subprocess
+    import sys
+
+    rules = tmp_path / "rules.txt"
+    rules.write_bytes(b"# c\nfoo+\nba[rz]\n")
+    corpus = tmp_path / "c.bin"
+    corpus.write_bytes(b"foo bar foooo baz")
+    out = tmp_path / "r.coe"
+    r = subprocess.run(
+        [sys.executable, "-m", "regex_fpga_tpu", "compile-rules",
+         str(rules), "-o", str(out), "--scan", str(corpus)],
+        capture_output=True, text=True, timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert out.exists()
+    assert "rule 0" in r.stdout and "rule 1" in r.stdout
