@@ -87,8 +87,9 @@ class NfaMatcher:
       - ``"lazy"`` (default): lazy subset determinization — intern the
         workload's reachable subset states (measured: 729 / 18.7k on the
         reference traces vs >300k for full determinization) and walk the
-        incrementally-built table with the native C++ scanner (~100-170 MB/s
-        steady state, models/lazy_dfa.py);
+        incrementally-built table with the native C++ scanner (~200 MB/s
+        serial per stream; multi-stream batches run the multi-cursor walker
+        at 0.5-0.7 GB/s aggregate, models/lazy_dfa.py);
       - ``"lazy-device"``: same automaton, chunks scanned on-device with
         Jacobi seams + overlap sync (ops/lazy_scan.py) — the scalable path
         for real pod hosts (this rig's host<->device tunnel is slower than
