@@ -117,6 +117,23 @@ int64_t lazy_walk(const int32_t* table, int64_t C,
   return pos;
 }
 
+// k-gram class mapping (host ingest for ops/kgram.py) — numpy fancy
+// indexing measured ~83 MB/s for this; these sequential streaming passes
+// run at memory speed.
+//   kgram_level1: out[i] = remap[lut[data[2i]] * c + lut[data[2i+1]]]
+//   kgram_pair:   out[i] = remap[in[2i] * c + in[2i+1]]
+void kgram_level1(const uint8_t* data, int64_t n_pairs, const uint8_t* lut,
+                  const int32_t* remap, int64_t c, int32_t* out) {
+  for (int64_t i = 0; i < n_pairs; ++i)
+    out[i] = remap[(int64_t)lut[data[2 * i]] * c + lut[data[2 * i + 1]]];
+}
+
+void kgram_pair(const int32_t* in, int64_t n_pairs, const int32_t* remap,
+                int64_t c, int32_t* out) {
+  for (int64_t i = 0; i < n_pairs; ++i)
+    out[i] = remap[(int64_t)in[2 * i] * c + in[2 * i + 1]];
+}
+
 }  // extern "C" (resumed below — templates need C++ linkage)
 
 template <bool COUNT>

@@ -370,9 +370,13 @@ class DfaMatcher:
         """Total match count — the throughput mode (``grep -c``).
 
         Uses the k-gram engine (4 bytes per MXU step, exact totals,
-        measured ~6 GB/s/chip) when the composed class count stays small,
-        with any non-divisible tail finished by the serial scanner from
-        the k-gram carry state.  Always equals ``scan(data).total``.
+        measured ~6.6 GB/s/chip device-side; host class-mapping runs at
+        ~1.3 GB/s via the native streaming passes) when the composed class
+        count stays small, with any non-divisible tail finished by the
+        serial scanner from the k-gram carry state.  Always equals
+        ``scan(data).total``.  NOTE: on this rig the tunneled host->device
+        link (~25 MB/s) dominates end-to-end wall time; production TPU
+        hosts feed the engine at DMA speed.
         """
         from .ops.kgram import dfa_scan_kgram, map_kgram_classes
 

@@ -86,14 +86,73 @@ def build_kgram(
 
 
 def map_kgram_classes(kg: KgramTables, data: np.ndarray) -> np.ndarray:
-    """Map raw bytes to k-gram class ids (length L / k; L % k == 0)."""
-    cls = kg.class_of[np.asarray(data, dtype=np.uint8)]
-    assert len(cls) % kg.k == 0
-    for lvl, remap in enumerate(kg.pair_maps):
-        c = kg.level_classes[lvl]
-        a, b = cls[0::2].astype(np.int64), cls[1::2].astype(np.int64)
-        cls = remap[a * c + b]
-    return cls.astype(np.int32)
+    """Map raw bytes to k-gram class ids (length L / k; L % k == 0).
+
+    Uses the native streaming passes when available (numpy fancy indexing
+    measured ~83 MB/s for this; the C passes run at memory speed, so the
+    host ingest keeps up with the ~6 GB/s device engine)."""
+    data = np.ascontiguousarray(np.asarray(data, dtype=np.uint8))
+    assert len(data) % kg.k == 0
+    lib = None
+    if kg.pair_maps:
+        try:
+            from ..utils.native import _load
+
+            lib = _load()
+        except Exception:
+            lib = None
+    if lib is None:
+        cls = kg.class_of[data]
+        for lvl, remap in enumerate(kg.pair_maps):
+            c = kg.level_classes[lvl]
+            a, b = cls[0::2].astype(np.int64), cls[1::2].astype(np.int64)
+            cls = remap[a * c + b]
+        return cls.astype(np.int32)
+
+    import ctypes
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lut8 = np.ascontiguousarray(kg.class_of, dtype=np.uint8)
+    remaps = [
+        np.ascontiguousarray(r, dtype=np.int32) for r in kg.pair_maps
+    ]
+
+    def run(chunk: np.ndarray, out: np.ndarray) -> None:
+        n = len(chunk) // 2
+        lib.kgram_level1(
+            chunk.ctypes.data_as(u8p), n, lut8.ctypes.data_as(u8p),
+            remaps[0].ctypes.data_as(i32p), kg.level_classes[0],
+            out.ctypes.data_as(i32p),
+        )
+        cur = out
+        for lvl in range(1, len(remaps)):
+            n //= 2
+            lib.kgram_pair(
+                cur.ctypes.data_as(i32p), n,
+                remaps[lvl].ctypes.data_as(i32p), kg.level_classes[lvl],
+                cur.ctypes.data_as(i32p),  # in-place: out[i] from in[2i],2i+1
+            )
+            cur = cur[:n]
+
+    # groups of k bytes are independent — split at a k-aligned boundary and
+    # map the halves concurrently (the GIL is released inside ctypes calls)
+    if len(data) >= (1 << 22):
+        import threading
+
+        half = ((len(data) // 2) // kg.k) * kg.k
+        out1 = np.empty(half // 2, np.int32)
+        out2 = np.empty((len(data) - half) // 2, np.int32)
+        t = threading.Thread(target=run, args=(data[:half], out1))
+        t.start()
+        run(data[half:], out2)
+        t.join()
+        return np.concatenate(
+            [out1[: half // kg.k], out2[: (len(data) - half) // kg.k]]
+        )
+    out = np.empty(len(data) // 2, np.int32)
+    run(data, out)
+    return out[: len(data) // kg.k]
 
 
 class KgramScanResult(NamedTuple):

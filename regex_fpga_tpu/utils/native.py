@@ -53,6 +53,14 @@ def _load():
         i32p, ctypes.c_int64, u8p, u8p, u8p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), i64p,
     ]
+    lib.kgram_level1.restype = None
+    lib.kgram_level1.argtypes = [
+        u8p, ctypes.c_int64, u8p, i32p, ctypes.c_int64, i32p,
+    ]
+    lib.kgram_pair.restype = None
+    lib.kgram_pair.argtypes = [
+        i32p, ctypes.c_int64, i32p, ctypes.c_int64, i32p,
+    ]
     lib.lazy_walk_multi.restype = ctypes.c_int64
     lib.lazy_walk_multi.argtypes = [
         i32p, ctypes.c_int64, u8p, u8p, u8p,
