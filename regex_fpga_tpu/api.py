@@ -284,6 +284,9 @@ class DfaMatcher:
         self.config = config
         self.tables: DfaTables = build_dfa_tables(dfa.table, dfa.accept)
         self._class_lut = np.asarray(self.tables.class_of)
+        # accept mask for the FINAL state: end-anchored patterns ($) carry
+        # it separately from the per-position mask (models/regex.py)
+        self._accept_eof = np.asarray(dfa.eof_accept)
         self.start = dfa.start
         # populated by compile_regex for finditer support (built lazily)
         self._finditer_source: tuple | None = None
@@ -322,9 +325,8 @@ class DfaMatcher:
                 iters = max(iters, it)
                 converged &= conv
                 pos = (np.nonzero(mask)[0] if collect_positions else None)
-                acc = np.asarray(self.tables.accept)
                 if (self.include_final_match and len(stream)
-                        and acc[self._last_final]):
+                        and self._accept_eof[self._last_final]):
                     counts[i, self._last_final] += 1
                     if collect_positions:
                         pos = np.concatenate([pos, [len(stream)]])
@@ -423,9 +425,7 @@ class DfaMatcher:
                 # fallback over the WHOLE stream (partial totals discarded)
                 total += int(self.scan([stream]).counts.sum())
                 continue
-            if self.include_final_match and bool(
-                np.asarray(self.tables.accept)[cur]
-            ):
+            if self.include_final_match and bool(self._accept_eof[cur]):
                 stream_total += 1
             total += stream_total
         return total
@@ -543,6 +543,7 @@ class DfaMatcher:
             fwd = compile_pattern(pattern, max_states=max_states, anchored=True)
             self._anchored_np = (
                 np.ascontiguousarray(fwd.table), fwd.accept, fwd.dead,
+                fwd.eof_accept,
             )
             self._anchored_start = fwd.start
         if self._reverse_matcher is None or self._anchored_np is None:
@@ -563,11 +564,10 @@ class DfaMatcher:
         starts_mask = np.zeros(l, dtype=bool)
         pos = np.nonzero(rmask)[0]
         starts_mask[l - pos[pos > 0]] = True
-        acc = np.asarray(rm.tables.accept)
-        if acc[rm._last_final]:
+        if rm._accept_eof[rm._last_final]:
             starts_mask[0] = True
 
-        table, accept, dead = self._anchored_np
+        table, accept, dead, accept_eof = self._anchored_np
         spans: list[tuple[int, int]] = []
         p = 0
         starts = np.nonzero(starts_mask)[0]
@@ -580,12 +580,16 @@ class DfaMatcher:
             # anchored walk from s0: track last accepting position
             st = self._anchored_start
             last_end = s0 if accept[st] else -1
+            died = False
             for i in range(s0, l):
                 st = int(table[stream[i], st])
                 if st == dead:
+                    died = True
                     break
                 if accept[st]:
                     last_end = i + 1
+            if not died and accept_eof[st] and not accept[st]:
+                last_end = l  # end-anchored: match closes at EOF only
             if last_end >= 0:
                 spans.append((s0, last_end))
                 p = max(last_end, s0 + 1)  # empty match: advance one byte
@@ -602,8 +606,8 @@ class DfaMatcher:
         stream = _as_streams(data)[0]
         _, mask, _, _ = self._scan_stream(stream)
         ends = np.nonzero(mask)[0]
-        acc = np.asarray(self.tables.accept)
-        if self.include_final_match and len(stream) and acc[self._last_final]:
+        if (self.include_final_match and len(stream)
+                and self._accept_eof[self._last_final]):
             ends = np.concatenate([ends, [len(stream)]])
         return ends
 
@@ -616,6 +620,7 @@ class TokenizerMatcher(DfaMatcher):
         self.config = config
         self.tables = build_dfa_tables(tok.table, tok.accept)
         self._class_lut = np.asarray(self.tables.class_of)
+        self._accept_eof = np.asarray(self.tables.accept)
         self.start = tok.start
         self.dfa = None
         self._finditer_source = None

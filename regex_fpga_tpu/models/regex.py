@@ -10,8 +10,12 @@ Supported syntax (byte-oriented):
   \\xNN \\d \\D \\w \\W \\s \\S`` and escaped metachars, classes
   ``[a-z0-9]`` / negated ``[^...]`` (ranges, escapes), alternation ``|``,
   groups ``(...)`` (non-capturing ``(?:...)`` accepted), quantifiers
-  ``* + ? {m} {m,} {m,n}``, anchors are NOT supported (streams are
-  unanchored, like the reference rulesets — SURVEY.md SS2.3).
+  ``* + ? {m} {m,} {m,n}``, the ``(?i)`` case-insensitive flag (pattern
+  prefix; ASCII folding), and whole-pattern anchors: a leading ``^`` pins
+  the match to the start of the stream, a trailing ``$`` to its end (EOF
+  acceptance is carried in ``CompiledDfa.accept_eof``).  Anchors apply to
+  the ENTIRE pattern — ``ab|cd$`` is rejected as ambiguous (group it);
+  mid-pattern anchors are errors, never silently literal.
 
 The DFA is produced by subset construction with a configurable state-count
 guard (the shipped IDS rulesets exceed 300k states and must stay on the NFA
@@ -29,6 +33,8 @@ __all__ = [
     "RegexError",
     "DfaBlowupError",
     "parse",
+    "parse_pattern",
+    "ParsedPattern",
     "compile_nfa",
     "nfa_to_dfa",
     "minimize_dfa",
@@ -82,10 +88,25 @@ class Rep:
     hi: int | None  # None = unbounded
 
 
+def _casefold(chars: frozenset) -> frozenset:
+    """Close a byte set over ASCII case (the ``(?i)`` flag)."""
+    out = set(chars)
+    for c in chars:
+        if ord("a") <= c <= ord("z"):
+            out.add(c - 32)
+        elif ord("A") <= c <= ord("Z"):
+            out.add(c + 32)
+    return frozenset(out)
+
+
 class _Parser:
-    def __init__(self, pattern: bytes):
+    def __init__(self, pattern: bytes, fold: bool = False):
         self.p = pattern
         self.i = 0
+        self.fold = fold
+
+    def lit(self, chars: frozenset) -> Lit:
+        return Lit(_casefold(chars) if self.fold else chars)
 
     def error(self, msg: str) -> RegexError:
         return RegexError(f"{msg} at offset {self.i} in {self.p!r}")
@@ -179,11 +200,21 @@ class _Parser:
             return Lit(frozenset(_ALL - {ord("\n")}))
         if c == ord("\\"):
             self.eat()
-            return Lit(self.parse_escape())
+            return self.lit(self.parse_escape())
         if c in b"*+?":
             raise self.error("quantifier with nothing to repeat")
+        if c == ord("^"):
+            raise self.error(
+                "'^' anchor only supported at pattern start (escape as \\^ "
+                "for a literal caret)"
+            )
+        if c == ord("$"):
+            raise self.error(
+                "'$' anchor only supported at pattern end (escape as \\$ "
+                "for a literal dollar)"
+            )
         self.eat()
-        return Lit(frozenset({c}))
+        return self.lit(frozenset({c}))
 
     def parse_escape(self):
         if self.peek() is None:
@@ -258,16 +289,90 @@ class _Parser:
                 chars |= set(range(lo, hi + 1))
             else:
                 chars.add(lo)
-        return Lit(frozenset(_ALL - chars if negate else chars))
+        folded = _casefold(frozenset(chars)) if self.fold else frozenset(chars)
+        return Lit(frozenset(_ALL - folded) if negate else folded)
 
 
-def parse(pattern: str | bytes):
-    data = pattern.encode() if isinstance(pattern, str) else pattern
-    p = _Parser(data)
+@dataclasses.dataclass(frozen=True)
+class ParsedPattern:
+    node: object
+    start_anchored: bool
+    end_anchored: bool
+    ignore_case: bool
+
+
+def _has_toplevel_alt(data: bytes) -> bool:
+    """Unescaped ``|`` at group depth 0 outside a character class."""
+    depth, i, in_class = 0, 0, False
+    while i < len(data):
+        c = data[i]
+        if c == ord("\\"):
+            i += 2
+            continue
+        if in_class:
+            if c == ord("]"):
+                in_class = False
+        elif c == ord("["):
+            in_class = True
+        elif c == ord("("):
+            depth += 1
+        elif c == ord(")"):
+            depth -= 1
+        elif c == ord("|") and depth == 0:
+            return True
+        i += 1
+    return False
+
+
+def parse_pattern(pattern: str | bytes) -> ParsedPattern:
+    """Parse a pattern, extracting the ``(?i)`` flag and whole-pattern
+    anchors.  ``^``/``$`` elsewhere raise (they are never literals)."""
+    data = pattern.encode() if isinstance(pattern, str) else bytes(pattern)
+    fold = False
+    while data[:4] == b"(?i)":
+        fold = True
+        data = data[4:]
+    start_anchored = data[:1] == b"^"
+    if start_anchored:
+        data = data[1:]
+    # trailing unescaped '$': count preceding backslashes (even = anchor)
+    end_anchored = False
+    if data[-1:] == b"$":
+        nbs = 0
+        while nbs < len(data) - 1 and data[-2 - nbs] == ord("\\"):
+            nbs += 1
+        if nbs % 2 == 0:
+            end_anchored = True
+            data = data[:-1]
+    if (start_anchored or end_anchored) and _has_toplevel_alt(data):
+        raise RegexError(
+            "anchor with a top-level alternation is ambiguous (anchors "
+            "apply to the whole pattern) — group the alternation: "
+            "^(?:a|b)$"
+        )
+    p = _Parser(data, fold=fold)
     node = p.parse_alt()
     if p.i != len(data):
         raise p.error("unexpected )")
-    return node
+    return ParsedPattern(
+        node=node,
+        start_anchored=start_anchored,
+        end_anchored=end_anchored,
+        ignore_case=fold,
+    )
+
+
+def parse(pattern: str | bytes):
+    """Bare-AST parse (no anchors permitted) — the ruleset-export path:
+    the reference CSR format has no EOF concept (its engine scans forever,
+    ``Design/FPGA.v:717-743``), so anchored patterns cannot round-trip."""
+    pp = parse_pattern(pattern)
+    if pp.start_anchored or pp.end_anchored:
+        raise RegexError(
+            "anchors are not supported here (CSR rulesets have no "
+            "stream-end concept); use compile_pattern for anchored scans"
+        )
+    return pp.node
 
 
 # ---------------------------------------------------------------------------
@@ -357,13 +462,21 @@ class CompiledDfa:
     (absorbing, index ``dead``); ``accept`` marks accepting states."""
 
     table: np.ndarray   # (256, S) int32
-    accept: np.ndarray  # (S,) bool
+    accept: np.ndarray  # (S,) bool — accept at any stream position
     start: int
     dead: int
+    #: accept mask to apply to the FINAL state (end-of-stream).  ``None``
+    #: means same as ``accept``; end-anchored patterns (trailing ``$``) set
+    #: ``accept`` to all-False and carry the real mask here.
+    accept_eof: np.ndarray | None = None
 
     @property
     def num_states(self) -> int:
         return self.table.shape[1]
+
+    @property
+    def eof_accept(self) -> np.ndarray:
+        return self.accept if self.accept_eof is None else self.accept_eof
 
 
 def nfa_to_dfa(
@@ -437,8 +550,9 @@ def minimize_dfa(dfa: CompiledDfa) -> CompiledDfa:
     """Hopcroft minimization (partition refinement over the 256-byte alphabet)."""
     n = dfa.num_states
     table = dfa.table
-    # initial partition: accepting / non-accepting
-    part = dfa.accept.astype(np.int64).copy()
+    # initial partition: (accepting, accepting-at-eof) signature
+    part = dfa.accept.astype(np.int64) * 2 + dfa.eof_accept.astype(np.int64)
+    _, part = np.unique(part, return_inverse=True)
     nparts = len(np.unique(part))
     while True:
         # signature of each state: (own part, parts of successors on each byte)
@@ -460,6 +574,7 @@ def minimize_dfa(dfa: CompiledDfa) -> CompiledDfa:
         accept=new_accept,
         start=int(part[dfa.start]),
         dead=int(part[dfa.dead]),
+        accept_eof=None if dfa.accept_eof is None else dfa.accept_eof[reps],
     )
 
 
@@ -491,13 +606,29 @@ def compile_pattern(
     semantics).  ``anchored=False``: scanning DFA for ``.*pattern`` — accept
     at position i iff *some* match ends at i (the natural stream-scanning
     mode, matching the reference rulesets' unanchored hub structure).
+
+    Whole-pattern anchors override: a leading ``^`` suppresses the ``.*``
+    prefix even when ``anchored=False``; a trailing ``$`` moves the accept
+    mask to ``accept_eof`` so matches only count at end of stream.
+    ``reverse=True`` swaps the two anchors (a ``$`` becomes a start anchor
+    of the reversed language and vice versa).
     """
-    node = parse(pattern)
+    pp = parse_pattern(pattern)
+    node = pp.node
     if reverse:
         node = reverse_ast(node)
-    if not anchored:
+        start_anchored, end_anchored = pp.end_anchored, pp.start_anchored
+    else:
+        start_anchored, end_anchored = pp.start_anchored, pp.end_anchored
+    if not anchored and not start_anchored:
         node = Cat((Rep(Lit(frozenset(_ALL)), 0, None), node))
     nfa = EpsNfa()
     entry, exit_ = _build(nfa, node)
     dfa = nfa_to_dfa(nfa, entry, exit_, max_states=max_states)
+    if end_anchored:
+        dfa = dataclasses.replace(
+            dfa,
+            accept=np.zeros_like(dfa.accept),
+            accept_eof=dfa.accept,
+        )
     return minimize_dfa(dfa) if minimize else dfa
