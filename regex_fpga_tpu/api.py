@@ -48,6 +48,7 @@ __all__ = [
     "compile_ruleset",
     "compile_regex",
     "compile_regex_set",
+    "compile_l7",
     "compile_tokenizer",
     "RuleSetMatcher",
 ]
@@ -725,3 +726,23 @@ def compile_regex_set(patterns, config: EngineConfig = DEFAULT_CONFIG,
     """Compile a list of patterns into one multi-rule NFA ruleset with
     per-rule match counts (IDS-style)."""
     return RuleSetMatcher(patterns, config, strategy=strategy)
+
+
+def compile_l7(path: str, config: EngineConfig = DEFAULT_CONFIG,
+               strategy: str = "lazy") -> RuleSetMatcher:
+    """Compile l7-filter ``.pat`` protocol pattern file(s) — the upstream
+    source format of the reference's l-7_filter ruleset (models/l7.py) —
+    into one multi-rule matcher.  ``path`` is one ``.pat`` file or a
+    directory of them; rule names land in ``matcher.rule_names``."""
+    import os
+
+    from .models.l7 import load_l7_dir, load_l7_pattern
+
+    pats = (load_l7_dir(path) if os.path.isdir(path)
+            else [load_l7_pattern(path)])
+    if not pats:
+        raise ValueError(f"no .pat files under {path!r}")
+    m = RuleSetMatcher([p.compile_pattern for p in pats], config,
+                       strategy=strategy)
+    m.rule_names = [p.name for p in pats]
+    return m

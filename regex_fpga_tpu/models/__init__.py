@@ -1,4 +1,5 @@
 from .coe import read_coe, write_coe
+from .l7 import L7Pattern, load_l7_dir, load_l7_pattern, parse_l7_pattern
 from .csr import CsrAutomaton, byte_classes, from_words, load_coe, split_words
 from .oracle import dfa_scan_counts, dfa_step_table, nfa_scan, nfa_scan_trace
 from .regex import CompiledDfa, DfaBlowupError, RegexError, compile_pattern
@@ -11,6 +12,10 @@ from .tokenizer_dfa import (
 
 __all__ = [
     "CompiledDfa",
+    "L7Pattern",
+    "load_l7_dir",
+    "load_l7_pattern",
+    "parse_l7_pattern",
     "CsrAutomaton",
     "DfaBlowupError",
     "GPT2_PRESPLIT",

@@ -19,7 +19,7 @@ import numpy as np
 
 from .coe import write_coe
 from .csr import CsrAutomaton
-from .regex import compile_nfa
+from .regex import EpsNfa, _build, parse_pattern
 
 __all__ = ["regex_to_csr", "regexes_to_csr", "export_coe"]
 
@@ -35,8 +35,23 @@ def regex_to_csr(
     Epsilon edges are eliminated by closure; state 0 is the start state and
     a fresh out-degree-0 state is appended as the accept sink (reference
     accept convention).  ``unanchored`` adds start self-loops on every byte
-    (the shipped rulesets' hub structure, SURVEY.md SS2.3)."""
-    nfa, entry, exit_ = compile_nfa(pattern)
+    (the shipped rulesets' hub structure, SURVEY.md SS2.3).
+
+    A leading ``^`` anchor suppresses the hub self-loops (the CSR engine
+    activates state 0 exactly once at reset, ``Design/FPGA.v:146-147``, so
+    a hub-free start state IS start-anchoring).  A trailing ``$`` raises:
+    the reference format has no stream-end concept."""
+    pp = parse_pattern(pattern)
+    if pp.end_anchored:
+        raise ValueError(
+            "'$' is not representable in the reference CSR format (its "
+            "engine has no stream-end concept; matches fire as the stream "
+            "flows)"
+        )
+    if pp.start_anchored:
+        unanchored = False
+    nfa = EpsNfa()
+    entry, exit_ = _build(nfa, pp.node)
 
     # epsilon closure per state
     eps_adj: list[list[int]] = [[] for _ in range(nfa.n)]
@@ -156,8 +171,20 @@ def regexes_to_csr(
     Merging the per-pattern hubs into one state 0 is exact: every pattern
     automaton is unanchored, so state 0 self-loops on all bytes and stays
     active forever (the shipped rulesets' structure, SURVEY.md SS2.3) —
-    extra in-edges to the merged hub change nothing.
+    extra in-edges to the merged hub change nothing.  The same argument
+    holds when EVERY pattern is ``^``-anchored (no hub self-loops at all;
+    state 0 is active exactly once).  MIXING anchored and unanchored rules
+    in one ruleset is unsound (the unanchored rules keep the hub alive,
+    which would re-fire the anchored rules at every byte) and raises.
     """
+    anchored = [parse_pattern(p).start_anchored for p in patterns]
+    if any(anchored) and not all(anchored):
+        raise ValueError(
+            "cannot mix ^-anchored and unanchored rules in one CSR "
+            "ruleset: the shared always-active hub state would re-fire "
+            "anchored rules at every byte — compile them as separate "
+            "rulesets"
+        )
     auts = [
         regex_to_csr(p, unanchored=True, truncate_at_accept=truncate_at_accept)
         for p in patterns

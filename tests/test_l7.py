@@ -1,0 +1,76 @@
+"""l7-filter .pat interop + anchored CSR ruleset export."""
+
+import numpy as np
+import pytest
+
+from regex_fpga_tpu import api
+from regex_fpga_tpu.models import nfa_scan, parse_l7_pattern
+from regex_fpga_tpu.models.export_csr import regex_to_csr, regexes_to_csr
+
+HTTP_PAT = """\
+# HTTP - HyperText Transfer Protocol
+# Pattern attributes: great notsofast fast
+http
+http/(0\\.9|1\\.0|1\\.1) [1-5][0-9][0-9]
+userspace flags=REG_NOSUB REG_ICASE
+"""
+
+SSH_PAT = """\
+# SSH - Secure SHell
+ssh
+^ssh-[12]\\.[0-9]
+"""
+
+
+def test_parse_pat_with_flags():
+    p = parse_l7_pattern(HTTP_PAT)
+    assert p.name == "http"
+    assert p.ignore_case
+    assert p.compile_pattern.startswith("(?i)")
+
+
+def test_parse_pat_userspace_pattern_override():
+    text = "name\nkernelpat\nuserspace pattern=userpat\n"
+    p = parse_l7_pattern(text)
+    assert p.pattern == "userpat"
+    assert not p.ignore_case
+
+
+def test_parse_pat_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_l7_pattern("# only comments\n")
+
+
+def test_compile_l7_file_and_dir(tmp_path):
+    (tmp_path / "http.pat").write_text(HTTP_PAT)
+    m = api.compile_l7(str(tmp_path / "http.pat"))
+    assert m.rule_names == ["http"]
+    rep = m.scan(b"xx HTTP/1.1 200 OK yy http/1.0 404 zz")
+    assert rep.rule_counts[0, 0] == 2
+
+    (tmp_path / "ssh.pat").write_text(SSH_PAT)
+    # mixed anchored (ssh) + unanchored (http) rules cannot share a hub
+    with pytest.raises(ValueError):
+        api.compile_l7(str(tmp_path))
+
+
+def test_anchored_csr_export_semantics():
+    # ^-anchored pattern: hub-free state 0, matches only at stream start
+    aut = regex_to_csr(r"^ab")
+    c1 = nfa_scan(aut, np.frombuffer(b"abxab", dtype=np.uint8))
+    assert c1.sum() == 1
+    c2 = nfa_scan(aut, np.frombuffer(b"xabab", dtype=np.uint8))
+    assert c2.sum() == 0
+
+
+def test_all_anchored_ruleset_ok():
+    aut, owner = regexes_to_csr([r"^ab", r"^cd"])
+    counts = nfa_scan(aut, np.frombuffer(b"cdab", dtype=np.uint8))
+    # only rule 1 (^cd) fires, at the start
+    assert counts[owner == 0].sum() == 0
+    assert counts[owner == 1].sum() == 1
+
+
+def test_dollar_not_exportable():
+    with pytest.raises(ValueError):
+        regex_to_csr(r"ab$")

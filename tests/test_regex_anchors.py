@@ -125,11 +125,18 @@ def test_misplaced_anchor_raises(bad):
         compile_pattern(bad)
 
 
-def test_export_path_rejects_anchors():
+def test_export_path_handles_anchors():
+    # bare parse() has no anchor semantics to offer
     with pytest.raises(RegexError):
         parse(r"^abc")
-    with pytest.raises(RegexError):
+    # '$' has no CSR representation (no stream-end concept)
+    with pytest.raises(ValueError):
         api.compile_regex_set([r"abc$"])
+    # all-anchored rulesets are valid (hub-free start state); mixed are not
+    m = api.compile_regex_set([r"^ab", r"^a\d"])
+    assert m.scan(b"a7 ab").rule_counts.tolist() == [[0, 1]]
+    with pytest.raises(ValueError):
+        api.compile_regex_set([r"^ab", r"cd"])
 
 
 # -- compiler internals ------------------------------------------------------
