@@ -41,6 +41,7 @@ __all__ = [
     "chain_pass_finals",
     "chain_pass_full",
     "mm_dtype",
+    "mm_precision",
 ]
 
 
@@ -59,10 +60,26 @@ def mm_dtype(num_states: int):
 
     bf16 has a 7-bit mantissa: integers are exact only up to 256.  Larger
     state ids must ride in f32 (exact below 2^24) or they silently corrupt.
-    Off-TPU, bf16 dot may be unsupported entirely — use f32 there too."""
+    Off-TPU, bf16 dot may be unsupported entirely — use f32 there too.
+
+    CRITICAL companion rule: an f32 table must be paired with
+    ``mm_precision`` on the dot.  JAX's DEFAULT matmul precision on TPU
+    truncates f32 operands to ONE bf16 MXU pass, so "f32" alone is NOT
+    exact above 256 on the chip (measured: k-gram packed values in
+    257..360 lost their low bit — totals off by ~5%).  HIGHEST runs the
+    multi-pass decomposition, which is exact for integers below 2^24."""
     if num_states > 256 or jax.default_backend() != "tpu":
         return jnp.float32
     return jnp.bfloat16
+
+
+def mm_precision(dtype):
+    """Dot precision matching ``mm_dtype``'s exactness contract: f32
+    tables need HIGHEST on TPU (see mm_dtype docstring); bf16 tables are
+    exact at the fast default single-pass precision."""
+    if dtype == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
 
 
 _mm_dtype = mm_dtype  # internal alias
@@ -80,7 +97,11 @@ def _step_tables(tables: DfaTables):
 def _mm_step(t_mm, iota_c, iota_s, state, cls_t):
     """One byte for NB chains: state (NB,), cls_t (NB,) -> next state (NB,)."""
     oh_c = (cls_t[:, None] == iota_c).astype(t_mm.dtype)
-    rows = jnp.dot(oh_c, t_mm, preferred_element_type=jnp.float32)
+    rows = jnp.dot(
+        oh_c, t_mm,
+        preferred_element_type=jnp.float32,
+        precision=mm_precision(t_mm.dtype),
+    )
     oh_x = (state[:, None] == iota_s).astype(jnp.float32)
     return jnp.sum(rows * oh_x, axis=-1).astype(jnp.int32)
 

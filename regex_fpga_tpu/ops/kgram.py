@@ -200,7 +200,7 @@ def dfa_scan_kgram(
     remain exact whenever ``converged`` is True.  The reference engine has
     no analogue — its chain is serial per char (``Design/FPGA.v:733-737``).
     """
-    from .dfa_fast import mm_dtype
+    from .dfa_fast import mm_dtype, mm_precision
 
     l = classes_k.shape[0]
     assert l % num_blocks == 0
@@ -215,14 +215,21 @@ def dfa_scan_kgram(
     # When the caller promises acc values <= acc_bound (k, known statically),
     # transition and accept pack into ONE value T*mult + A — one select
     # instead of two (measured ~5% faster).  Exactness: packed values must
-    # stay exactly representable (mm_dtype: bf16 <= 256, f32 < 2^24).
+    # stay bf16-exact (<= 256).  Packing into "f32" is NOT safe on TPU —
+    # the default matmul precision truncates f32 operands to one bf16 MXU
+    # pass, corrupting the low bit of values above 256 (measured 5% count
+    # loss at levels=3; dfa_fast.mm_dtype docstring).  Above 256 the split
+    # tables are used instead: their entries (state ids and per-step accept
+    # counts) stay individually small, or ride f32 with HIGHEST precision.
     mult = 0
     if acc_bound is not None:
         mult = 1
         while mult <= acc_bound:
             mult *= 2
-        if (s - 1) * mult + acc_bound >= (1 << 24):
-            mult = 0  # out of exact f32 range: use the split tables
+        # TPU: bf16-exact only; CPU/GPU f32 dots are true f32 (exact < 2^24)
+        limit = 256 if jax.default_backend() == "tpu" else (1 << 24) - 1
+        if (s - 1) * mult + acc_bound > limit:
+            mult = 0  # beyond the exact range: use the split tables
     if mult:
         packed_max = (s - 1) * mult + acc_bound
         mmdt = mm_dtype(packed_max)
@@ -230,7 +237,8 @@ def dfa_scan_kgram(
 
         def step(state, cls_t):
             oh_c = (cls_t[:, None] == iota_c).astype(mmdt)
-            rows = jnp.dot(oh_c, pk, preferred_element_type=jnp.float32)
+            rows = jnp.dot(oh_c, pk, preferred_element_type=jnp.float32,
+                           precision=mm_precision(mmdt))
             oh_x = (state[:, None] == iota_s).astype(jnp.float32)
             v = jnp.sum(rows * oh_x, axis=-1).astype(jnp.int32)
             return v // mult, v % mult
@@ -242,7 +250,8 @@ def dfa_scan_kgram(
 
         def step(state, cls_t):
             oh_c = (cls_t[:, None] == iota_c).astype(mmdt)
-            rows = jnp.dot(oh_c, ta, preferred_element_type=jnp.float32)
+            rows = jnp.dot(oh_c, ta, preferred_element_type=jnp.float32,
+                           precision=mm_precision(mmdt))
             oh_x = (state[:, None] == iota_s).astype(jnp.float32)
             nxt = jnp.sum(rows[:, :s] * oh_x, axis=-1).astype(jnp.int32)
             acc = jnp.sum(rows[:, s:] * oh_x, axis=-1).astype(jnp.int32)
