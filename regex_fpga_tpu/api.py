@@ -70,6 +70,41 @@ class ScanReport:
         return {int(i): int(c) for i, c in enumerate(row) if c}
 
 
+class Match:
+    """Minimal ``re.Match``-style result: byte-offset span + matched bytes.
+
+    Group support is limited to group 0 — the engines are DFAs and do not
+    track capture-group sub-spans (tagged-DFA captures are future work)."""
+
+    __slots__ = ("string", "_start", "_end")
+
+    def __init__(self, string: bytes, start: int, end: int):
+        self.string = string
+        self._start = start
+        self._end = end
+
+    def span(self) -> tuple[int, int]:
+        return (self._start, self._end)
+
+    def start(self) -> int:
+        return self._start
+
+    def end(self) -> int:
+        return self._end
+
+    def group(self, idx: int = 0) -> bytes:
+        if idx != 0:
+            raise IndexError("DFA engines support group 0 only")
+        return self.string[self._start:self._end]
+
+    def __getitem__(self, idx: int) -> bytes:
+        return self.group(idx)
+
+    def __repr__(self) -> str:
+        return (f"<regex_fpga_tpu.Match span=({self._start}, {self._end}) "
+                f"match={self.group()!r}>")
+
+
 def _as_streams(data) -> list[np.ndarray]:
     if isinstance(data, (bytes, bytearray, memoryview)):
         return [np.frombuffer(data, dtype=np.uint8)]
@@ -523,19 +558,11 @@ class DfaMatcher:
         r.converged = True
         return r
 
-    def finditer(self, data) -> list[tuple[int, int]]:
-        """Non-overlapping (start, end) spans, POSIX leftmost-longest.
-
-        Two-pass design: a backward scan with the reversed-pattern DFA marks
-        every position where some match STARTS (TPU-parallel, same engines);
-        then short anchored forward walks (host-side, bounded by match
-        length) pick the longest match at each leftmost start.  Differs from
-        Python re for patterns like ``ab|abc`` where backtracking picks the
-        first alternative, not the longest.
-        """
+    def _ensure_anchored(self) -> None:
+        """Lazily build the reversed-pattern and anchored automata used by
+        span extraction (finditer/search/match) — scan-only users never pay
+        for them."""
         if self._finditer_source is not None and self._reverse_matcher is None:
-            # built lazily: scan-only users never pay for the reversed and
-            # anchored automata
             pattern, max_states, config = self._finditer_source
             rev = compile_pattern(
                 pattern, max_states=max_states, anchored=False, reverse=True
@@ -549,11 +576,44 @@ class DfaMatcher:
             self._anchored_start = fwd.start
         if self._reverse_matcher is None or self._anchored_np is None:
             raise NotImplementedError(
-                "finditer requires a pattern-compiled matcher (compile_regex)"
+                "span extraction requires a pattern-compiled matcher "
+                "(compile_regex)"
             )
+
+    def _anchored_longest_end(self, stream: np.ndarray, s0: int) -> int:
+        """Longest match end for a match anchored at byte offset ``s0``
+        (host walk with the anchored DFA), or -1 if no match starts there."""
+        table, accept, dead, accept_eof = self._anchored_np
+        st = self._anchored_start
+        last_end = s0 if accept[st] else -1
+        l = len(stream)
+        for i in range(s0, l):
+            st = int(table[stream[i], st])
+            if st == dead:
+                return last_end
+            if accept[st]:
+                last_end = i + 1
+        if accept_eof[st] and not accept[st]:
+            last_end = l  # end-anchored: match closes at EOF only
+        return last_end
+
+    def finditer(self, data, limit: int | None = None) -> list[tuple[int, int]]:
+        """Non-overlapping (start, end) spans, POSIX leftmost-longest.
+
+        Two-pass design: a backward scan with the reversed-pattern DFA marks
+        every position where some match STARTS (TPU-parallel, same engines);
+        then short anchored forward walks (host-side, bounded by match
+        length) pick the longest match at each leftmost start.  Differs from
+        Python re for patterns like ``ab|abc`` where backtracking picks the
+        first alternative, not the longest.  ``limit`` stops after that many
+        spans (used by ``search``).
+        """
+        self._ensure_anchored()
         stream = _as_streams(data)[0]
         if len(stream) == 0:
-            return []
+            # a nullable pattern matches the empty string once
+            end = self._anchored_longest_end(stream, 0)
+            return [(0, 0)] if end == 0 else []
         # backward pass: ends of reverse matches in the reversed stream are
         # starts of forward matches: reversed index i -> start L-1-i... the
         # reverse engine reports accept at position p = state BEFORE byte p
@@ -568,7 +628,6 @@ class DfaMatcher:
         if rm._accept_eof[rm._last_final]:
             starts_mask[0] = True
 
-        table, accept, dead, accept_eof = self._anchored_np
         spans: list[tuple[int, int]] = []
         p = 0
         starts = np.nonzero(starts_mask)[0]
@@ -578,24 +637,84 @@ class DfaMatcher:
             if s0 < p:
                 si += 1
                 continue
-            # anchored walk from s0: track last accepting position
-            st = self._anchored_start
-            last_end = s0 if accept[st] else -1
-            died = False
-            for i in range(s0, l):
-                st = int(table[stream[i], st])
-                if st == dead:
-                    died = True
-                    break
-                if accept[st]:
-                    last_end = i + 1
-            if not died and accept_eof[st] and not accept[st]:
-                last_end = l  # end-anchored: match closes at EOF only
+            last_end = self._anchored_longest_end(stream, s0)
             if last_end >= 0:
                 spans.append((s0, last_end))
+                if limit is not None and len(spans) >= limit:
+                    return spans
                 p = max(last_end, s0 + 1)  # empty match: advance one byte
             si += 1
         return spans
+
+    # -- re-module-style conveniences (span semantics: leftmost-longest) ----
+
+    def search(self, data) -> "Match | None":
+        """First (leftmost-longest) match in the stream, or None."""
+        raw = bytes(_as_streams(data)[0])
+        spans = self.finditer(raw, limit=1)
+        if not spans:
+            return None
+        a, b = spans[0]
+        return Match(raw, a, b)
+
+    def match(self, data) -> "Match | None":
+        """Longest match anchored at offset 0, or None (like ``re.match``)."""
+        self._ensure_anchored()
+        stream = _as_streams(data)[0]
+        end = self._anchored_longest_end(stream, 0)
+        if end < 0:
+            return None
+        return Match(bytes(stream), 0, end)
+
+    def fullmatch(self, data) -> "Match | None":
+        """Match spanning the whole stream, or None (like ``re.fullmatch``)."""
+        self._ensure_anchored()
+        stream = _as_streams(data)[0]
+        l = len(stream)
+        table, accept, dead, accept_eof = self._anchored_np
+        st = self._anchored_start
+        for b in stream.tolist():
+            st = int(table[b, st])
+            if st == dead:
+                return None
+        if accept[st] or accept_eof[st]:
+            return Match(bytes(stream), 0, l)
+        return None
+
+    def split(self, data, maxsplit: int = 0) -> list[bytes]:
+        """Split the stream on matches (like ``re.split`` without groups).
+        Empty matches split like Python 3.7+ ``re`` (between characters)."""
+        raw = bytes(_as_streams(data)[0])
+        out: list[bytes] = []
+        p = 0
+        n = 0
+        for a, b in self.finditer(raw):
+            if maxsplit and n >= maxsplit:
+                break
+            out.append(raw[p:a])
+            p = b
+            n += 1
+        out.append(raw[p:])
+        return out
+
+    def sub(self, repl, data, count: int = 0) -> bytes:
+        """Replace matches with ``repl`` (bytes or callable(Match) -> bytes)."""
+        return self.subn(repl, data, count)[0]
+
+    def subn(self, repl, data, count: int = 0) -> tuple[bytes, int]:
+        raw = bytes(_as_streams(data)[0])
+        pieces: list[bytes] = []
+        p = 0
+        n = 0
+        for a, b in self.finditer(raw):
+            if count and n >= count:
+                break
+            pieces.append(raw[p:a])
+            pieces.append(repl(Match(raw, a, b)) if callable(repl) else repl)
+            p = b
+            n += 1
+        pieces.append(raw[p:])
+        return b"".join(pieces), n
 
     def findall(self, data) -> list[bytes]:
         raw = bytes(_as_streams(data)[0])

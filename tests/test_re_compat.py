@@ -1,0 +1,160 @@
+"""re-module-compatible API layer (api.Match + re_compat) vs Python's re.
+
+Comparisons use patterns where POSIX leftmost-longest and Python's
+backtracking leftmost-first agree (greedy quantifiers, no prefix-ordered
+alternations), so both engines must return identical spans.
+"""
+
+import re as pyre
+
+import numpy as np
+import pytest
+
+from regex_fpga_tpu import re_compat as tre
+from regex_fpga_tpu.api import compile_regex
+
+TEXT = (
+    b"The year 1984 was followed by 1985, then 2001: a space odyssey.  "
+    b"IPv4 10.0.42.255 and 192.168.1.1 appear; emails a@b.co x_1@y.org.  "
+    b"   whitespace   runs\t\tand\nnewlines \xff\x00 binary too. 7 42 999"
+)
+
+AGREEING = [
+    (rb"\d+", None),
+    (rb"[a-z]+", None),
+    (rb"\s+", None),
+    (rb"\d+\.\d+\.\d+\.\d+", None),
+    (rb"[A-Za-z_][A-Za-z0-9_]*@[a-z]+\.[a-z]+", None),
+    (rb"19[0-9]{2}", None),
+]
+
+
+@pytest.mark.parametrize("pat,_", AGREEING)
+def test_finditer_spans_match_re(pat, _):
+    m = compile_regex(pat)
+    got = m.finditer(TEXT)
+    want = [mm.span() for mm in pyre.finditer(pat, TEXT)]
+    assert got == want
+
+
+@pytest.mark.parametrize("pat,_", AGREEING)
+def test_search_match_fullmatch(pat, _):
+    m = compile_regex(pat)
+    ps = pyre.search(pat, TEXT)
+    gs = m.search(TEXT)
+    assert (gs is None) == (ps is None)
+    if ps:
+        assert gs.span() == ps.span()
+        assert gs.group() == ps.group(0)
+    pm = pyre.match(pat, TEXT)
+    gm = m.match(TEXT)
+    assert (gm is None) == (pm is None)
+    if pm:
+        assert gm.span() == pm.span()
+    pf = pyre.fullmatch(pat, TEXT)
+    gf = m.fullmatch(TEXT)
+    assert (gf is None) == (pf is None)
+
+
+def test_match_is_longest_at_zero():
+    m = compile_regex(rb"a+")
+    mm = m.match(b"aaab")
+    assert mm.span() == (0, 3)
+    assert m.match(b"baaa") is None
+
+
+def test_fullmatch_exact():
+    m = compile_regex(rb"[0-9]+")
+    assert m.fullmatch(b"12345").span() == (0, 5)
+    assert m.fullmatch(b"123a5") is None
+    assert m.fullmatch(b"") is None
+    assert compile_regex(rb"a*").fullmatch(b"").span() == (0, 0)
+
+
+def test_split_sub_subn_vs_re():
+    for pat, data in [
+        (rb"\s+", b"split  on   runs\tof whitespace"),
+        (rb",", b"a,b,,c,"),
+        (rb"\d+", b"a1b22c333d"),
+    ]:
+        m = compile_regex(pat)
+        assert m.split(data) == pyre.split(pat, data)
+        assert m.split(data, maxsplit=2) == pyre.split(pat, data, maxsplit=2)
+        assert m.sub(b"<>", data) == pyre.sub(pat, b"<>", data)
+        assert m.subn(b"<>", data, 1) == pyre.subn(pat, b"<>", data, 1)
+
+
+def test_sub_callable():
+    m = compile_regex(rb"\d+")
+    out = m.sub(lambda mo: b"[" + mo.group() + b"]", b"a1b22c")
+    assert out == b"a[1]b[22]c"
+
+
+def test_match_object_protocol():
+    mo = compile_regex(rb"\d+").search(b"ab123cd")
+    assert (mo.start(), mo.end()) == (2, 5)
+    assert mo.span() == (2, 5)
+    assert mo.group() == mo.group(0) == mo[0] == b"123"
+    with pytest.raises(IndexError):
+        mo.group(1)
+    assert "123" in repr(mo)
+
+
+def test_empty_stream_nullable():
+    assert compile_regex(rb"a*").finditer(b"") == [(0, 0)]
+    assert compile_regex(rb"a+").finditer(b"") == []
+
+
+# ---------------------------------------------------------------------------
+# re_compat module surface
+# ---------------------------------------------------------------------------
+
+
+def test_module_level_functions():
+    assert tre.findall(rb"\d+", b"a1b22") == [b"1", b"22"]
+    assert tre.search(rb"\d+", b"a1b22").group() == b"1"
+    assert tre.match(rb"[a-z]+", b"abc1").span() == (0, 3)
+    assert tre.fullmatch(rb"[a-z0-9]+", b"abc1") is not None
+    assert tre.split(rb",", b"a,b") == [b"a", b"b"]
+    assert tre.sub(rb"\d", b"#", b"a1b2") == b"a#b#"
+    assert tre.subn(rb"\d", b"#", b"a1b2") == (b"a#b#", 2)
+    assert tre.count(rb"\d", b"a1b2c3") == 3
+
+
+def test_str_mode_utf8():
+    assert tre.findall(r"[0-9]+", "année 2026!") == ["2026"]
+    assert tre.sub(r"\s+", " ", "a  b\tc") == "a b c"
+    got = tre.split(r",", "α,β")
+    assert got == ["α", "β"]
+
+
+def test_ignorecase_flag():
+    assert tre.findall(rb"abc", b"ABC abc AbC", flags=tre.IGNORECASE) == [
+        b"ABC", b"abc", b"AbC"
+    ]
+    assert tre.findall(rb"abc", b"ABC abc AbC") == [b"abc"]
+
+
+def test_compile_cache_and_purge():
+    p1 = tre.compile(rb"\d+")
+    assert tre.compile(rb"\d+") is p1
+    tre.purge()
+    assert tre.compile(rb"\d+") is not p1
+
+
+def test_unsupported_flags_raise():
+    with pytest.raises(ValueError):
+        tre.compile(rb"a", flags=8)  # re.MULTILINE
+
+
+def test_error_is_regexerror():
+    with pytest.raises(tre.error):
+        tre.compile(rb"a{2,1}")
+
+
+def test_pattern_engine_extras():
+    p = tre.compile(rb"ab")
+    n = p.count(b"zabzzabab")
+    assert n == 3
+    rep = p.scan(np.frombuffer(b"zabzab", dtype=np.uint8))
+    assert rep.total == 2
