@@ -93,6 +93,48 @@ def cmd_compile_rules(args) -> int:
     return 0
 
 
+def cmd_acgrep(args) -> int:
+    """Multi-literal search (Aho–Corasick on the fast DFA engines)."""
+    from . import api
+
+    pats = [p.encode("latin1") for p in args.patterns]
+    if args.patterns_file:
+        for line in open(args.patterns_file, "rb").read().splitlines():
+            if line and not line.startswith(b"#"):
+                pats.append(line)
+    m = api.compile_literals(pats)
+    status = 1
+    for path in args.files:
+        data = np.fromfile(path, dtype=np.uint8)
+        rep = m.scan_patterns([data])
+        row = rep.pattern_counts[0]
+        if row.sum():
+            status = 0
+        for pid, c in enumerate(row.tolist()):
+            if c:
+                print(f"{path}:{pats[pid].decode('latin1')}:{c}")
+    return status
+
+
+def cmd_snort(args) -> int:
+    """Scan files against a Snort .rules file (AC prefilter + verify)."""
+    from . import api
+
+    m = api.compile_snort(args.rules)
+    print(f"# {m.num_rules} rules loaded", file=sys.stderr)
+    any_alert = False
+    for path in args.files:
+        data = np.fromfile(path, dtype=np.uint8)
+        rep = m.scan([data])
+        for a in rep.alerts[0]:
+            any_alert = True
+            sid = a.sid if a.sid is not None else "-"
+            tag = "" if a.pcre_checked else (
+                " [content-only]" if m.rules[a.rule_index].pcre else "")
+            print(f"{path}: sid={sid} {a.msg}{tag}")
+    return 0 if any_alert else 1
+
+
 def cmd_presplit(args) -> int:
     from . import api
 
@@ -160,6 +202,23 @@ def main(argv=None) -> int:
     s.add_argument("-o", "--output", required=True)
     s.add_argument("--scan", help="optionally scan a file and report per-rule counts")
     s.set_defaults(fn=cmd_compile_rules)
+
+    s = sub.add_parser(
+        "acgrep", help="multi-literal search (Aho-Corasick, fast DFA engines)"
+    )
+    s.add_argument("-f", "--patterns-file",
+                   help="file with one literal per line (# comments)")
+    s.add_argument("-e", dest="patterns", action="append", default=[],
+                   metavar="LITERAL", help="literal pattern (repeatable)")
+    s.add_argument("files", nargs="+")
+    s.set_defaults(fn=cmd_acgrep)
+
+    s = sub.add_parser(
+        "snort", help="scan files against a Snort .rules file"
+    )
+    s.add_argument("rules")
+    s.add_argument("files", nargs="+")
+    s.set_defaults(fn=cmd_snort)
 
     s = sub.add_parser("presplit", help="tokenizer pre-split a file")
     s.add_argument("file")

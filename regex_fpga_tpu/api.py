@@ -42,13 +42,21 @@ from .utils.metrics import RunMetrics, Timer
 
 __all__ = [
     "ScanReport",
+    "Match",
     "NfaMatcher",
     "DfaMatcher",
     "TokenizerMatcher",
+    "LiteralSetMatcher",
+    "LiteralReport",
     "compile_ruleset",
     "compile_regex",
     "compile_regex_set",
     "compile_l7",
+    "compile_literals",
+    "compile_snort",
+    "SnortMatcher",
+    "SnortReport",
+    "SnortAlert",
     "compile_tokenizer",
     "RuleSetMatcher",
 ]
@@ -790,6 +798,98 @@ def compile_regex(pattern: str | bytes, anchored: bool = False,
     return m
 
 
+@dataclasses.dataclass
+class LiteralReport:
+    """Per-pattern occurrence counts (streams x patterns) + the per-state
+    report underneath."""
+
+    pattern_counts: np.ndarray  # (num_streams, num_patterns) int64
+    report: ScanReport
+
+    def histogram(self, stream: int = 0) -> dict[int, int]:
+        row = self.pattern_counts[stream]
+        return {int(i): int(c) for i, c in enumerate(row) if c}
+
+
+class LiteralSetMatcher(DfaMatcher):
+    """Multi-literal (Aho–Corasick) matcher on the fast DFA engines.
+
+    Reports EVERY occurrence of every literal (overlapping and nested —
+    Snort content-match semantics), unlike the regex path's non-overlapping
+    leftmost-longest spans.  ``scan``/``count`` (inherited) count match-
+    ENDING positions; ``scan_patterns`` folds them into exact per-pattern
+    totals via the automaton's output-set membership matrix."""
+
+    def __init__(self, ac, config: EngineConfig = DEFAULT_CONFIG):
+        super().__init__(ac.dfa, config)
+        self.ac = ac
+
+    @property
+    def num_patterns(self) -> int:
+        return len(self.ac.patterns)
+
+    def scan_patterns(self, data) -> LiteralReport:
+        rep = self.scan(data)
+        per = rep.counts @ self.ac.member.astype(np.int64)
+        return LiteralReport(pattern_counts=per, report=rep)
+
+    def finditer(self, data, limit: int | None = None):
+        """All (start, end, pattern_id) occurrences, sorted by end then id
+        (overlapping included)."""
+        stream = _as_streams(data)[0]
+        if len(stream) == 0:
+            return []
+        states, mask, _, _ = self._scan_stream(stream)
+        l = len(stream)
+        ends = np.nonzero(mask)[0].tolist()  # state-before-byte-e accepts
+        if self._accept_eof[self._last_final]:
+            ends.append(l)
+        spans: list[tuple[int, int, int]] = []
+        outputs = self.ac.outputs
+        for e in ends:
+            st = int(states[e]) if e < l else self._last_final
+            for pid in outputs[st]:
+                spans.append((e - len(self.ac.patterns[pid]), e, pid))
+                if limit is not None and len(spans) >= limit:
+                    return spans
+        return spans
+
+    def findall(self, data) -> list[bytes]:
+        raw = bytes(_as_streams(data)[0])
+        return [raw[a:b] for a, b, _ in self.finditer(raw)]
+
+    def search(self, data) -> "Match | None":
+        """Earliest-ending occurrence of any literal, or None."""
+        raw = bytes(_as_streams(data)[0])
+        hits = self.finditer(raw, limit=1)
+        if not hits:
+            return None
+        a, b, _ = hits[0]
+        return Match(raw, a, b)
+
+    def match(self, data) -> "Match | None":
+        """Longest literal that is a prefix of the stream, or None."""
+        raw = bytes(_as_streams(data)[0])
+        best = -1
+        for p in self.ac.patterns:
+            if len(p) > best and raw.startswith(p):
+                best = len(p)
+        return Match(raw, 0, best) if best >= 0 else None
+
+    def fullmatch(self, data) -> "Match | None":
+        raw = bytes(_as_streams(data)[0])
+        return Match(raw, 0, len(raw)) if raw in self.ac.patterns else None
+
+
+def compile_literals(patterns, config: EngineConfig = DEFAULT_CONFIG
+                     ) -> LiteralSetMatcher:
+    """Compile a set of literal byte strings (Aho–Corasick) into one dense
+    DFA on the fast MXU engines, with per-pattern occurrence counts."""
+    from .models.literals import build_aho_corasick
+
+    return LiteralSetMatcher(build_aho_corasick(patterns), config)
+
+
 def compile_tokenizer(pattern: str = GPT2_PRESPLIT,
                       config: EngineConfig = DEFAULT_CONFIG) -> TokenizerMatcher:
     return TokenizerMatcher(build_tokenizer_dfa(pattern), config)
@@ -845,6 +945,173 @@ def compile_regex_set(patterns, config: EngineConfig = DEFAULT_CONFIG,
     """Compile a list of patterns into one multi-rule NFA ruleset with
     per-rule match counts (IDS-style)."""
     return RuleSetMatcher(patterns, config, strategy=strategy)
+
+
+@dataclasses.dataclass
+class SnortAlert:
+    rule_index: int
+    sid: int | None
+    msg: str
+    pcre_checked: bool  # False = content-verified only (pcre outside subset)
+
+
+@dataclasses.dataclass
+class SnortReport:
+    """Per-stream alert lists + the device-side prefilter counts."""
+
+    alerts: list  # per stream: list[SnortAlert]
+    prefilter_candidates: list  # per stream: list[int] rule indices
+    content_report: "LiteralReport | None"
+
+    def sids(self, stream: int = 0) -> list[int]:
+        return [a.sid for a in self.alerts[stream] if a.sid is not None]
+
+
+class SnortMatcher:
+    """Snort-rules scanner: device AC prefilter + host per-rule verify.
+
+    Stage 1 runs every rule's content literals through the fast MXU literal
+    engines (one automaton for case-sensitive contents, one over the
+    case-folded stream for ``nocase`` ones); only rules whose non-negated
+    contents ALL occur — the same multi-pattern prefilter architecture
+    Snort uses — reach stage 2, which checks ordered occurrence, negated-
+    content absence, and the rule's ``pcre`` via the framework's own DFA
+    compiler (``models/snort.py`` documents the supported subset)."""
+
+    def __init__(self, rules, config: EngineConfig = DEFAULT_CONFIG):
+        from .models.snort import SnortRule  # noqa: F401 (typing only)
+
+        self.rules = list(rules)
+        self.config = config
+        # dedupe content literals across rules, split by case sensitivity
+        exact: dict[bytes, int] = {}
+        fold: dict[bytes, int] = {}
+        self._rule_contents: list[list[tuple[str, int, bool]]] = []
+        for r in self.rules:
+            entries = []
+            for c in r.contents:
+                if c.nocase:
+                    key = c.pattern.lower()
+                    pid = fold.setdefault(key, len(fold))
+                    entries.append(("fold", pid, c.negated))
+                else:
+                    pid = exact.setdefault(c.pattern, len(exact))
+                    entries.append(("exact", pid, c.negated))
+            self._rule_contents.append(entries)
+        self._exact = (compile_literals(list(exact), config)
+                       if exact else None)
+        self._fold = (compile_literals(list(fold), config)
+                      if fold else None)
+        self._lower_lut = np.arange(256, dtype=np.uint8)
+        self._lower_lut[ord("A"):ord("Z") + 1] += 32
+        self._pcre_cache: dict[int, tuple | None] = {}
+
+    @property
+    def num_rules(self) -> int:
+        return len(self.rules)
+
+    def _pcre_tables(self, idx: int):
+        """(table, accept, eof) for rule idx's pcre in scanning mode, or
+        None when absent/outside the subset."""
+        if idx not in self._pcre_cache:
+            from .models.snort import pcre_to_pattern
+
+            r = self.rules[idx]
+            out = None
+            if r.pcre is not None:
+                pat = pcre_to_pattern(r.pcre)
+                if pat is not None:
+                    try:
+                        d = compile_pattern(pat.encode(), anchored=False)
+                        out = (np.ascontiguousarray(d.table), d.accept,
+                               d.eof_accept, d.start)
+                    except Exception:
+                        out = None
+            self._pcre_cache[idx] = out
+        return self._pcre_cache[idx]
+
+    def _pcre_hit(self, idx: int, raw: bytes) -> bool | None:
+        """True/False = verified; None = pcre absent or outside subset."""
+        r = self.rules[idx]
+        if r.pcre is None:
+            return None
+        t = self._pcre_tables(idx)
+        if t is None:
+            return None
+        table, accept, eof, start = t
+        s = start
+        for b in raw:
+            if accept[s]:
+                return True
+            s = int(table[b, s])
+        return bool(accept[s] or eof[s])
+
+    def _verify(self, idx: int, raw: bytes, low: bytes) -> bool:
+        """Ordered-occurrence + negation check for one candidate rule."""
+        pos = 0
+        for c in self.rules[idx].contents:
+            hay = low if c.nocase else raw
+            needle = c.pattern.lower() if c.nocase else c.pattern
+            if c.negated:
+                if hay.find(needle) != -1:  # absence, stream-wide
+                    return False
+            else:
+                at = hay.find(needle, pos)
+                if at == -1:
+                    return False
+                pos = at + len(needle)
+        return True
+
+    def scan(self, data) -> SnortReport:
+        streams = _as_streams(data)
+        alerts, cands = [], []
+        content_report = None
+        for stream in streams:
+            raw = bytes(stream)
+            low = bytes(self._lower_lut[stream])
+            ec = (self._exact.scan_patterns(raw).pattern_counts[0]
+                  if self._exact else None)
+            fc = (self._fold.scan_patterns(low).pattern_counts[0]
+                  if self._fold else None)
+            hits: list[int] = []
+            out: list[SnortAlert] = []
+            for i, entries in enumerate(self._rule_contents):
+                ok = True
+                for kind, pid, negated in entries:
+                    n = int((ec if kind == "exact" else fc)[pid])
+                    if (n == 0) != negated:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                hits.append(i)
+                if not self._verify(i, raw, low):
+                    continue
+                ph = self._pcre_hit(i, raw)
+                if ph is False:
+                    continue
+                r = self.rules[i]
+                out.append(SnortAlert(rule_index=i, sid=r.sid, msg=r.msg,
+                                      pcre_checked=ph is True))
+            alerts.append(out)
+            cands.append(hits)
+        return SnortReport(alerts=alerts, prefilter_candidates=cands,
+                           content_report=content_report)
+
+
+def compile_snort(source: str, config: EngineConfig = DEFAULT_CONFIG
+                  ) -> SnortMatcher:
+    """Load a Snort ``.rules`` file (path) or rules text into the
+    prefilter+verify pipeline."""
+    import os
+
+    from .models.snort import load_snort_rules, parse_snort_rules
+
+    rules = (load_snort_rules(source) if os.path.exists(source)
+             else parse_snort_rules(source))
+    if not rules:
+        raise ValueError("no rules parsed")
+    return SnortMatcher(rules, config)
 
 
 def compile_l7(path: str, config: EngineConfig = DEFAULT_CONFIG,

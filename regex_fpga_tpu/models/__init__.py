@@ -1,6 +1,13 @@
 from .coe import read_coe, write_coe
 from .l7 import L7Pattern, load_l7_dir, load_l7_pattern, parse_l7_pattern
 from .csr import CsrAutomaton, byte_classes, from_words, load_coe, split_words
+from .literals import AhoCorasick, build_aho_corasick
+from .snort import (
+    SnortContent,
+    SnortRule,
+    load_snort_rules,
+    parse_snort_rules,
+)
 from .oracle import dfa_scan_counts, dfa_step_table, nfa_scan, nfa_scan_trace
 from .regex import CompiledDfa, DfaBlowupError, RegexError, compile_pattern
 from .tokenizer_dfa import (
@@ -11,6 +18,12 @@ from .tokenizer_dfa import (
 )
 
 __all__ = [
+    "AhoCorasick",
+    "build_aho_corasick",
+    "SnortContent",
+    "SnortRule",
+    "load_snort_rules",
+    "parse_snort_rules",
     "CompiledDfa",
     "L7Pattern",
     "load_l7_dir",

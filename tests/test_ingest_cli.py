@@ -108,3 +108,36 @@ def test_cli_compile_rules(tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     assert out.exists()
     assert "rule 0" in r.stdout and "rule 1" in r.stdout
+
+
+def test_cli_acgrep(tmp_path, capsys):
+    from regex_fpga_tpu.__main__ import main
+
+    f = tmp_path / "input.bin"
+    f.write_bytes(b"GET /scripts/CMD.EXE?/c dir HTTP/1.0 admin")
+    pf = tmp_path / "pats.txt"
+    pf.write_bytes(b"# pats\nadmin\nHTTP\n")
+    assert main(["acgrep", "-e", "GET ", "-f", str(pf), str(f)]) == 0
+    out = capsys.readouterr().out
+    assert f"{f}:GET :1" in out and f"{f}:admin:1" in out
+    assert main(["acgrep", "-e", "zzz", str(f)]) == 1
+
+
+def test_cli_snort(tmp_path, capsys):
+    from regex_fpga_tpu.__main__ import main
+
+    rules = tmp_path / "t.rules"
+    rules.write_text(
+        'alert tcp any any -> any 80 (msg:"cmd.exe access"; '
+        'content:"cmd.exe"; nocase; sid:1002;)\n'
+        'alert tcp any any -> any 80 (msg:"with pcre"; content:"user="; '
+        'pcre:"/user=[0-9]+/"; sid:6000;)\n'
+    )
+    f = tmp_path / "traffic.bin"
+    f.write_bytes(b"GET /scripts/CMD.EXE?/c dir HTTP/1.0 user=99")
+    assert main(["snort", str(rules), str(f)]) == 0
+    out = capsys.readouterr().out
+    assert "sid=1002" in out and "sid=6000" in out
+    clean = tmp_path / "clean.bin"
+    clean.write_bytes(b"nothing to see")
+    assert main(["snort", str(rules), str(clean)]) == 1
