@@ -44,6 +44,7 @@ __all__ = [
     "ScanReport",
     "Match",
     "NfaMatcher",
+    "DfaStreamScanner",
     "DfaMatcher",
     "TokenizerMatcher",
     "LiteralSetMatcher",
@@ -605,6 +606,12 @@ class DfaMatcher:
             last_end = l  # end-anchored: match closes at EOF only
         return last_end
 
+    def stream_scanner(self, resume: dict | None = None) -> "DfaStreamScanner":
+        """Incremental scanning on the fast engine; carry = (state, counts,
+        offset) — the §5.4 O(S) property, same contract as the NFA/lazy
+        stream scanners."""
+        return DfaStreamScanner(self, resume)
+
     def finditer(self, data, limit: int | None = None) -> list[tuple[int, int]]:
         """Non-overlapping (start, end) spans, POSIX leftmost-longest.
 
@@ -738,6 +745,61 @@ class DfaMatcher:
                 and self._accept_eof[self._last_final]):
             ends = np.concatenate([ends, [len(stream)]])
         return ends
+
+
+class DfaStreamScanner:
+    """Incremental scanning on the fast DFA engines with a serializable
+    O(S) carry: (current state, per-state counts, byte offset).
+
+    Chunked feeding is exact because match timing is accept-BEFORE-byte
+    (SURVEY.md §3.3): resuming from the carried state reproduces the
+    one-shot scan bit-for-bit at any chunk alignment.  The end-of-stream
+    accept (``include_final_match``) is applied by ``total``/``histogram``
+    without mutating the carry, so feeding may continue afterwards."""
+
+    def __init__(self, matcher: DfaMatcher, resume: dict | None = None):
+        self.m = matcher
+        if resume is None:
+            self.state = matcher.start
+            self.counts = np.zeros(matcher.num_states, dtype=np.int64)
+            self.offset = 0
+        else:
+            self.state = int(resume["state"])
+            self.counts = np.array(resume["counts"], dtype=np.int64)
+            self.offset = int(resume["offset"])
+
+    def feed(self, data) -> None:
+        stream = _as_streams(data)[0]
+        if len(stream) == 0:
+            return
+        c, _, _ = self.m._scan_stream_counts(stream, start=self.state)
+        self.counts += c
+        self.state = self.m._last_final
+        self.offset += len(stream)
+
+    def checkpoint(self) -> dict:
+        return {
+            "state": self.state,
+            "counts": np.array(self.counts),
+            "offset": self.offset,
+        }
+
+    @property
+    def state_counts(self) -> np.ndarray:
+        """Per-state counts WITH the end-of-stream accept applied (as if the
+        stream ended here)."""
+        out = self.counts.copy()
+        if (self.m.include_final_match and self.offset
+                and self.m._accept_eof[self.state]):
+            out[self.state] += 1
+        return out
+
+    @property
+    def total(self) -> int:
+        return int(self.state_counts.sum())
+
+    def histogram(self) -> dict[int, int]:
+        return {int(i): int(c) for i, c in enumerate(self.state_counts) if c}
 
 
 class TokenizerMatcher(DfaMatcher):

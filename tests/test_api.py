@@ -188,3 +188,55 @@ def test_count_chunked_carry(rng):
     base = (b"foo bar12 baz9 quux7 " * 200)
     data = np.frombuffer(base, dtype=np.uint8)
     assert m.count([data]) == int(m.scan([data]).counts.sum())
+
+
+def test_dfa_stream_scanner_chunk_exactness():
+    import numpy as np
+
+    from regex_fpga_tpu import api
+
+    m = api.compile_regex(rb"ab+c|\d{2}")
+    rng = np.random.default_rng(7)
+    data = bytes(rng.choice(list(b"abc123 x"), size=5000))
+    want = m.scan(data)
+    ref_counts = want.counts[0]
+
+    for chunks in ([5000], [1, 4999], [1000] * 5, [7, 293, 4700]):
+        sc = m.stream_scanner()
+        off = 0
+        for n in chunks:
+            sc.feed(data[off:off + n])
+            off += n
+        assert sc.offset == 5000
+        np.testing.assert_array_equal(sc.state_counts, ref_counts)
+        assert sc.total == want.total
+
+
+def test_dfa_stream_scanner_checkpoint_resume():
+    import numpy as np
+
+    from regex_fpga_tpu import api
+
+    m = api.compile_regex(rb"[a-z]+@[a-z]+")
+    data = b"mail me a@b or c@d thanks " * 40
+    sc = m.stream_scanner()
+    sc.feed(data[:333])
+    ck = sc.checkpoint()
+    # resume in a FRESH matcher instance (cross-process contract)
+    m2 = api.compile_regex(rb"[a-z]+@[a-z]+")
+    sc2 = m2.stream_scanner(resume=ck)
+    sc2.feed(data[333:])
+    np.testing.assert_array_equal(
+        sc2.state_counts, m.scan(data).counts[0]
+    )
+
+
+def test_dfa_stream_scanner_eof_accept_nonmutating():
+    from regex_fpga_tpu import api
+
+    m = api.compile_regex(rb"ab")
+    sc = m.stream_scanner()
+    sc.feed(b"zab")          # match ends exactly at stream end
+    assert sc.total == 1     # eof accept applied...
+    sc.feed(b"ab")           # ...but feeding continues from the raw carry
+    assert sc.total == 2
