@@ -355,6 +355,30 @@ class DfaMatcher:
         positions: list = []
         iters = 0
         converged = True
+        if (not collect_positions and len(streams) > 1
+                and len({len(s_) for s_ in streams}) == 1
+                and len(streams[0]) > 0):
+            # equal-length batch: all streams as extra chain lanes in ONE
+            # GEMM chain (the reference's dual-stream design generalized)
+            with Timer() as t:
+                c, iters, converged, cur = self._scan_batch_counts(
+                    np.stack(streams)
+                )
+                counts[:] = c
+                for i in range(len(streams)):
+                    if self.include_final_match and self._accept_eof[cur[i]]:
+                        counts[i, cur[i]] += 1
+            m = RunMetrics(
+                engine="dfa-fast-batch",
+                bytes_scanned=sum(len(s_) for s_ in streams),
+                streams=len(streams),
+                matches=int(counts.sum()),
+                wall_seconds=t.seconds,
+                iterations=iters,
+                converged=converged,
+            )
+            return ScanReport(counts=counts, total=int(counts.sum()),
+                              match_positions=None, metrics=m)
         with Timer() as t:
             for i, stream in enumerate(streams):
                 if not collect_positions:
@@ -504,6 +528,44 @@ class DfaMatcher:
             off += cb
         self._last_final = cur
         return states, mask, iters, converged
+
+    def _scan_batch_counts(self, arr: np.ndarray):
+        """Chunked batch scan of (N, L) equal-length streams via
+        ``dfa_scan_fast_multi`` (per-stream device-side histograms).
+        Returns (counts (N, S), iterations, converged, final_states (N,))."""
+        from .ops.dfa_fast import dfa_scan_fast_multi
+
+        n, l = arr.shape
+        classes = self._class_lut[arr]
+        counts = np.zeros((n, self.num_states), dtype=np.int64)
+        cur = np.full(n, self.start, dtype=np.int32)
+        iters, converged = 0, True
+        off = 0
+        cb = self.config.chunk_bytes
+        while off < l:
+            chunk = classes[:, off : off + cb]
+            nb = self._pick_blocks(chunk.shape[1])
+            res = dfa_scan_fast_multi(
+                self.tables, jnp.asarray(chunk), num_blocks=nb,
+                starts=jnp.asarray(cur), max_iters=self.config.max_iters,
+                emit="counts",
+            )
+            if not bool(res.converged):
+                converged = False
+                # exact per-stream fallback for this chunk only
+                for i in range(n):
+                    r = self._exact_fallback(arr[i, off : off + cb], int(cur[i]))
+                    counts[i] += np.bincount(
+                        np.asarray(r.states)[np.asarray(r.match_mask)],
+                        minlength=self.num_states,
+                    )
+                    cur[i] = r.final_state
+            else:
+                counts += np.asarray(res.counts)
+                cur = np.asarray(res.final_states).copy()
+            iters = max(iters, int(res.iterations))
+            off += cb
+        return counts, iters, converged, cur
 
     def _scan_stream_counts(self, stream: np.ndarray, start=None):
         """Counts-only chunked scan (device-side histogram, no per-position

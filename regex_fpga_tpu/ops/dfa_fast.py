@@ -37,7 +37,9 @@ from .tables import DfaTables
 
 __all__ = [
     "FastScanResult",
+    "MultiScanResult",
     "dfa_scan_fast",
+    "dfa_scan_fast_multi",
     "chain_pass_finals",
     "chain_pass_full",
     "mm_dtype",
@@ -291,6 +293,159 @@ def dfa_scan_fast(
         final_state=finals[-1],
         match_mask=acc.T.reshape(-1),
         states=states.T.reshape(-1),
+        converged=converged,
+        iterations=iters,
+    )
+
+
+class MultiScanResult(NamedTuple):
+    final_states: jnp.ndarray  # (N,) int32 — state after each stream
+    counts: jnp.ndarray | None      # (N, S) int32 per-stream accept counts
+    match_mask: jnp.ndarray | None  # (N, L) bool (full mode)
+    states: jnp.ndarray | None      # (N, L) int32 (full mode)
+    converged: jnp.ndarray     # () bool
+    iterations: jnp.ndarray    # () int32
+
+
+def _chain_pass_counts_multi(tables: DfaTables, cls_seq, entries, n: int):
+    """Counting pass with PER-STREAM accumulators: lanes are grouped
+    (stream-major) and segment-summed into an (N, S) carry.  Exact: the
+    per-step per-stream lane sum is at most NB < 2^24 in f32, accumulated
+    in int32."""
+    t, iota_c, iota_s = _step_tables(tables)
+    s_dim = tables.num_states
+    nb = cls_seq.shape[1] // n
+
+    def body(carry, cls_t):
+        state, visits = carry
+        oh_x = (state[:, None] == iota_s).astype(jnp.float32)
+        per = jnp.sum(oh_x.reshape(n, nb, s_dim), axis=1).astype(jnp.int32)
+        nxt = _mm_step(t, iota_c, iota_s, state, cls_t)
+        return (nxt, visits + per), None
+
+    (finals, visits), _ = jax.lax.scan(
+        body, (entries, jnp.zeros((n, s_dim), jnp.int32)), cls_seq
+    )
+    return finals, visits * tables.accept.astype(jnp.int32)[None, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_blocks", "max_iters", "emit", "overlap"),
+)
+def dfa_scan_fast_multi(
+    tables: DfaTables,
+    classes: jnp.ndarray,
+    num_blocks: int = 256,
+    starts: jnp.ndarray | int = 0,
+    max_iters: int = 16,
+    emit: str = "counts",
+    overlap: int = 64,
+) -> MultiScanResult:
+    """Batch scan of N equal-length independent streams in ONE chain pass.
+
+    The reference runs two streams through one state-scan by duplicating
+    its bitmaps (``FPGA.v:54-57``, added in v1.5 ``FPGA.v:17``); here the
+    batch axis is just MORE CHAIN LANES: ``classes`` is (N, L), each stream
+    splits into ``num_blocks`` blocks, and the N*num_blocks lanes run in the
+    same GEMM chain.  Stream boundaries are lane positions whose entry state
+    is pinned to that stream's start (``starts`` scalar or (N,)) instead of
+    the previous lane's final — both in the speculative seeding and in every
+    Jacobi shift — so streams stay fully independent (SURVEY.md §3.3 item
+    5).  Larger N widens the GEMMs and raises MXU utilization; this is the
+    serving-path layout for many concurrent flows.
+
+    emit="counts": per-stream per-state histograms accumulated on device.
+    emit="full":   per-stream (N, L) states and match masks.
+    """
+    n, l = classes.shape
+    assert l % num_blocks == 0, "stream length must be divisible by num_blocks"
+    b = l // num_blocks
+    nb_tot = n * num_blocks
+    blocks = classes.astype(jnp.int32).reshape(nb_tot, b)
+    cls_seq = blocks.T  # (B, NB_tot), lanes stream-major
+    starts_v = jnp.broadcast_to(
+        jnp.asarray(starts, jnp.int32).reshape(-1), (n,)
+    ) if jnp.ndim(starts) <= 1 else starts
+    lane_start = jnp.repeat(starts_v, num_blocks)  # (NB_tot,)
+    first = (jnp.arange(nb_tot) % num_blocks) == 0
+
+    def shift(finals):
+        prev = jnp.concatenate([lane_start[:1], finals[:-1]])
+        return jnp.where(first, lane_start, prev)
+
+    entries0 = lane_start
+    ov = min(overlap, b)
+    if ov > 0:
+        ov_seq = jnp.concatenate(
+            [blocks[:1, b - ov:], blocks[:-1, b - ov:]], axis=0
+        ).T
+        spec = chain_pass_finals(tables, ov_seq, entries0)
+        entries0 = jnp.where(first, lane_start, spec)
+
+    pass_finals = lambda e: chain_pass_finals(tables, cls_seq, e)
+
+    def _jacobi_entries(seed_entries):
+        def cond(carry):
+            _, done, it = carry
+            return jnp.logical_and(~done, it < max_iters)
+
+        def body(carry):
+            entries, _, it = carry
+            new_entries = shift(pass_finals(entries))
+            done = jnp.all(new_entries == entries)
+            return new_entries, done, it + 1
+
+        return jax.lax.while_loop(
+            cond, body, (seed_entries, jnp.array(False), jnp.array(1, jnp.int32))
+        )
+
+    if emit == "counts":
+        pass_counts = lambda e: _chain_pass_counts_multi(tables, cls_seq, e, n)
+        finals0, counts0 = pass_counts(entries0)
+        spec_ok = jnp.all(shift(finals0) == entries0)
+
+        def _spec(_):
+            return finals0, counts0, jnp.array(True), jnp.array(1, jnp.int32)
+
+        def _jac(_):
+            entries, converged, iters = _jacobi_entries(shift(finals0))
+            finals, counts = pass_counts(entries)
+            return finals, counts, converged, iters
+
+        finals, counts, converged, iters = jax.lax.cond(
+            spec_ok, _spec, _jac, None
+        )
+        return MultiScanResult(
+            final_states=finals.reshape(n, num_blocks)[:, -1],
+            counts=counts,
+            match_mask=None,
+            states=None,
+            converged=converged,
+            iterations=iters,
+        )
+
+    pass_full = lambda e: chain_pass_full(tables, cls_seq, e)
+    finals0, states0, acc0 = pass_full(entries0)
+    spec_ok = jnp.all(shift(finals0) == entries0)
+
+    def _spec_f(_):
+        return finals0, states0, acc0, jnp.array(True), jnp.array(1, jnp.int32)
+
+    def _jac_f(_):
+        entries, converged, iters = _jacobi_entries(shift(finals0))
+        finals, states, acc = pass_full(entries)
+        return finals, states, acc, converged, iters
+
+    finals, states, acc, converged, iters = jax.lax.cond(
+        spec_ok, _spec_f, _jac_f, None
+    )
+    # (B, NB_tot) -> (NB_tot, B) -> (N, L)
+    return MultiScanResult(
+        final_states=finals.reshape(n, num_blocks)[:, -1],
+        counts=None,
+        match_mask=acc.T.reshape(n, l),
+        states=states.T.reshape(n, l),
         converged=converged,
         iterations=iters,
     )
