@@ -80,33 +80,77 @@ class ScanReport:
 
 
 class Match:
-    """Minimal ``re.Match``-style result: byte-offset span + matched bytes.
+    """``re.Match``-style result: byte-offset span + capture groups.
 
-    Group support is limited to group 0 — the engines are DFAs and do not
-    track capture-group sub-spans (tagged-DFA captures are future work)."""
+    The overall span comes from the device engines (POSIX leftmost-longest);
+    group sub-spans are recovered host-side by the tagged Pike VM
+    (``models/captures.py``) re-walking just the matched bytes, with greedy
+    (Perl-style) disambiguation inside the fixed span.  Matchers without a
+    capture program (rulesets, literals, tokenizers) yield group-0-only
+    matches."""
 
-    __slots__ = ("string", "_start", "_end")
+    __slots__ = ("string", "_start", "_end", "_spans", "_names", "_lastindex")
 
-    def __init__(self, string: bytes, start: int, end: int):
+    def __init__(self, string: bytes, start: int, end: int,
+                 group_spans: list | None = None,
+                 group_names: dict | None = None,
+                 lastindex: int | None = None):
         self.string = string
         self._start = start
         self._end = end
+        self._spans = group_spans or []  # per group 1..n: (a, b) or None
+        self._names = group_names or {}
+        self._lastindex = lastindex
 
-    def span(self) -> tuple[int, int]:
-        return (self._start, self._end)
+    def _idx(self, key) -> int:
+        if isinstance(key, str):
+            if key not in self._names:
+                raise IndexError(f"no such group: {key!r}")
+            return self._names[key]
+        if key == 0 or 1 <= key <= len(self._spans):
+            return key
+        raise IndexError(f"no such group: {key}")
 
-    def start(self) -> int:
-        return self._start
+    def span(self, idx=0) -> tuple[int, int]:
+        idx = self._idx(idx)
+        if idx == 0:
+            return (self._start, self._end)
+        sp = self._spans[idx - 1]
+        return (-1, -1) if sp is None else sp
 
-    def end(self) -> int:
-        return self._end
+    def start(self, idx=0) -> int:
+        return self.span(idx)[0]
 
-    def group(self, idx: int = 0) -> bytes:
-        if idx != 0:
-            raise IndexError("DFA engines support group 0 only")
-        return self.string[self._start:self._end]
+    def end(self, idx=0) -> int:
+        return self.span(idx)[1]
 
-    def __getitem__(self, idx: int) -> bytes:
+    def group(self, *idxs):
+        if not idxs:
+            idxs = (0,)
+        out = []
+        for i in idxs:
+            a, b = self.span(i)
+            out.append(None if a < 0 else self.string[a:b])
+        return out[0] if len(out) == 1 else tuple(out)
+
+    def groups(self, default=None) -> tuple:
+        return tuple(
+            default if sp is None else self.string[sp[0]:sp[1]]
+            for sp in self._spans
+        )
+
+    def groupdict(self, default=None) -> dict:
+        return {name: self.group(name) if self._spans[i - 1] is not None
+                else default
+                for name, i in self._names.items()}
+
+    @property
+    def lastindex(self) -> int | None:
+        """Index of the chronologically last matched group (``re`` semantics:
+        the last capture "mark" written on the winning path)."""
+        return self._lastindex
+
+    def __getitem__(self, idx) -> bytes:
         return self.group(idx)
 
     def __repr__(self) -> str:
@@ -338,6 +382,7 @@ class DfaMatcher:
         self._reverse_matcher: "DfaMatcher | None" = None
         self._anchored_np: tuple | None = None
         self._anchored_start: int = 0
+        self._capture_prog = None  # lazy CaptureProgram (False = no groups)
 
     @property
     def num_states(self) -> int:
@@ -668,6 +713,28 @@ class DfaMatcher:
             last_end = l  # end-anchored: match closes at EOF only
         return last_end
 
+    def _make_match(self, raw: bytes, a: int, b: int) -> "Match":
+        """Build a Match, recovering capture-group spans when the source
+        pattern has groups (lazy tagged-Pike-VM re-walk of ``raw[a:b]``)."""
+        if self._capture_prog is None:
+            if self._finditer_source is None:
+                self._capture_prog = False
+            else:
+                from .models.captures import CaptureProgram
+
+                prog = CaptureProgram(self._finditer_source[0])
+                self._capture_prog = prog if prog.num_groups else False
+        if self._capture_prog is False:
+            return Match(raw, a, b)
+        prog = self._capture_prog
+        spans, lastindex = prog.extract(raw, a, b)
+        return Match(raw, a, b, spans, prog.group_names, lastindex)
+
+    @property
+    def num_groups(self) -> int:
+        self._make_match(b"", 0, 0)  # force lazy program build
+        return 0 if self._capture_prog is False else self._capture_prog.num_groups
+
     def stream_scanner(self, resume: dict | None = None) -> "DfaStreamScanner":
         """Incremental scanning on the fast engine; carry = (state, counts,
         offset) — the §5.4 O(S) property, same contract as the NFA/lazy
@@ -723,6 +790,13 @@ class DfaMatcher:
             si += 1
         return spans
 
+    def finditer_matches(self, data, limit: int | None = None) -> list["Match"]:
+        """Like ``finditer`` but yields full ``Match`` objects (with capture
+        groups when the pattern has any) instead of bare spans."""
+        raw = bytes(_as_streams(data)[0])
+        return [self._make_match(raw, a, b)
+                for a, b in self.finditer(raw, limit)]
+
     # -- re-module-style conveniences (span semantics: leftmost-longest) ----
 
     def search(self, data) -> "Match | None":
@@ -732,7 +806,7 @@ class DfaMatcher:
         if not spans:
             return None
         a, b = spans[0]
-        return Match(raw, a, b)
+        return self._make_match(raw, a, b)
 
     def match(self, data) -> "Match | None":
         """Longest match anchored at offset 0, or None (like ``re.match``)."""
@@ -741,7 +815,7 @@ class DfaMatcher:
         end = self._anchored_longest_end(stream, 0)
         if end < 0:
             return None
-        return Match(bytes(stream), 0, end)
+        return self._make_match(bytes(stream), 0, end)
 
     def fullmatch(self, data) -> "Match | None":
         """Match spanning the whole stream, or None (like ``re.fullmatch``)."""
@@ -755,7 +829,7 @@ class DfaMatcher:
             if st == dead:
                 return None
         if accept[st] or accept_eof[st]:
-            return Match(bytes(stream), 0, l)
+            return self._make_match(bytes(stream), 0, l)
         return None
 
     def split(self, data, maxsplit: int = 0) -> list[bytes]:
@@ -787,7 +861,9 @@ class DfaMatcher:
             if count and n >= count:
                 break
             pieces.append(raw[p:a])
-            pieces.append(repl(Match(raw, a, b)) if callable(repl) else repl)
+            pieces.append(
+                repl(self._make_match(raw, a, b)) if callable(repl) else repl
+            )
             p = b
             n += 1
         pieces.append(raw[p:])

@@ -9,7 +9,8 @@ Supported syntax (byte-oriented):
   literals, ``.`` (any byte except \\n), escapes ``\\n \\t \\r \\f \\v \\0
   \\xNN \\d \\D \\w \\W \\s \\S`` and escaped metachars, classes
   ``[a-z0-9]`` / negated ``[^...]`` (ranges, escapes), alternation ``|``,
-  groups ``(...)`` (non-capturing ``(?:...)`` accepted), quantifiers
+  groups: capturing ``(...)`` / named ``(?P<name>...)`` (spans recovered by
+  ``models/captures.py``) / non-capturing ``(?:...)``, quantifiers
   ``* + ? {m} {m,} {m,n}``, the ``(?i)`` case-insensitive flag (pattern
   prefix; ASCII folding), and whole-pattern anchors: a leading ``^`` pins
   the match to the start of the stream, a trailing ``$`` to its end (EOF
@@ -35,6 +36,7 @@ __all__ = [
     "parse",
     "parse_pattern",
     "ParsedPattern",
+    "Group",
     "compile_nfa",
     "nfa_to_dfa",
     "minimize_dfa",
@@ -88,6 +90,18 @@ class Rep:
     hi: int | None  # None = unbounded
 
 
+@dataclasses.dataclass(frozen=True)
+class Group:
+    """Capturing group ``(...)`` / ``(?P<name>...)``.  Transparent to the
+    DFA/CSR compilation paths (captures do not change the language); consumed
+    by the submatch extractor (``models/captures.py``), which re-walks a
+    device-found span with a tagged Pike VM to recover group spans."""
+
+    node: object
+    index: int  # 1-based, textual order of '('
+    name: str | None = None
+
+
 def _casefold(chars: frozenset) -> frozenset:
     """Close a byte set over ASCII case (the ``(?i)`` flag)."""
     out = set(chars)
@@ -104,6 +118,8 @@ class _Parser:
         self.p = pattern
         self.i = 0
         self.fold = fold
+        self.ngroups = 0
+        self.group_names: dict[str, int] = {}
 
     def lit(self, chars: frozenset) -> Lit:
         return Lit(_casefold(chars) if self.fold else chars)
@@ -186,13 +202,41 @@ class _Parser:
             raise self.error("unexpected end")
         if c == ord("("):
             self.eat()
-            if self.p[self.i : self.i + 2] == b"?:":
-                self.i += 2
+            capture: int | None = None
+            name: str | None = None
+            if self.peek() == ord("?"):
+                if self.p[self.i : self.i + 2] == b"?:":
+                    self.i += 2
+                elif self.p[self.i : self.i + 3] == b"?P<":
+                    self.i += 3
+                    j = self.p.find(b">", self.i)
+                    if j < 0:
+                        raise self.error("unterminated group name")
+                    raw = self.p[self.i : j]
+                    if not raw or not raw.decode("ascii", "replace").isidentifier():
+                        raise self.error(f"bad group name {raw!r}")
+                    name = raw.decode("ascii")
+                    if name in self.group_names:
+                        raise self.error(f"redefinition of group name {name!r}")
+                    self.i = j + 1
+                    self.ngroups += 1
+                    capture = self.ngroups
+                    self.group_names[name] = capture
+                else:
+                    # (?=, (?!, (?<=, (?<!, (?P=, inline flags, ... — not
+                    # expressible in a byte-DFA; never silently literal
+                    raise self.error(
+                        "unsupported (?...) construct (only (?:...) and "
+                        "(?P<name>...) are implemented)"
+                    )
+            else:
+                self.ngroups += 1
+                capture = self.ngroups
             node = self.parse_alt()
             if self.peek() != ord(")"):
                 raise self.error("unbalanced (")
             self.eat()
-            return node
+            return node if capture is None else Group(node, capture, name)
         if c == ord("["):
             return self.parse_class()
         if c == ord("."):
@@ -299,6 +343,8 @@ class ParsedPattern:
     start_anchored: bool
     end_anchored: bool
     ignore_case: bool
+    num_groups: int = 0
+    group_names: dict = dataclasses.field(default_factory=dict)
 
 
 def _has_toplevel_alt(data: bytes) -> bool:
@@ -359,6 +405,8 @@ def parse_pattern(pattern: str | bytes) -> ParsedPattern:
         start_anchored=start_anchored,
         end_anchored=end_anchored,
         ignore_case=fold,
+        num_groups=p.ngroups,
+        group_names=dict(p.group_names),
     )
 
 
@@ -442,6 +490,8 @@ def _build(nfa: EpsNfa, node) -> tuple[int, int]:
             cur = f[1]
             nfa.add(cur, None, b)
         return a, b
+    if isinstance(node, Group):  # captures don't change the language
+        return _build(nfa, node.node)
     raise TypeError(node)
 
 
@@ -590,6 +640,8 @@ def reverse_ast(node):
         return Alt(tuple(reverse_ast(o) for o in node.options))
     if isinstance(node, Rep):
         return Rep(reverse_ast(node.node), node.lo, node.hi)
+    if isinstance(node, Group):
+        return Group(reverse_ast(node.node), node.index, node.name)
     raise TypeError(node)
 
 

@@ -10,8 +10,12 @@ with ``re``-style signatures, plus the engine-native extras ``count``
 Semantics differences vs ``re`` (inherent to DFA matching):
   * spans are POSIX leftmost-LONGEST, not backtracking leftmost-first —
     ``ab|abc`` on ``"abc"`` matches ``abc`` here, ``ab`` in ``re``;
-  * capture groups are not tracked (``Match.group(0)`` only); patterns may
-    still *contain* groups — they match, they just don't capture;
+  * capture groups ARE tracked (``(...)``, ``(?P<name>...)``; group spans
+    recovered host-side per match — ``models/captures.py``); WITHIN the
+    fixed leftmost-longest span, group assignment is greedy like ``re``, so
+    results agree whenever ``re`` picks the same span.  Backreferences and
+    lookaround in PATTERNS stay unsupported (not regular); ``\\1``/
+    ``\\g<name>`` in ``sub`` REPLACEMENT templates are supported;
   * patterns and subjects are byte-oriented: ``str`` input is UTF-8 encoded
     and spans are byte offsets.
 
@@ -49,6 +53,58 @@ IGNORECASE = I = 2  # value mirrors re.IGNORECASE for interchangeability
 from .models.regex import RegexError as error  # noqa: E402  (re.error analogue)
 
 
+def _has_backrefs(template: bytes) -> bool:
+    return b"\\" in template
+
+
+def _expand(template: bytes, m: Match) -> bytes:
+    """Expand a ``re.sub``-style replacement template against a Match:
+    ``\\1``..``\\99``, ``\\g<name>``, ``\\g<num>`` (incl. ``\\g<0>``), and
+    the escapes ``\\\\ \\n \\t \\r \\f \\v``.  Unmatched groups expand
+    to the empty string (Python 3.7+ ``re.sub`` behavior)."""
+    out = bytearray()
+    i = 0
+    n = len(template)
+    esc = {ord("n"): b"\n", ord("t"): b"\t", ord("r"): b"\r",
+           ord("f"): b"\f", ord("v"): b"\v", ord("\\"): b"\\"}
+    while i < n:
+        c = template[i]
+        if c != ord("\\"):
+            out.append(c)
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise error("bad escape (end of pattern) in replacement")
+        d = template[i + 1]
+        if d in esc:
+            out += esc[d]
+            i += 2
+        elif d == ord("0"):
+            out.append(0)  # \0 is an octal NUL escape in re templates
+            i += 2
+        elif ord("1") <= d <= ord("9"):
+            j = i + 1
+            num = 0
+            while j < n and j < i + 3 and ord("0") <= template[j] <= ord("9"):
+                num = num * 10 + (template[j] - ord("0"))
+                j += 1
+            out += m.group(num) or b""
+            i = j
+        elif d == ord("g"):
+            if template[i + 2 : i + 3] != b"<":
+                raise error("missing < after \\g in replacement")
+            j = template.find(b">", i + 3)
+            if j < 0:
+                raise error("missing >, unterminated \\g<...> in replacement")
+            name = template[i + 3 : j].decode("ascii", "replace")
+            key: int | str = int(name) if name.isdigit() else name
+            out += m.group(key) or b""
+            i = j + 1
+        else:
+            raise error(f"bad escape \\{chr(d)} in replacement")
+    return bytes(out)
+
+
 class Pattern:
     """Compiled pattern wrapper; see module docstring for semantics."""
 
@@ -84,14 +140,46 @@ class Pattern:
 
     def finditer(self, string):
         raw = self._enc(string)
-        for a, b in self._m.finditer(raw):
-            yield Match(raw, a, b)
+        yield from self._m.finditer_matches(raw)
 
     def findall(self, string) -> list:
-        return [self._dec(g) for g in self._m.findall(self._enc(string))]
+        """``re.findall`` group semantics: 0 groups → list of matches;
+        1 group → list of group 1; n groups → list of n-tuples."""
+        ng = self._m.num_groups
+        if ng == 0:
+            return [self._dec(g) for g in self._m.findall(self._enc(string))]
+        out = []
+        for m in self.finditer(string):
+            gs = tuple(
+                self._dec(g) if g is not None else self._dec(b"")
+                for g in m.groups()
+            )
+            out.append(gs[0] if ng == 1 else gs)
+        return out
 
     def split(self, string, maxsplit: int = 0) -> list:
-        return [self._dec(p) for p in self._m.split(self._enc(string), maxsplit)]
+        """``re.split`` semantics incl. captured groups appearing in the
+        result list (None for unmatched groups)."""
+        if self._m.num_groups == 0:
+            return [
+                self._dec(p) for p in self._m.split(self._enc(string), maxsplit)
+            ]
+        raw = self._enc(string)
+        out: list = []
+        p = 0
+        n = 0
+        for m in self._m.finditer_matches(raw):
+            if maxsplit and n >= maxsplit:
+                break
+            a, b = m.span()
+            out.append(self._dec(raw[p:a]))
+            out.extend(
+                None if g is None else self._dec(g) for g in m.groups()
+            )
+            p = b
+            n += 1
+        out.append(self._dec(raw[p:]))
+        return out
 
     def sub(self, repl, string, count: int = 0):
         return self.subn(repl, string, count)[0]
@@ -101,7 +189,11 @@ class Pattern:
             f = repl
             r = lambda m: self._enc(f(m))  # noqa: E731
         else:
-            r = self._enc(repl)
+            template = self._enc(repl)
+            if _has_backrefs(template):
+                r = lambda m: _expand(template, m)  # noqa: E731
+            else:
+                r = template
         out, n = self._m.subn(r, self._enc(string), count)
         return self._dec(out), n
 

@@ -1,0 +1,148 @@
+"""Capture groups: tagged-Pike-VM extraction vs Python ``re``.
+
+The reference RTL reports only accept-state indices (``Design/FPGA.v:210-226``
+— no sub-span concept exists in the hardware), so captures are new framework
+surface: device engines find spans, ``models/captures.py`` recovers group
+spans host-side.  Every case here is chosen so that Python ``re`` agrees on
+the overall span (no leftmost-longest vs leftmost-first divergence), making
+``re`` a valid oracle for group assignment.
+"""
+
+import re
+
+import pytest
+
+from regex_fpga_tpu import re_compat
+from regex_fpga_tpu.api import compile_regex
+from regex_fpga_tpu.models.captures import CaptureProgram
+from regex_fpga_tpu.models.regex import RegexError, parse_pattern
+
+AGREEING_CASES = [
+    (r"(\w+)@(\w+)\.(com|org)", b"mail me at bob@example.org now"),
+    (r"(?P<year>\d{4})-(?P<mo>\d{2})-(?P<day>\d{2})", b"date: 2026-08-19."),
+    (r"(ab)+c", b"xxababc!"),          # repeated group: last repetition wins
+    (r"(a)?b", b"zzb"),                # optional group left unmatched
+    (r"(a)?b", b"zab"),
+    (r"((a+)(b+))c", b"aaabbc"),       # nested groups
+    (r"(x|y)(z?)", b"qxz"),
+    (r"(\d+)\.(\d+)", b"pi=3.14159"),
+    (r"(?:no)(yes)", b"..noyes.."),    # non-capturing mixed with capturing
+    (r"(a(b(c)))", b"abc"),            # deep nesting
+    (r"([ab]+)([bc]+)", b"zabbccz"),   # greedy split inside fixed span
+    (r"(a*)(a*)", b"aaa"),             # first greedy star takes everything
+]
+
+
+@pytest.mark.parametrize("pat,data", AGREEING_CASES)
+def test_groups_match_python_re(pat, data):
+    m1 = compile_regex(pat).search(data)
+    m2 = re.search(pat.encode(), data)
+    assert (m1 is None) == (m2 is None)
+    assert m1.span() == m2.span()
+    assert m1.groups() == m2.groups()
+    assert m1.groupdict() == m2.groupdict()
+    for i in range(len(m2.groups()) + 1):
+        assert m1.span(i) == m2.span(i)
+        assert m1.group(i) == m2.group(i)
+    assert m1.lastindex == m2.lastindex
+
+
+def test_named_group_access():
+    m = compile_regex(r"(?P<k>\w+)=(?P<v>\d+)").search(b"set x=42;")
+    assert m.group("k") == b"x"
+    assert m.group("v") == b"42"
+    assert m.group("k", "v") == (b"x", b"42")
+    assert m["k"] == b"x"
+    with pytest.raises(IndexError):
+        m.group("nope")
+    with pytest.raises(IndexError):
+        m.group(3)
+
+
+def test_groups_default():
+    m = compile_regex(r"(a)?(b)").search(b"b")
+    assert m.groups() == (None, b"b")
+    assert m.groups(default=b"-") == (b"-", b"b")
+
+
+def test_capture_program_direct():
+    prog = CaptureProgram(parse_pattern(r"(a+)(b+)"))
+    assert prog.num_groups == 2
+    # absolute offsets: span embedded mid-buffer
+    spans, lastindex = prog.extract(b"zzaabbbzz", 2, 7)
+    assert spans == [(2, 4), (4, 7)]
+    assert lastindex == 2
+
+
+def test_match_finditer_and_repeats():
+    ms = compile_regex(r"(\w+)=(\d+)").finditer_matches(b"a=1 bb=22 c=333")
+    assert [(m.group(1), m.group(2)) for m in ms] == [
+        (b"a", b"1"), (b"bb", b"22"), (b"c", b"333")
+    ]
+
+
+def test_parser_rejects_unsupported_constructs():
+    for pat in [r"(?=a)b", r"(?!a)b", r"(?<=a)b", r"(?P=name)", r"a\1"]:
+        with pytest.raises(RegexError):
+            parse_pattern(pat)
+    with pytest.raises(RegexError):
+        parse_pattern(r"(?P<dup>a)(?P<dup>b)")  # duplicate name
+    with pytest.raises(RegexError):
+        parse_pattern(r"(?P<1bad>a)")  # invalid identifier
+
+
+def test_group_numbering_is_textual_order():
+    pp = parse_pattern(r"((a)(b))(?:c)(d)")
+    assert pp.num_groups == 4
+    m = compile_regex(r"((a)(b))(?:c)(d)").search(b"abcd")
+    assert m.groups() == (b"ab", b"a", b"b", b"d")
+
+
+# -- re_compat integration ---------------------------------------------------
+
+
+def test_re_compat_findall_group_semantics():
+    text = "a=1 bb=22"
+    assert re_compat.findall(r"(\w+)=(\d+)", text) == re.findall(
+        r"(\w+)=(\d+)", text
+    )
+    assert re_compat.findall(r"(\w+)=\d+", text) == re.findall(
+        r"(\w+)=\d+", text
+    )
+    assert re_compat.findall(r"\w+=\d+", text) == re.findall(r"\w+=\d+", text)
+
+
+def test_re_compat_split_with_groups():
+    for pat, s in [(r"(,)", "a,b,c"), (r"([,;])", "a,b;c"),
+                   (r"(\s)(\s)?", "a  b c")]:
+        assert re_compat.split(pat, s) == re.split(pat, s)
+
+
+def test_re_compat_sub_backrefs():
+    cases = [
+        (r"(\w+)@(\w+)", r"\2 at \1", "bob@host and eve@door"),
+        (r"(?P<a>\d+)-(?P<b>\d+)", r"\g<b>:\g<a>", "1-2, 30-40"),
+        (r"(a)(b)?", r"[\1|\2]", "ab a"),  # unmatched group -> empty
+        (r"x", r"\\n\n", "axa"),
+        (r"(.)", r"\g<0>\g<0>", "ab"),
+    ]
+    for pat, repl, s in cases:
+        assert re_compat.sub(pat, repl, s) == re.sub(pat, repl, s)
+    assert re_compat.subn(r"(\d)", r"<\1>", "a1b2")[1] == 2
+
+
+def test_re_compat_sub_bad_template():
+    with pytest.raises(re_compat.error):
+        re_compat.sub(r"(a)", r"\q", "a")
+    with pytest.raises(re_compat.error):
+        re_compat.sub(r"(a)", "bad\\", "a")
+
+
+def test_re_compat_match_objects_from_finditer():
+    ms = list(re_compat.finditer(r"(?P<n>\d+)", "a1b22"))
+    assert [m.group("n") for m in ms] == [b"1", b"22"]  # byte-oriented Match
+
+
+def test_re_compat_text_mode_groups():
+    m = re_compat.search(r"(?P<w>\w+)!", "hello world!")
+    assert m.group("w") == b"world"  # Match is byte-oriented by design
