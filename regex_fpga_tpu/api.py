@@ -150,6 +150,13 @@ class Match:
         the last capture "mark" written on the winning path)."""
         return self._lastindex
 
+    def expand(self, template: bytes) -> bytes:
+        """Expand a ``re.sub``-style template (``\\1``, ``\\g<name>``, ...)
+        against this match."""
+        from .re_compat import _expand
+
+        return _expand(template, self)
+
     def __getitem__(self, idx) -> bytes:
         return self.group(idx)
 

@@ -11,8 +11,9 @@ Supported syntax (byte-oriented):
   ``[a-z0-9]`` / negated ``[^...]`` (ranges, escapes), alternation ``|``,
   groups: capturing ``(...)`` / named ``(?P<name>...)`` (spans recovered by
   ``models/captures.py``) / non-capturing ``(?:...)``, quantifiers
-  ``* + ? {m} {m,} {m,n}``, the ``(?i)`` case-insensitive flag (pattern
-  prefix; ASCII folding), and whole-pattern anchors: a leading ``^`` pins
+  ``* + ? {m} {m,} {m,n}``, the pattern-prefix flags ``(?i)`` (ASCII case
+  folding) and ``(?s)`` (DOTALL: ``.`` matches ``\\n``), and whole-pattern
+  anchors: a leading ``^`` pins
   the match to the start of the stream, a trailing ``$`` to its end (EOF
   acceptance is carried in ``CompiledDfa.accept_eof``).  Anchors apply to
   the ENTIRE pattern — ``ab|cd$`` is rejected as ambiguous (group it);
@@ -114,10 +115,12 @@ def _casefold(chars: frozenset) -> frozenset:
 
 
 class _Parser:
-    def __init__(self, pattern: bytes, fold: bool = False):
+    def __init__(self, pattern: bytes, fold: bool = False,
+                 dotall: bool = False):
         self.p = pattern
         self.i = 0
         self.fold = fold
+        self.dotall = dotall
         self.ngroups = 0
         self.group_names: dict[str, int] = {}
 
@@ -241,7 +244,7 @@ class _Parser:
             return self.parse_class()
         if c == ord("."):
             self.eat()
-            return Lit(frozenset(_ALL - {ord("\n")}))
+            return Lit(_ALL if self.dotall else frozenset(_ALL - {ord("\n")}))
         if c == ord("\\"):
             self.eat()
             return self.lit(self.parse_escape())
@@ -374,10 +377,15 @@ def parse_pattern(pattern: str | bytes) -> ParsedPattern:
     """Parse a pattern, extracting the ``(?i)`` flag and whole-pattern
     anchors.  ``^``/``$`` elsewhere raise (they are never literals)."""
     data = pattern.encode() if isinstance(pattern, str) else bytes(pattern)
-    fold = False
-    while data[:4] == b"(?i)":
-        fold = True
-        data = data[4:]
+    # pattern-prefix flag groups: (?i) (?s) (?is) ... (whole-pattern scope)
+    fold = dotall = False
+    while data[:2] == b"(?":
+        j = data.find(b")", 2)
+        if j < 0 or not data[2:j] or any(c not in b"is" for c in data[2:j]):
+            break  # not a flag prefix — (?:, (?P<, (?= etc. parse normally
+        fold |= ord("i") in data[2:j]
+        dotall |= ord("s") in data[2:j]
+        data = data[j + 1 :]
     start_anchored = data[:1] == b"^"
     if start_anchored:
         data = data[1:]
@@ -396,7 +404,7 @@ def parse_pattern(pattern: str | bytes) -> ParsedPattern:
             "apply to the whole pattern) — group the alternation: "
             "^(?:a|b)$"
         )
-    p = _Parser(data, fold=fold)
+    p = _Parser(data, fold=fold, dotall=dotall)
     node = p.parse_alt()
     if p.i != len(data):
         raise p.error("unexpected )")

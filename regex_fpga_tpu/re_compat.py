@@ -19,8 +19,8 @@ Semantics differences vs ``re`` (inherent to DFA matching):
   * patterns and subjects are byte-oriented: ``str`` input is UTF-8 encoded
     and spans are byte offsets.
 
-Supported flags: ``IGNORECASE`` (ASCII folding, as ``(?i)``).  ``MULTILINE``
-and ``DOTALL`` are not implemented and raise.
+Supported flags: ``IGNORECASE`` (ASCII folding, as ``(?i)``) and ``DOTALL``
+(``(?s)``).  ``MULTILINE`` is not implemented and raises.
 """
 
 from __future__ import annotations
@@ -41,14 +41,31 @@ __all__ = [
     "subn",
     "count",
     "purge",
+    "escape",
     "IGNORECASE",
     "I",
+    "DOTALL",
+    "S",
     "Pattern",
     "Match",
     "error",
 ]
 
-IGNORECASE = I = 2  # value mirrors re.IGNORECASE for interchangeability
+IGNORECASE = I = 2  # values mirror re's flag constants for interchangeability
+DOTALL = S = 16
+
+
+def escape(pattern):
+    """``re.escape`` equivalent for this engine's byte-oriented syntax."""
+    special = frozenset(b"\\.^$*+?{}[]|()")
+    if isinstance(pattern, str):
+        return "".join(
+            "\\" + c if ord(c) < 128 and ord(c) in special else c
+            for c in pattern
+        )
+    return b"".join(
+        b"\\" + bytes([c]) if c in special else bytes([c]) for c in pattern
+    )
 
 from .models.regex import RegexError as error  # noqa: E402  (re.error analogue)
 
@@ -109,17 +126,30 @@ class Pattern:
     """Compiled pattern wrapper; see module docstring for semantics."""
 
     def __init__(self, pattern: str | bytes, flags: int = 0):
-        if flags & ~IGNORECASE:
+        if flags & ~(IGNORECASE | DOTALL):
             raise ValueError(
-                f"unsupported flags {flags:#x}: only IGNORECASE is implemented"
+                f"unsupported flags {flags:#x}: only IGNORECASE and DOTALL "
+                "are implemented"
             )
         self._text_mode = isinstance(pattern, str)
         pat = pattern.encode("utf-8") if self._text_mode else bytes(pattern)
-        if flags & IGNORECASE and not pat.startswith(b"(?i)"):
+        if flags & DOTALL:
+            pat = b"(?s)" + pat
+        if flags & IGNORECASE:
             pat = b"(?i)" + pat
         self.pattern = pattern
         self.flags = flags
         self._m: DfaMatcher = compile_regex(pat)
+
+    @property
+    def groups(self) -> int:
+        return self._m.num_groups
+
+    @property
+    def groupindex(self) -> dict:
+        self._m._make_match(b"", 0, 0)  # force lazy capture-program build
+        prog = self._m._capture_prog
+        return {} if prog is False else dict(prog.group_names)
 
     # -- helpers ---------------------------------------------------------
     def _enc(self, data):

@@ -146,3 +146,37 @@ def test_re_compat_match_objects_from_finditer():
 def test_re_compat_text_mode_groups():
     m = re_compat.search(r"(?P<w>\w+)!", "hello world!")
     assert m.group("w") == b"world"  # Match is byte-oriented by design
+
+
+def test_re_compat_escape_roundtrip():
+    for s in ["a.b*c", "(x)|[y]{2}", "plain", "a\\b$^"]:
+        assert re_compat.fullmatch(re_compat.escape(s), s) is not None
+    raw = b"a.b(c)\\d"
+    assert re_compat.fullmatch(re_compat.escape(raw), raw) is not None
+    assert re_compat.escape("a.b") == re.escape("a.b")
+
+
+def test_re_compat_dotall_flag():
+    assert re_compat.search(r"a.b", "a\nb") is None
+    assert re_compat.search(r"a.b", "a\nb", re_compat.DOTALL).span() == (0, 3)
+    assert re_compat.search(r"(?s)a.b", "a\nb").span() == (0, 3)
+    # combined prefix flags
+    assert re_compat.search(r"(?is)A.B", "a\nb").span() == (0, 3)
+
+
+def test_pattern_groups_groupindex():
+    p = re_compat.compile(r"(?P<a>x)(y)(?P<b>z)")
+    assert p.groups == 3
+    assert p.groupindex == {"a": 1, "b": 3}
+    assert re_compat.compile(r"xyz").groups == 0
+
+
+def test_match_expand():
+    m = re_compat.search(r"(?P<k>\w+)=(\d+)", "n=42")
+    assert m.expand(rb"\g<k>:\2") == b"n:42"
+    assert m.expand(rb"\1/\g<0>") == b"n/n=42"
+
+
+def test_flag_values_match_re():
+    assert re_compat.IGNORECASE == re.IGNORECASE
+    assert re_compat.DOTALL == re.DOTALL
