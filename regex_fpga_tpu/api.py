@@ -51,6 +51,7 @@ __all__ = [
     "LiteralReport",
     "compile_ruleset",
     "compile_regex",
+    "HostRegexMatcher",
     "compile_regex_set",
     "compile_l7",
     "compile_literals",
@@ -394,6 +395,10 @@ class DfaMatcher:
     @property
     def num_states(self) -> int:
         return self.tables.num_states
+
+    #: class-level default: subclasses that bypass ``__init__`` (e.g.
+    #: TokenizerMatcher) still get a working ``_make_match``
+    _capture_prog = None
 
     #: include a match whose accept state is entered by the very last byte.
     #: The reference timing drops it (SURVEY.md SS3.3 item 4: the harness
@@ -991,13 +996,83 @@ def compile_ruleset(source: str | CsrAutomaton,
     return NfaMatcher(aut, config, strategy=strategy)
 
 
+class HostRegexMatcher(DfaMatcher):
+    """Matcher for patterns containing ``\\b``/``\\B`` word boundaries.
+
+    Boundary assertions are not expressible in the streaming DFA engines,
+    whose accept is a pure function of the state AT a position — a trailing
+    ``\\b`` needs the NEXT byte (``foo\\b`` on ``food`` vs ``foo!``).  This
+    matcher therefore runs span search on the host Pike VM
+    (``models/captures.py``) with the SAME POSIX leftmost-longest span
+    semantics as the device path; the device-throughput APIs (``scan``,
+    ``count``, ``stream_scanner``, ``findall_ends``) raise with guidance.
+    """
+
+    def __init__(self, pattern: str | bytes,
+                 config: EngineConfig = DEFAULT_CONFIG):
+        from .models.captures import CaptureProgram
+
+        # 2-state all-dead dummy DFA satisfies base-class plumbing; the
+        # device engines are never invoked on it (see overrides below)
+        dummy = CompiledDfa(
+            table=np.ones((256, 2), dtype=np.int32),
+            accept=np.zeros(2, dtype=bool), start=0, dead=1,
+        )
+        super().__init__(dummy, config)
+        self._prog = CaptureProgram(pattern)
+        self._finditer_source = (pattern, 0, config)
+        self._capture_prog = (
+            self._prog if self._prog.num_groups else False
+        )
+
+    def _no_device(self, name: str):
+        raise NotImplementedError(
+            f"{name}() runs on the streaming DFA engines, which cannot "
+            "express \\b/\\B (accept would depend on the next byte); use "
+            "search/match/fullmatch/finditer/findall/split/sub, or drop "
+            "the boundary assertion for device-rate scanning"
+        )
+
+    def scan(self, data, collect_positions: bool = False):
+        self._no_device("scan")
+
+    def count(self, data):
+        self._no_device("count")
+
+    def stream_scanner(self, resume: dict | None = None):
+        self._no_device("stream_scanner")
+
+    def findall_ends(self, data):
+        self._no_device("findall_ends")
+
+    def finditer(self, data, limit: int | None = None) -> list[tuple[int, int]]:
+        stream = bytes(_as_streams(data)[0])
+        return self._prog.finditer_spans(stream, limit)
+
+    def match(self, data) -> "Match | None":
+        raw = bytes(_as_streams(data)[0])
+        end = self._prog.longest_end_at(raw, 0)
+        return None if end < 0 else self._make_match(raw, 0, end)
+
+    def fullmatch(self, data) -> "Match | None":
+        raw = bytes(_as_streams(data)[0])
+        if self._prog.longest_end_at(raw, 0) == len(raw):
+            return self._make_match(raw, 0, len(raw))
+        return None
+
+
 def compile_regex(pattern: str | bytes, anchored: bool = False,
                   max_states: int = 100_000,
                   config: EngineConfig = DEFAULT_CONFIG) -> DfaMatcher:
     """Compile a pattern to the fast DFA engine.  Default is scanning
     (unanchored) mode: a match is reported wherever it ends in the stream.
     The matcher also supports ``finditer``/``findall`` (leftmost-longest
-    spans) via a reversed-pattern backward scan."""
+    spans) via a reversed-pattern backward scan.  Patterns with ``\\b``/
+    ``\\B`` return a ``HostRegexMatcher`` (same span semantics, host VM)."""
+    from .models.regex import contains_bound, parse_pattern
+
+    if contains_bound(parse_pattern(pattern).node):
+        return HostRegexMatcher(pattern, config)
     dfa = compile_pattern(pattern, max_states=max_states, anchored=anchored)
     m = DfaMatcher(dfa, config)
     # finditer's reversed + anchored automata compile lazily on first use

@@ -23,7 +23,23 @@ position, state-deduplicated so the highest-priority thread owns each state.
 
 from __future__ import annotations
 
-from .regex import Alt, Cat, Group, Lit, ParsedPattern, Rep, parse_pattern
+from .regex import (
+    Alt,
+    Bound,
+    Cat,
+    Group,
+    Lit,
+    ParsedPattern,
+    Rep,
+    parse_pattern,
+)
+
+_WORDBYTES = frozenset(
+    list(range(ord("a"), ord("z") + 1))
+    + list(range(ord("A"), ord("Z") + 1))
+    + list(range(ord("0"), ord("9") + 1))
+    + [ord("_")]
+)
 
 __all__ = ["CaptureProgram"]
 
@@ -34,13 +50,15 @@ class _Prog:
     """Tagged eps-NFA with ordered successors.
 
     ``char[s]`` = (charset, dst) for byte-consuming states, else None.
-    ``eps[s]``  = ordered list of (dst, tag|None); tag writes the current
-    byte offset into slot ``tag`` when the edge is traversed.
+    ``eps[s]``  = ordered list of (dst, tag|None, assert|None); tag writes
+    the current byte offset into slot ``tag`` when the edge is traversed;
+    assert is "b"/"B" for word-boundary edges, crossable only when the
+    buffer context satisfies the assertion.
     """
 
     def __init__(self):
         self.char: list[tuple[frozenset, int] | None] = []
-        self.eps: list[list[tuple[int, int | None]]] = []
+        self.eps: list[list[tuple[int, int | None, str | None]]] = []
 
     def new(self) -> int:
         self.char.append(None)
@@ -62,15 +80,15 @@ def _lower(prog: _Prog, node) -> tuple[int, int]:
         entry, cur = _lower(prog, node.parts[0])
         for part in node.parts[1:]:
             na, nb = _lower(prog, part)
-            prog.eps[cur].append((na, None))
+            prog.eps[cur].append((na, None, None))
             cur = nb
         return entry, cur
     if isinstance(node, Alt):
         a, b = prog.new(), prog.new()
         for opt in node.options:  # textual order = priority order
             fa, fb = _lower(prog, opt)
-            prog.eps[a].append((fa, None))
-            prog.eps[fb].append((b, None))
+            prog.eps[a].append((fa, None, None))
+            prog.eps[fb].append((b, None, None))
         return a, b
     if isinstance(node, Rep):
         lo, hi = node.lo, node.hi
@@ -78,35 +96,39 @@ def _lower(prog: _Prog, node) -> tuple[int, int]:
         cur = a
         for _ in range(lo):
             fa, fb = _lower(prog, node.node)
-            prog.eps[cur].append((fa, None))
+            prog.eps[cur].append((fa, None, None))
             cur = fb
         if hi is None:
             # greedy loop: from the loop head, prefer another iteration
             loop = prog.new()
-            prog.eps[cur].append((loop, None))
+            prog.eps[cur].append((loop, None, None))
             fa, fb = _lower(prog, node.node)
-            prog.eps[loop].append((fa, None))  # 1st: take the body
-            prog.eps[fb].append((loop, None))
+            prog.eps[loop].append((fa, None, None))  # 1st: take the body
+            prog.eps[fb].append((loop, None, None))
             out = prog.new()
-            prog.eps[loop].append((out, None))  # 2nd: leave
+            prog.eps[loop].append((out, None, None))  # 2nd: leave
             return a, out
         out = prog.new()
         tail_skips = []
         for _ in range(hi - lo):
             fa, fb = _lower(prog, node.node)
-            prog.eps[cur].append((fa, None))  # 1st: take this optional copy
+            prog.eps[cur].append((fa, None, None))  # 1st: take this optional copy
             tail_skips.append(cur)
             cur = fb
-        prog.eps[cur].append((out, None))
+        prog.eps[cur].append((out, None, None))
         for s in tail_skips:
-            prog.eps[s].append((out, None))  # 2nd: skip out (lower priority)
+            prog.eps[s].append((out, None, None))  # 2nd: skip out (lower priority)
         return a, out
+    if isinstance(node, Bound):
+        a, b = prog.new(), prog.new()
+        prog.eps[a].append((b, None, "B" if node.negate else "b"))
+        return a, b
     if isinstance(node, Group):
         a, b = prog.new(), prog.new()
         fa, fb = _lower(prog, node.node)
         k = node.index - 1
-        prog.eps[a].append((fa, 2 * k))
-        prog.eps[fb].append((b, 2 * k + 1))
+        prog.eps[a].append((fa, 2 * k, None))
+        prog.eps[fb].append((b, 2 * k + 1, None))
         return a, b
     raise TypeError(node)
 
@@ -134,7 +156,16 @@ class CaptureProgram:
 
     # -- Pike VM -----------------------------------------------------------
 
-    def _close(self, threads, state, tags, last, pos, seen):
+    @staticmethod
+    def _at_boundary(data, pos: int) -> bool:
+        """Word boundary at ``pos`` (between bytes pos-1 and pos), judged
+        against the WHOLE buffer — context outside the span counts, exactly
+        as in a streaming scan.  Buffer edges are non-word context."""
+        prev_w = pos > 0 and data[pos - 1] in _WORDBYTES
+        next_w = pos < len(data) and data[pos] in _WORDBYTES
+        return prev_w != next_w
+
+    def _close(self, threads, state, tags, last, pos, seen, data):
         """Priority-ordered eps closure: DFS appending byte-consuming states
         (and the accept state) to the ordered thread list.  ``last`` tracks
         the chronologically last tag written on the thread's path — the
@@ -144,13 +175,17 @@ class CaptureProgram:
         seen.add(state)
         if self._prog.char[state] is not None or state == self._accept:
             threads.append((state, tags, last))
-        for dst, tag in self._prog.eps[state]:
+        for dst, tag, asrt in self._prog.eps[state]:
+            if asrt is not None and self._at_boundary(data, pos) != (
+                asrt == "b"
+            ):
+                continue
             nt, nl = tags, last
             if tag is not None:
                 nt = list(tags)
                 nt[tag] = pos
                 nl = tag
-            self._close(threads, dst, nt, nl, pos, seen)
+            self._close(threads, dst, nt, nl, pos, seen, data)
 
     def extract(
         self, data: bytes | bytearray | memoryview, start: int, end: int
@@ -161,7 +196,7 @@ class CaptureProgram:
         threads: list = []
         self._close(
             threads, self._entry, [_UNSET] * (2 * self.num_groups), None,
-            start, set(),
+            start, set(), data,
         )
         for pos in range(start, end):
             b = data[pos]
@@ -170,7 +205,7 @@ class CaptureProgram:
             for state, tags, last in threads:
                 edge = self._prog.char[state]
                 if edge is not None and b in edge[0]:
-                    self._close(nxt, edge[1], tags, last, pos + 1, seen)
+                    self._close(nxt, edge[1], tags, last, pos + 1, seen, data)
             threads = nxt
             if not threads:
                 break
@@ -185,3 +220,95 @@ class CaptureProgram:
                 return spans, (None if last is None else last // 2 + 1)
         # span was produced by the same language — should be unreachable
         return [None] * self.num_groups, None
+
+    # -- scanning (the host-verified path for \b/\B patterns) ---------------
+
+    def _sclose(self, threads, state, startpos, pos, seen, data):
+        """Tag-free closure for scanning threads (state, match-start)."""
+        if state in seen:
+            return
+        seen.add(state)
+        if self._prog.char[state] is not None or state == self._accept:
+            threads.append((state, startpos))
+        for dst, _tag, asrt in self._prog.eps[state]:
+            if asrt is not None and self._at_boundary(data, pos) != (
+                asrt == "b"
+            ):
+                continue
+            self._sclose(threads, dst, startpos, pos, seen, data)
+
+    def longest_end_at(self, data, s0: int) -> int:
+        """Longest match end for a match anchored at offset ``s0``, or -1.
+        Assertions see the whole buffer (bytes before ``s0`` included)."""
+        threads: list = []
+        self._sclose(threads, self._entry, s0, s0, set(), data)
+        best = -1
+        pos = s0
+        n = len(data)
+        while True:
+            if any(st == self._accept for st, _ in threads):
+                best = pos
+            if pos >= n or not threads:
+                return best
+            b = data[pos]
+            nxt: list = []
+            seen: set = set()
+            for st, sp in threads:
+                edge = self._prog.char[st]
+                if edge is not None and b in edge[0]:
+                    self._sclose(nxt, edge[1], sp, pos + 1, seen, data)
+            threads = nxt
+            pos += 1
+
+    def finditer_spans(
+        self, data, limit: int | None = None
+    ) -> list[tuple[int, int]]:
+        """Non-overlapping POSIX leftmost-longest spans — single forward
+        pass, threads tagged with their match start; the same span semantics
+        as ``DfaMatcher.finditer`` (reverse-scan + anchored walks), computed
+        entirely host-side because assertions need next-byte context."""
+        n = len(data)
+        spans: list[tuple[int, int]] = []
+        p = 0
+        while p <= n:
+            threads: list = []
+            match: tuple[int, int] | None = None
+            pos = p
+            while True:
+                if match is None:
+                    seen = {st for st, _ in threads}
+                    self._sclose(threads, self._entry, pos, pos, seen, data)
+                for st, s0 in threads:
+                    if st == self._accept and (
+                        match is None
+                        or s0 < match[0]
+                        or (s0 == match[0] and pos > match[1])
+                    ):
+                        match = (s0, pos)
+                if match is not None:
+                    # leftmost locked in: drop later starts, keep earlier
+                    # unaccepted threads (they could still win leftmost-ness)
+                    threads = [
+                        (st, s0) for st, s0 in threads
+                        if s0 <= match[0] and st != self._accept
+                    ]
+                if pos >= n:
+                    break
+                b = data[pos]
+                nxt: list = []
+                seen = set()
+                for st, s0 in threads:
+                    edge = self._prog.char[st]
+                    if edge is not None and b in edge[0]:
+                        self._sclose(nxt, edge[1], s0, pos + 1, seen, data)
+                threads = nxt
+                pos += 1
+                if not threads and match is not None:
+                    break
+            if match is None:
+                break
+            spans.append(match)
+            if limit is not None and len(spans) >= limit:
+                break
+            p = max(match[1], match[0] + 1)
+        return spans

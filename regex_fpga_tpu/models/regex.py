@@ -12,7 +12,8 @@ Supported syntax (byte-oriented):
   groups: capturing ``(...)`` / named ``(?P<name>...)`` (spans recovered by
   ``models/captures.py``) / non-capturing ``(?:...)``, quantifiers
   ``* + ? {m} {m,} {m,n}``, the pattern-prefix flags ``(?i)`` (ASCII case
-  folding) and ``(?s)`` (DOTALL: ``.`` matches ``\\n``), and whole-pattern
+  folding) and ``(?s)`` (DOTALL: ``.`` matches ``\\n``), word boundaries
+  ``\\b``/``\\B`` (host Pike-VM path — see ``Bound``), and whole-pattern
   anchors: a leading ``^`` pins
   the match to the start of the stream, a trailing ``$`` to its end (EOF
   acceptance is carried in ``CompiledDfa.accept_eof``).  Anchors apply to
@@ -38,6 +39,8 @@ __all__ = [
     "parse_pattern",
     "ParsedPattern",
     "Group",
+    "Bound",
+    "contains_bound",
     "compile_nfa",
     "nfa_to_dfa",
     "minimize_dfa",
@@ -89,6 +92,19 @@ class Rep:
     node: object
     lo: int
     hi: int | None  # None = unbounded
+
+
+@dataclasses.dataclass(frozen=True)
+class Bound:
+    """Zero-width word-boundary assertion ``\\b`` (``negate`` = ``\\B``).
+
+    Not expressible in the streaming DFA engines (accept there is a pure
+    function of the state at a position, but a trailing ``\\b`` needs the
+    NEXT byte — e.g. ``foo\\b`` on ``food`` vs ``foo!``), so patterns
+    containing it route to the host Pike-VM path (``models/captures.py``),
+    which checks assertions against the surrounding buffer context."""
+
+    negate: bool
 
 
 @dataclasses.dataclass(frozen=True)
@@ -246,6 +262,9 @@ class _Parser:
             self.eat()
             return Lit(_ALL if self.dotall else frozenset(_ALL - {ord("\n")}))
         if c == ord("\\"):
+            if self.p[self.i + 1 : self.i + 2] in (b"b", b"B"):
+                self.i += 2
+                return Bound(negate=self.p[self.i - 1] == ord("B"))
             self.eat()
             return self.lit(self.parse_escape())
         if c in b"*+?":
@@ -270,6 +289,9 @@ class _Parser:
         simple = {
             ord("n"): b"\n", ord("t"): b"\t", ord("r"): b"\r",
             ord("f"): b"\f", ord("v"): b"\v", ord("0"): b"\0",
+            # only reachable from class context: [\b] = backspace (as in re);
+            # outside a class \b/\B are intercepted as Bound assertions
+            ord("b"): b"\x08",
         }
         if c in simple:
             return frozenset(simple[c])
@@ -500,6 +522,12 @@ def _build(nfa: EpsNfa, node) -> tuple[int, int]:
         return a, b
     if isinstance(node, Group):  # captures don't change the language
         return _build(nfa, node.node)
+    if isinstance(node, Bound):
+        raise RegexError(
+            "\\b/\\B are not expressible in the streaming DFA engines "
+            "(accept would depend on the next byte); word-boundary patterns "
+            "run on the host-verified path: search/match/fullmatch/finditer"
+        )
     raise TypeError(node)
 
 
@@ -636,6 +664,20 @@ def minimize_dfa(dfa: CompiledDfa) -> CompiledDfa:
     )
 
 
+def contains_bound(node) -> bool:
+    """True if the AST contains a \\b/\\B assertion (routes the pattern to
+    the host Pike-VM path)."""
+    if isinstance(node, Bound):
+        return True
+    if isinstance(node, Cat):
+        return any(contains_bound(p) for p in node.parts)
+    if isinstance(node, Alt):
+        return any(contains_bound(o) for o in node.options)
+    if isinstance(node, (Rep, Group)):
+        return contains_bound(node.node)
+    return False
+
+
 def reverse_ast(node):
     """AST of the reversed language (for backward scans: a match of R ending
     at i in the stream is a match of reverse(R) starting at i in the
@@ -650,6 +692,8 @@ def reverse_ast(node):
         return Rep(reverse_ast(node.node), node.lo, node.hi)
     if isinstance(node, Group):
         return Group(reverse_ast(node.node), node.index, node.name)
+    if isinstance(node, Bound):
+        return node  # a word boundary is symmetric under reversal
     raise TypeError(node)
 
 

@@ -16,6 +16,9 @@ Semantics differences vs ``re`` (inherent to DFA matching):
     results agree whenever ``re`` picks the same span.  Backreferences and
     lookaround in PATTERNS stay unsupported (not regular); ``\\1``/
     ``\\g<name>`` in ``sub`` REPLACEMENT templates are supported;
+  * ``\\b``/``\\B`` word boundaries ARE supported — such patterns run on the
+    host Pike VM (``api.HostRegexMatcher``; same leftmost-longest spans);
+    their device-throughput extras (``Pattern.scan``/``count``) raise;
   * patterns and subjects are byte-oriented: ``str`` input is UTF-8 encoded
     and spans are byte offsets.
 

@@ -180,3 +180,74 @@ def test_match_expand():
 def test_flag_values_match_re():
     assert re_compat.IGNORECASE == re.IGNORECASE
     assert re_compat.DOTALL == re.DOTALL
+
+
+# -- \b / \B word boundaries (host Pike-VM path) -----------------------------
+
+BOUNDARY_CASES = [
+    (r"\bword\b", b"a word, wordy words word"),
+    (r"\b\w+\b", b"hi there, world_9! x"),
+    (r"\Bar\b", b"bar car ar"),
+    (r"\bfoo", b"food foo bar-foo"),
+    (r"foo\b", b"food foo bar-foo"),   # trailing \b: accept needs NEXT byte
+    (r"(?P<w>\b[a-z]+\b)", b"Big cat, Small dog"),
+    (r"\b(\w)(\w*)\b", b"to be or not"),
+    (r"\B", b"abc d"),                 # zero-width non-boundary positions
+    (r"\b", b""),
+    (r"(?i)\bWORD\b", b"word sword word."),
+]
+
+
+@pytest.mark.parametrize("pat,data", BOUNDARY_CASES)
+def test_word_boundary_vs_re(pat, data):
+    from regex_fpga_tpu.api import HostRegexMatcher
+
+    m = compile_regex(pat)
+    assert isinstance(m, HostRegexMatcher)
+    flags = re.IGNORECASE if pat.startswith("(?i)") else 0
+    ref = re.compile(pat.removeprefix("(?i)").encode(), flags)
+    assert m.finditer(data) == [x.span() for x in ref.finditer(data)]
+    m1, m2 = m.search(data), ref.search(data)
+    assert (m1 is None) == (m2 is None)
+    if m1 is not None:
+        assert m1.span() == m2.span() and m1.groups() == m2.groups()
+    f1, f2 = m.match(data), ref.match(data)
+    assert (f1 is None) == (f2 is None)
+    if f1 is not None:
+        assert f1.span() == f2.span()
+
+
+def test_word_boundary_fullmatch_sub_split():
+    m = compile_regex(r"\b\w+\b")
+    assert m.fullmatch(b"word") is not None
+    assert m.fullmatch(b"wo rd") is None
+    assert m.sub(b"X", b"a bb c") == b"X X X"
+    assert re_compat.sub(r"\bcat\b", "dog", "cat catalog cat") == re.sub(
+        r"\bcat\b", "dog", "cat catalog cat"
+    )
+    assert re_compat.split(r"\b", "ab cd") == re.split(r"\b", "ab cd")
+
+
+def test_word_boundary_device_paths_raise():
+    m = compile_regex(r"\bx\b")
+    for fn in (m.scan, m.count, m.findall_ends):
+        with pytest.raises(NotImplementedError):
+            fn(b"x")
+    with pytest.raises(NotImplementedError):
+        m.stream_scanner()
+
+
+def test_backspace_in_class_is_not_boundary():
+    # [\b] is a literal backspace byte, as in Python re
+    m = compile_regex(r"a[\b]c")
+    assert m.fullmatch(b"a\x08c") is not None
+    assert re.fullmatch(rb"a[\b]c", b"a\x08c") is not None
+
+
+def test_boundary_context_outside_span():
+    # assertions must see buffer context OUTSIDE the matched span
+    m = compile_regex(r"\bfoo")
+    assert m.finditer(b"xfoo foo") == [(5, 8)]  # 'xfoo' has no boundary
+    prog = CaptureProgram(rb"\bfoo")
+    assert prog.longest_end_at(b"xfoo foo", 1) == -1
+    assert prog.longest_end_at(b"xfoo foo", 5) == 8
