@@ -1305,10 +1305,16 @@ class SnortMatcher:
                 if pat is not None:
                     try:
                         d = compile_pattern(pat.encode(), anchored=False)
-                        out = (np.ascontiguousarray(d.table), d.accept,
+                        out = ("dfa", np.ascontiguousarray(d.table), d.accept,
                                d.eof_accept, d.start)
                     except Exception:
-                        out = None
+                        # \b/\B (or DFA blowup): host Pike-VM existence check
+                        try:
+                            from .models.captures import CaptureProgram
+
+                            out = ("host", CaptureProgram(pat.encode()))
+                        except Exception:
+                            out = None
             self._pcre_cache[idx] = out
         return self._pcre_cache[idx]
 
@@ -1320,7 +1326,9 @@ class SnortMatcher:
         t = self._pcre_tables(idx)
         if t is None:
             return None
-        table, accept, eof, start = t
+        if t[0] == "host":  # \b/\B patterns: Pike-VM match existence
+            return bool(t[1].finditer_spans(raw, limit=1))
+        _, table, accept, eof, start = t
         s = start
         for b in raw:
             if accept[s]:

@@ -211,9 +211,11 @@ def pcre_to_pattern(pcre: str) -> str | None:
     if end <= 0:
         return None
     body, flags = pcre[1:end], pcre[end + 1 :]
-    if set(flags) - set("i"):  # s/m/x/R/U/B… not implemented
+    if set(flags) - set("is"):  # m/x/R/U/B… not implemented
         return None
     # common PCRE-only constructs the compiler rejects anyway — fail fast
-    if _pyre.search(r"\(\?<|\(\?=|\(\?!|\\b|\\[1-9]", body):
+    # (\b IS supported — it routes the rule to the host Pike-VM verifier)
+    if _pyre.search(r"\(\?<|\(\?=|\(\?!|\\[1-9]", body):
         return None
-    return ("(?i)" if "i" in flags else "") + body
+    prefix = ("(?i)" if "i" in flags else "") + ("(?s)" if "s" in flags else "")
+    return prefix + body

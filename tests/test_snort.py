@@ -49,7 +49,9 @@ def test_decode_content():
 def test_pcre_translation():
     assert pcre_to_pattern("/user=[0-9]+/") == "user=[0-9]+"
     assert pcre_to_pattern("/abc/i") == "(?i)abc"
-    assert pcre_to_pattern("/a/s") is None          # dotall unsupported
+    assert pcre_to_pattern("/a.b/s") == "(?s)a.b"   # dotall -> (?s)
+    assert pcre_to_pattern(r"/\bword\b/") == r"\bword\b"  # \b -> host VM
+    assert pcre_to_pattern("/a/m") is None          # multiline unsupported
     assert pcre_to_pattern(r"/\bword\b/") is None   # word boundary
     assert pcre_to_pattern("notslash") is None
 
@@ -121,3 +123,20 @@ def test_file_loading(tmp_path):
 def test_no_rules_raises():
     with pytest.raises(ValueError):
         compile_snort("# nothing here\n")
+
+
+def test_pcre_boundary_and_dotall_verification():
+    """\\b and /s pcres verify via the host Pike VM / (?s) compile."""
+    from regex_fpga_tpu.api import compile_snort
+
+    rules = r'''
+alert tcp any any -> any any (msg:"wb"; content:"cat"; pcre:"/\bcat\b/"; sid:8000;)
+alert tcp any any -> any any (msg:"dotall"; content:"a"; pcre:"/a.b/s"; sid:8100;)
+'''
+    m = compile_snort(rules)
+    r = m.scan(b"the cat sat")          # \bcat\b holds
+    assert 8000 in r.sids()
+    r = m.scan(b"concatenate")          # cat present, boundary fails
+    assert 8000 not in r.sids()
+    r = m.scan(b"a\nb")                 # dotall crosses newline
+    assert 8100 in r.sids()
