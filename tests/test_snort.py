@@ -52,7 +52,6 @@ def test_pcre_translation():
     assert pcre_to_pattern("/a.b/s") == "(?s)a.b"   # dotall -> (?s)
     assert pcre_to_pattern(r"/\bword\b/") == r"\bword\b"  # \b -> host VM
     assert pcre_to_pattern("/a/m") is None          # multiline unsupported
-    assert pcre_to_pattern(r"/\bword\b/") is None   # word boundary
     assert pcre_to_pattern("notslash") is None
 
 
