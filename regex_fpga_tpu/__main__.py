@@ -147,27 +147,39 @@ def cmd_presplit(args) -> int:
 
 
 def cmd_conformance(args) -> int:
-    """The four-trace bit-exact gate (SURVEY.md SS4.2) as a CLI check."""
+    """The four-trace bit-exact gate (SURVEY.md SS4.2) as a CLI check.
+
+    Diffs the COMPLETE per-state histogram of every trace/ruleset combo
+    against the committed golden tables (models/golden_histograms.json) —
+    the full testbench printout (testbench_BLK_Mem.sv:75-85), not totals.
+    """
     from . import api
+    from .models import load_golden_histograms
     from .utils.traces import RULESETS, load_trace_pair, reference_root
     import os
 
-    golden_totals = {
-        ("l-7_filter", "lo"): 7, ("l-7_filter", "hi"): 5,
-        ("snort_16", "lo"): 13, ("snort_16", "hi"): 678,
-    }
+    golden = load_golden_histograms()
     ok = True
     for name, (coe_rel, _, _) in RULESETS.items():
         m = api.compile_ruleset(os.path.join(reference_root(), coe_rel))
         lo, hi = load_trace_pair(name)
         rep = m.scan([lo, hi])
         for i, sname in enumerate(("lo", "hi")):
-            got = int(rep.counts[i].sum())
-            want = golden_totals[(name, sname)]
-            mark = "ok" if got == want else "FAIL"
-            if got != want:
-                ok = False
-            print(f"{name}/{sname}: {got} matches (golden {want}) {mark}")
+            counts = rep.counts[i]
+            got = {int(s): int(c) for s, c in enumerate(counts) if c}
+            want = golden[f"{name}/{sname}"]["histogram"]
+            if got == want:
+                print(f"{name}/{sname}: {sum(got.values())} matches over "
+                      f"{len(got)} states — full histogram exact ok")
+                continue
+            ok = False
+            missing = {s: c for s, c in want.items() if got.get(s) != c}
+            extra = {s: c for s, c in got.items() if s not in want}
+            print(f"{name}/{sname}: FAIL — "
+                  f"{len(missing)} states wrong/missing "
+                  f"(e.g. {dict(list(missing.items())[:5])}), "
+                  f"{len(extra)} unexpected "
+                  f"(e.g. {dict(list(extra.items())[:5])})")
     return 0 if ok else 1
 
 

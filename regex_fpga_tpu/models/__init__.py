@@ -8,6 +8,7 @@ from .snort import (
     load_snort_rules,
     parse_snort_rules,
 )
+from .golden import GOLDEN_KEYS, load_golden_histograms
 from .oracle import dfa_scan_counts, dfa_step_table, nfa_scan, nfa_scan_trace
 from .regex import CompiledDfa, DfaBlowupError, RegexError, compile_pattern
 from .tokenizer_dfa import (
@@ -18,6 +19,8 @@ from .tokenizer_dfa import (
 )
 
 __all__ = [
+    "GOLDEN_KEYS",
+    "load_golden_histograms",
     "AhoCorasick",
     "build_aho_corasick",
     "SnortContent",
