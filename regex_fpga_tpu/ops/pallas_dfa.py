@@ -1,24 +1,38 @@
 """Pallas TPU kernel for the fast DFA chain pass.
 
 Same contract as ``dfa_fast.chain_pass_full``/``chain_pass_finals`` but with
-the whole chunk's inner loop fused in VMEM.  Layout: chains are BLOCK-MAJOR
+the chunk's inner loop fused in VMEM.  Layout: chains are BLOCK-MAJOR
 (``(NB, B)`` — one row per chain lane), so each byte-step reads a natural
 ``(TILE, 1)`` column slice and every intermediate stays 2D (Mosaic cannot
 relayout across the lane dimension, so no reshapes/transposes appear):
 
-    col    = cls_ref[:, t]                (TILE, 1) int32
-    oh_c   = col == iota_C                (TILE, C) -> bf16
+    col    = chunk[:, t]                  (TILE, 1) int32
+    oh_c   = col == iota_C                (TILE, C) -> mm dtype
     rows   = oh_c @ T                     (TILE, S) f32 via MXU — exact
     oh_x   = state == iota_S              (TILE, S)
     state  = sum(rows * oh_x, -1)         (TILE, 1) VPU select-reduce
 
 The row GEMM depends only on the byte, not the chain state, so the MXU and
-VPU work of consecutive steps pipeline naturally.  HBM traffic is ~1 class
-byte in + 5 bytes out per scanned byte.
+VPU work of consecutive steps pipeline naturally.
+
+Remote-compile discipline (CLAUDE.md Mosaic quirks, learned on pallas_kgram):
+  * static unrolls are capped at ``_SUB = 32`` steps — larger unrolls blow up
+    the Mosaic program and fail the remote compile;
+  * dynamic lane slices must be 128-aligned, so instead of slicing the window
+    at a dynamic 32-aligned offset the kernel ROTATES the (TILE, 128) window
+    left by 32 after each sub-loop (``pltpu.roll``) and always reads static
+    columns 0..31; per-step outputs are staged the mirror way — written to
+    static columns 96..127 of a scratch that is rotated left by 32 BEFORE
+    each sub-loop, so after 4 subs column k holds step k;
+  * the byte dimension rides on a second grid axis (one 128-byte window per
+    grid step) so Pallas' pipeline machinery double-buffers the HBM->VMEM
+    window DMA against compute — the tpu-native equivalent of the
+    reference's 3-stage fetch/compare overlap (``Design/FPGA.v:229-406``);
+    the chain state carries across windows in a VMEM scratch.
 
 Integer exactness: the table rides in bf16 only when ids <= 256 (7-bit
-mantissa), f32 otherwise (exact below 2^24); accumulation is f32
-(SURVEY.md SS7.4 item 4).
+mantissa), f32 with HIGHEST-precision dots otherwise (exact below 2^24);
+accumulation is f32 (SURVEY.md SS7.4 item 4; rule lives in dfa_fast.mm_dtype).
 """
 
 from __future__ import annotations
@@ -30,75 +44,114 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dfa_fast import mm_dtype
+from .dfa_fast import mm_dtype, mm_precision
 from .tables import DfaTables
 
 __all__ = ["chain_pass_full_pallas", "chain_pass_finals_pallas", "LANE_TILE"]
 
-LANE_TILE = 256   # chain lanes (blocks) per grid cell
+LANE_TILE = 1024  # chain lanes (blocks) per grid cell.  Measured on v5e
+                  # (64 MiB stream, tokenizer DFA S=23/C=10, 2026-08-19):
+                  # full-output 0.60/0.79/0.94/0.98 GB/s and finals-only
+                  # 1.09/1.23/1.33/1.38 GB/s at 256/512/1024/2048 lanes —
+                  # per-op overhead amortizes with lane width until the
+                  # VMEM window buffers cap it.  The jnp/XLA chain pass runs
+                  # the same math at 65536 lanes (2.1 GB/s full output), so
+                  # the compiled Pallas kernel currently LOSES to XLA on
+                  # this chip; it is kept as the explicit-DMA design point
+                  # (and the fixpoint inner loop can use its faster
+                  # finals-only pass).  bench.py records both honestly.
 
-
-WINDOW = 128  # lane-aligned store/load granularity (Mosaic: lane indices
-              # must be static multiples of 128; within a window the step
-              # index is a static Python int)
+_WINDOW = 128     # bytes per grid step (Mosaic: lane-dim loads/stores must be
+                  # 128-aligned)
+_SUB = 32         # static steps per sub-loop (64+ fails the remote compile)
 
 
 def _kernel(cls_ref, t_ref, acc_vec_ref, entry_ref, finals_ref,
-            *rest, b, c, s, emit_outputs):
-    """cls_ref: (TILE, B) int32 block-major classes; t_ref: (C, S) bf16;
-    acc_vec_ref: (1, S) f32; entry/finals: (TILE, 1) int32; when
-    emit_outputs, rest = (states_ref, acc_ref, st_scratch, acc_scratch)."""
+            *rest, c, s, emit_outputs):
+    """Grid: (lane_tiles, num_windows) — window axis innermost, sequential.
+
+    cls_ref: (TILE, 128) int32 block-major classes of this window;
+    t_ref: (C, S) table in mm dtype; acc_vec_ref: (S, 1) f32 accept column;
+    entry/finals: (TILE, 1) int32.  Scratch: st_state (TILE, 1) carries the
+    chain state across windows; in emit mode rest also holds the
+    per-position output refs and their staging scratches.
+    """
     if emit_outputs:
-        states_ref, acc_ref, st_scr, acc_scr = rest
+        states_ref, acc_ref, st_state, st_scr, acc_scr = rest
+    else:
+        (st_state,) = rest
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        st_state[:] = entry_ref[:]
+
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
-    acc_vec = acc_vec_ref[:]  # (1, S)
+    acc_col = acc_vec_ref[:]  # (S, 1) f32 accept indicator column
+    ones_s = jnp.ones((s, 1), jnp.float32)
+    prec = mm_precision(t_ref.dtype)
 
-    def window(w, state):  # state: (TILE, 1) int32
-        base = pl.multiple_of(w * WINDOW, WINDOW)
-        chunk = cls_ref[:, pl.ds(base, WINDOW)]  # (TILE, W) aligned load
-        for t in range(WINDOW):  # static unroll
+    def sub(si, carry):
+        chunk, state = carry  # (TILE, 128) int32, (TILE, 1) int32
+        if emit_outputs:
+            # rotate staged outputs left by _SUB; this sub writes 96..127
+            st_scr[:] = pltpu.roll(st_scr[:], shift=_WINDOW - _SUB, axis=1)
+            acc_scr[:] = pltpu.roll(acc_scr[:], shift=_WINDOW - _SUB, axis=1)
+        for t in range(_SUB):  # static unroll, <= 32 steps
             col = chunk[:, t : t + 1]                           # (TILE, 1)
             oh_c = (col == iota_c).astype(t_ref.dtype)          # (TILE, C)
-            rows = jnp.dot(oh_c, t_ref[:],
+            rows = jnp.dot(oh_c, t_ref[:], precision=prec,
                            preferred_element_type=jnp.float32)  # (TILE, S)
             oh_x = (state == iota_s).astype(jnp.float32)        # (TILE, S)
             if emit_outputs:
-                st_scr[:, t : t + 1] = state
-                acc_scr[:, t : t + 1] = (
-                    jnp.sum(oh_x * acc_vec, axis=-1, keepdims=True) > 0.0
+                o = _WINDOW - _SUB + t
+                st_scr[:, o : o + 1] = state
+                # accept bit = <onehot(state), accept> — one MXU column dot
+                # (a VPU cross-lane reduce here costs ~log2(S) shuffles and
+                # dominated the measured kernel time)
+                acc_scr[:, o : o + 1] = (
+                    jnp.dot(oh_x, acc_col,
+                            preferred_element_type=jnp.float32) > 0.0
                 ).astype(jnp.int32)
-            state = jnp.sum(rows * oh_x, axis=-1, keepdims=True).astype(jnp.int32)
-        if emit_outputs:
-            states_ref[:, pl.ds(base, WINDOW)] = st_scr[:]
-            acc_ref[:, pl.ds(base, WINDOW)] = acc_scr[:] != 0
-        return state
+            # select-reduce on the MXU: sum_s (rows*oh_x)[i,s] via @ones
+            state = jnp.dot(rows * oh_x, ones_s,
+                            preferred_element_type=jnp.float32).astype(jnp.int32)
+        # rotate the window so the next _SUB columns move to the front
+        chunk = pltpu.roll(chunk, shift=_WINDOW - _SUB, axis=1)
+        return chunk, state
 
-    state = jax.lax.fori_loop(0, b // WINDOW, window, entry_ref[:])
-    finals_ref[:] = state
+    _, state = jax.lax.fori_loop(
+        0, _WINDOW // _SUB, sub, (cls_ref[:], st_state[:])
+    )
+    if emit_outputs:
+        states_ref[:] = st_scr[:]
+        acc_ref[:] = acc_scr[:] != 0
+    st_state[:] = state
+    finals_ref[:] = state  # last window's write is the final state
 
 
 def _pallas_chain(tables: DfaTables, cls_blocks: jnp.ndarray,
-                  entries: jnp.ndarray, emit_outputs: bool, interpret: bool):
+                  entries: jnp.ndarray, emit_outputs: bool, interpret: bool,
+                  lane_tile: int = LANE_TILE):
     """cls_blocks: (NB, B) block-major class ids."""
+    LANE_TILE_ = lane_tile
     nb, b = cls_blocks.shape
     c, s = tables.table.shape
-    assert nb % LANE_TILE == 0, f"num_blocks must be a multiple of {LANE_TILE}"
-    assert b % WINDOW == 0, f"block bytes must be a multiple of {WINDOW}"
-    grid = (nb // LANE_TILE,)
+    assert nb % LANE_TILE_ == 0, f"num_blocks must be a multiple of {LANE_TILE_}"
+    assert b % _WINDOW == 0, f"block bytes must be a multiple of {_WINDOW}"
+    grid = (nb // LANE_TILE_, b // _WINDOW)
 
-    kernel = functools.partial(_kernel, b=b, c=c, s=s, emit_outputs=emit_outputs)
-    scratch_shapes = (
-        [
-            pltpu.VMEM((LANE_TILE, WINDOW), jnp.int32),
-            pltpu.VMEM((LANE_TILE, WINDOW), jnp.int32),
+    kernel = functools.partial(_kernel, c=c, s=s, emit_outputs=emit_outputs)
+    scratch_shapes = [pltpu.VMEM((LANE_TILE_, 1), jnp.int32)]  # chain state
+    if emit_outputs:
+        scratch_shapes += [
+            pltpu.VMEM((LANE_TILE_, _WINDOW), jnp.int32),
+            pltpu.VMEM((LANE_TILE_, _WINDOW), jnp.int32),
         ]
-        if emit_outputs
-        else []
-    )
     out_shape = [jax.ShapeDtypeStruct((nb, 1), jnp.int32)]  # finals
     out_specs = [
-        pl.BlockSpec((LANE_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((LANE_TILE_, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     ]
     if emit_outputs:
         out_shape += [
@@ -106,18 +159,30 @@ def _pallas_chain(tables: DfaTables, cls_blocks: jnp.ndarray,
             jax.ShapeDtypeStruct((nb, b), jnp.bool_),    # accept bits
         ]
         out_specs += [
-            pl.BlockSpec((LANE_TILE, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANE_TILE, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE_TILE_, _WINDOW), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE_TILE_, _WINDOW), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
         ]
-    acc_vec = tables.accept.astype(jnp.float32)[None, :]  # (1, S)
+        # emit-mode scratches are staged via rolls only; order inside rest
+        # is (states_ref, acc_ref, st_state, st_scr, acc_scr) — st_state
+        # first in scratch_shapes order after the two output refs.
+        scratch_shapes = [
+            pltpu.VMEM((LANE_TILE_, 1), jnp.int32),
+            pltpu.VMEM((LANE_TILE_, _WINDOW), jnp.int32),
+            pltpu.VMEM((LANE_TILE_, _WINDOW), jnp.int32),
+        ]
+    acc_vec = tables.accept.astype(jnp.float32)[:, None]  # (S, 1) column
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((LANE_TILE, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANE_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE_TILE_, _WINDOW), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, s), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE_TILE_, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
         out_specs=out_specs,
@@ -141,22 +206,24 @@ def _auto_interpret(interpret):
     return jax.default_backend() != "tpu" if interpret is None else interpret
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "lane_tile"))
 def chain_pass_finals_pallas(tables: DfaTables, cls_seq: jnp.ndarray,
-                             entries: jnp.ndarray, interpret: bool | None = None):
+                             entries: jnp.ndarray, interpret: bool | None = None,
+                             lane_tile: int = LANE_TILE):
     """cls_seq: (B, NB) columns (the jnp engines' layout); transposed here to
     the kernel's block-major layout once per call."""
     finals, _, _ = _pallas_chain(
-        tables, cls_seq.T, entries, False, _auto_interpret(interpret)
+        tables, cls_seq.T, entries, False, _auto_interpret(interpret), lane_tile
     )
     return finals
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "lane_tile"))
 def chain_pass_full_pallas(tables: DfaTables, cls_seq: jnp.ndarray,
-                           entries: jnp.ndarray, interpret: bool | None = None):
+                           entries: jnp.ndarray, interpret: bool | None = None,
+                           lane_tile: int = LANE_TILE):
     finals, states, acc = _pallas_chain(
-        tables, cls_seq.T, entries, True, _auto_interpret(interpret)
+        tables, cls_seq.T, entries, True, _auto_interpret(interpret), lane_tile
     )
     # back to the engines' (B, NB) convention
     return finals, states.T, acc.T

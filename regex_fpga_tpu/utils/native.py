@@ -13,7 +13,13 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["native_available", "nfa_scan_native", "dfa_scan_native"]
+__all__ = [
+    "native_available",
+    "nfa_scan_native",
+    "dfa_scan_native",
+    "anchored_spans_native",
+    "nfa_match_positions_native",
+]
 
 _LIB = None
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
@@ -66,6 +72,16 @@ def _load():
         i32p, ctypes.c_int64, u8p, u8p, u8p,
         i64p, i64p, i32p, ctypes.c_int64, i64p, ctypes.c_int32,
         ctypes.c_int64,
+    ]
+    lib.anchored_spans.restype = ctypes.c_int64
+    lib.anchored_spans.argtypes = [
+        i32p, u8p, u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+        u8p, ctypes.c_int64, i64p, ctypes.c_int64, i64p, ctypes.c_int64,
+    ]
+    lib.nfa_match_positions.restype = ctypes.c_int64
+    lib.nfa_match_positions.argtypes = [
+        i32p, i32p, u8p, ctypes.c_int64, ctypes.c_int64,
+        u8p, ctypes.c_int64, i32p, ctypes.c_int64, i64p, ctypes.c_int64,
     ]
     _LIB = lib
     return lib
@@ -144,3 +160,75 @@ def dfa_scan_native(
         _ptr(mask, ctypes.c_uint8) if want_mask else None,
     )
     return counts, (mask.astype(bool) if want_mask else None), int(final)
+
+
+def anchored_spans_native(
+    table: np.ndarray,       # (256, S) int32, raw-byte indexed anchored DFA
+    accept: np.ndarray,      # (S,) bool/uint8
+    accept_eof: np.ndarray,  # (S,) bool/uint8
+    start_state: int,
+    dead: int,
+    stream: np.ndarray,      # (len,) uint8
+    starts: np.ndarray,      # sorted candidate start offsets
+) -> np.ndarray:
+    """Longest anchored match per start with non-overlap suppression;
+    returns an (n, 2) int64 span array (the finditer forward stage)."""
+    lib = _load()
+    _, s = table.shape
+    table = np.ascontiguousarray(table, dtype=np.int32)
+    accept8 = np.ascontiguousarray(accept, dtype=np.uint8)
+    eof8 = np.ascontiguousarray(accept_eof, dtype=np.uint8)
+    stream = np.ascontiguousarray(stream, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    cap = max(16, len(starts))
+    while True:
+        out = np.empty((cap, 2), dtype=np.int64)
+        n = lib.anchored_spans(
+            _ptr(table, ctypes.c_int32), _ptr(accept8, ctypes.c_uint8),
+            _ptr(eof8, ctypes.c_uint8), int(start_state), int(dead), s,
+            _ptr(stream, ctypes.c_uint8), len(stream),
+            _ptr(starts, ctypes.c_int64), len(starts),
+            _ptr(out, ctypes.c_int64), cap,
+        )
+        if n >= 0:
+            return out[:n]
+        cap *= 2  # unreachable in practice (spans <= starts), kept for safety
+
+
+def nfa_match_positions_native(
+    delta: np.ndarray,      # (C, S+1, K) int32
+    class_of: np.ndarray,   # (256,) int32
+    accept: np.ndarray,     # (S+1,) bool/uint8
+    stream: np.ndarray,     # (len,) uint8
+    active: np.ndarray | None = None,
+    active_cap: int = 1024,
+) -> np.ndarray:
+    """Byte offsets where an accepting state is active (oracle timing:
+    one char late, final-position accept dropped).  Returns int64 offsets."""
+    lib = _load()
+    c, s1, k = delta.shape
+    s = s1 - 1
+    delta = np.ascontiguousarray(delta, dtype=np.int32)
+    class_of = np.ascontiguousarray(class_of, dtype=np.int32)
+    accept8 = np.ascontiguousarray(accept, dtype=np.uint8)
+    stream = np.ascontiguousarray(stream, dtype=np.uint8)
+    if active is None:
+        active = np.full(active_cap, s, dtype=np.int32)
+        active[0] = 0
+    active = np.ascontiguousarray(active, dtype=np.int32)
+    cap = max(1024, len(stream) // 4)
+    while True:
+        out = np.empty(cap, dtype=np.int64)
+        n = lib.nfa_match_positions(
+            _ptr(delta, ctypes.c_int32), _ptr(class_of, ctypes.c_int32),
+            _ptr(accept8, ctypes.c_uint8), s, k,
+            _ptr(stream, ctypes.c_uint8), len(stream),
+            _ptr(active, ctypes.c_int32), len(active),
+            _ptr(out, ctypes.c_int64), cap,
+        )
+        if n == -2:
+            raise RuntimeError("native nfa_match_positions: active-set "
+                               "capacity exceeded")
+        if n >= 0:
+            return out[:n]
+        cap = min(cap * 4, len(stream) + 1)

@@ -80,3 +80,66 @@ def test_nfa_native_overflow():
             np.asarray(t.delta), np.asarray(t.class_of), np.asarray(t.accept),
             stream, active_cap=4,
         )
+
+
+def test_anchored_spans_native_vs_python(rng):
+    """Native finditer forward stage == the Python reference loop."""
+    from regex_fpga_tpu.api import compile_regex
+    from regex_fpga_tpu.utils.native import anchored_spans_native
+
+    for pattern in (r"ab+c", r"[0-9]+(\.[0-9]+)?", r"(foo|foobar)", r"x*",
+                    r"a[bc]*d$"):
+        m = compile_regex(pattern)
+        m._ensure_anchored()
+        table, accept, dead, accept_eof = m._anchored_np
+        corpus = bytes(rng.integers(0, 256, size=4000, dtype=np.int64) % 256)
+        corpus += b" abc abbbc 12.5 7 foobar foo xxxx abcd ad a"
+        stream = np.frombuffer(corpus, dtype=np.uint8)
+        starts = np.arange(len(stream), dtype=np.int64)  # every offset
+        got = anchored_spans_native(
+            table, accept, accept_eof, m._anchored_start, dead, stream, starts
+        )
+        # Python reference: the suppression loop with _anchored_longest_end
+        spans, p = [], 0
+        for s0 in starts:
+            if s0 < p:
+                continue
+            e = m._anchored_longest_end(stream, int(s0))
+            if e >= 0:
+                spans.append((int(s0), e))
+                p = max(e, int(s0) + 1)
+        assert [(int(a), int(b)) for a, b in got] == spans, pattern
+
+
+def test_nfa_match_positions_native_vs_oracle(rng):
+    from regex_fpga_tpu.models.oracle import nfa_scan_trace
+    from regex_fpga_tpu.utils.native import nfa_match_positions_native
+
+    aut = random_nfa(rng, n_states=40, n_edges=300, n_accept=6)
+    t = build_nfa_tables(aut)
+    stream = rng.integers(0, 256, size=4000).astype(np.uint8)
+    got = nfa_match_positions_native(
+        np.asarray(t.delta), np.asarray(t.class_of), np.asarray(t.accept), stream
+    )
+    hist = nfa_scan_trace(aut, stream)
+    acc = aut.accept_mask
+    want = [i for i, states in enumerate(hist[:-1])
+            if any(acc[s] for s in states)]
+    assert got.tolist() == want
+
+
+def test_finditer_match_dense_native_speed():
+    """Match-dense corpus: the native forward stage keeps finditer at
+    native-walk speed (the old per-byte Python loop ran ~1 MB/s)."""
+    import time
+
+    from regex_fpga_tpu.api import compile_regex
+
+    m = compile_regex(r"[a-z]+")
+    corpus = (b"lorem ipsum dolor sit amet 42 " * 140000)[: 4 << 20]  # 4 MiB
+    t0 = time.perf_counter()
+    spans = m.finditer(corpus)
+    dt = time.perf_counter() - t0
+    assert len(spans) == sum(1 for _ in __import__("re").finditer(rb"[a-z]+", corpus))
+    # ~0.6 MB of matches/span work; native walk does this in well under 2 s
+    assert dt < 10.0, f"finditer took {dt:.1f}s on 4 MiB match-dense corpus"
