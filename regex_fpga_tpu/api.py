@@ -586,6 +586,12 @@ class DfaMatcher:
                 self.tables, jnp.asarray(chunk), num_blocks=nb,
                 start=cur, max_iters=self.config.max_iters,
             )
+            if not bool(res.domain_ok):
+                raise RuntimeError(
+                    "device DFA pass produced out-of-domain state ids — "
+                    "corrupt table or broken exactness contract "
+                    "(SURVEY.md SS5.2 guard)"
+                )
             if not bool(res.converged):
                 converged = False
                 res = self._exact_fallback(stream[off : off + cb], cur)

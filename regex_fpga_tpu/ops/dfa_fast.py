@@ -44,6 +44,7 @@ __all__ = [
     "chain_pass_full",
     "mm_dtype",
     "mm_precision",
+    "table_domain_ok",
 ]
 
 
@@ -54,6 +55,10 @@ class FastScanResult(NamedTuple):
     converged: jnp.ndarray     # () bool
     iterations: jnp.ndarray    # () int32
     counts: jnp.ndarray | None = None  # (S,) per-state counts (counts mode)
+    #: SURVEY.md SS5.2 integer-domain guard: False means the device pass
+    #: produced out-of-domain values (corrupt/mis-typed table, broken
+    #: exactness contract) — results must be discarded, not trusted.
+    domain_ok: jnp.ndarray | bool = True
 
 
 def mm_dtype(num_states: int):
@@ -94,6 +99,24 @@ def _step_tables(tables: DfaTables):
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
     return t, iota_c, iota_s
+
+
+def table_domain_ok(tables: DfaTables) -> jnp.ndarray:
+    """SURVEY.md SS5.2 guard, evaluated on device: every transition target
+    must be a valid state id AND survive the ``mm_dtype`` cast losslessly
+    (bf16 corrupts integers > 256 silently — the exactness contract in
+    ``mm_dtype``'s docstring).  Returns a () bool."""
+    c, s = tables.table.shape
+    t = tables.table
+    in_range = jnp.all((t >= 0) & (t < s))
+    lossless = jnp.all(
+        t.astype(_mm_dtype(s)).astype(jnp.int32) == t.astype(jnp.int32)
+    )
+    return jnp.logical_and(in_range, lossless)
+
+
+def _finals_domain_ok(finals: jnp.ndarray, s: int) -> jnp.ndarray:
+    return jnp.all((finals >= 0) & (finals < s))
 
 
 def _mm_step(t_mm, iota_c, iota_s, state, cls_t):
@@ -263,6 +286,7 @@ def dfa_scan_fast(
         finals, counts, converged, iters = jax.lax.cond(
             spec_ok, _speculated_c, _jacobi_c, None
         )
+        s_dim = tables.num_states
         return FastScanResult(
             final_state=finals[-1],
             match_mask=None,
@@ -270,6 +294,9 @@ def dfa_scan_fast(
             converged=converged,
             iterations=iters,
             counts=counts,
+            domain_ok=jnp.logical_and(
+                table_domain_ok(tables), _finals_domain_ok(finals, s_dim)
+            ),
         )
 
     finals0, states0, acc0 = pass_full(entries0)
@@ -288,6 +315,7 @@ def dfa_scan_fast(
     finals, states, acc, converged, iters = jax.lax.cond(
         spec_ok, _speculated, _jacobi, None
     )
+    s_dim = tables.num_states
     # (B, NB) -> stream order (NB, B) -> (L,)
     return FastScanResult(
         final_state=finals[-1],
@@ -295,6 +323,13 @@ def dfa_scan_fast(
         states=states.T.reshape(-1),
         converged=converged,
         iterations=iters,
+        domain_ok=jnp.logical_and(
+            table_domain_ok(tables),
+            jnp.logical_and(
+                _finals_domain_ok(finals, s_dim),
+                _finals_domain_ok(states, s_dim),
+            ),
+        ),
     )
 
 
@@ -305,6 +340,7 @@ class MultiScanResult(NamedTuple):
     states: jnp.ndarray | None      # (N, L) int32 (full mode)
     converged: jnp.ndarray     # () bool
     iterations: jnp.ndarray    # () int32
+    domain_ok: jnp.ndarray | bool = True  # SURVEY.md SS5.2 guard (see above)
 
 
 def _chain_pass_counts_multi(tables: DfaTables, cls_seq, entries, n: int):
@@ -423,6 +459,10 @@ def dfa_scan_fast_multi(
             states=None,
             converged=converged,
             iterations=iters,
+            domain_ok=jnp.logical_and(
+                table_domain_ok(tables),
+                _finals_domain_ok(finals, tables.num_states),
+            ),
         )
 
     pass_full = lambda e: chain_pass_full(tables, cls_seq, e)
@@ -448,4 +488,11 @@ def dfa_scan_fast_multi(
         states=states.T.reshape(n, l),
         converged=converged,
         iterations=iters,
+        domain_ok=jnp.logical_and(
+            table_domain_ok(tables),
+            jnp.logical_and(
+                _finals_domain_ok(finals, tables.num_states),
+                _finals_domain_ok(states, tables.num_states),
+            ),
+        ),
     )

@@ -110,8 +110,18 @@ def build_dfa_tables(
     table_256: np.ndarray, accept: np.ndarray
 ) -> DfaTables:
     """Build from a dense (256, S) table (e.g. ``oracle.dfa_step_table`` or a
-    compiled regex DFA), compressing the byte axis to equivalence classes."""
+    compiled regex DFA), compressing the byte axis to equivalence classes.
+
+    Rejects out-of-range transition targets at build time (SURVEY.md SS5.2:
+    fail loudly on the host rather than silently mis-scan on the device —
+    an out-of-range id makes the one-hot select yield state 0)."""
     table_256 = np.asarray(table_256)
+    s = table_256.shape[1]
+    if table_256.size and (table_256.min() < 0 or table_256.max() >= s):
+        raise ValueError(
+            f"transition targets must be in [0, {s}); got "
+            f"[{table_256.min()}, {table_256.max()}]"
+        )
     _, class_of = np.unique(table_256, axis=0, return_inverse=True)
     # np.unique sorts rows; rebuild table in class order
     reps = np.zeros(class_of.max() + 1, dtype=np.int64)

