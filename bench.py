@@ -135,6 +135,54 @@ def main() -> None:
 
     bps = max(full_bps, kgram_bps)
 
+    # ingest/compute overlap (VERDICT r1 item 7): chunked scan with the
+    # host-side class-map + upload of chunk k+1 prefetched during the
+    # device scan of chunk k (parallel/ingest.py::prefetch_chunks)
+    ingest_overlap = None
+    try:
+        from regex_fpga_tpu.parallel.ingest import prefetch_chunks, resilient_scan
+
+        chunk_b = 1 << 24  # 16 MiB x 8 chunks
+        big = np.frombuffer(frag * (8 * reps), dtype=np.uint8)[: 8 * chunk_b]
+
+        def chunks_iter():
+            for off in range(0, len(big), chunk_b):
+                yield off, big[off : off + chunk_b]
+
+        def prepare(raw):  # host class-map + async device upload
+            return jnp.asarray(class_lut[raw].astype(np.int32))
+
+        def scan_chunk(cls_dev, carry):
+            st = int(carry["state"]) if carry else tok.start
+            r = dfa_scan_fast(dt, cls_dev, num_blocks=16384, start=st,
+                              emit="counts")
+            return {"state": np.asarray(r.final_state),
+                    "total": (carry or {}).get("total", 0)
+                    + int(np.asarray(r.counts).sum())}
+
+        # warm the chunk shape
+        scan_chunk(prepare(big[:chunk_b]), None)
+        t0 = time.perf_counter()
+        c_ser = resilient_scan(
+            scan_chunk, ((o, prepare(c)) for o, c in chunks_iter())
+        )
+        t_ser = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        c_ovl = resilient_scan(
+            scan_chunk, prefetch_chunks(chunks_iter(), prepare=prepare)
+        )
+        t_ovl = time.perf_counter() - t0
+        assert c_ser["total"] == c_ovl["total"]
+        ingest_overlap = {
+            "chunks": 8,
+            "chunk_bytes": chunk_b,
+            "serial_bytes_per_sec": round(len(big) / t_ser, 1),
+            "overlapped_bytes_per_sec": round(len(big) / t_ovl, 1),
+            "speedup": round(t_ser / t_ovl, 3),
+        }
+    except Exception as e:
+        print(f"# ingest overlap skipped: {e}", file=sys.stderr)
+
     # context: conformance on the reference's own headline workload
     # (snort_16 NFA ruleset) — exactness + sustained lazy-DFA throughput
     conf_ok = None
@@ -188,6 +236,7 @@ def main() -> None:
             ),
             "kgram4_counting_bytes_per_sec": round(kgram_bps, 1),
             "size_sweep": size_sweep,
+            "ingest_overlap": ingest_overlap,
             "kgram4_converged": bool(rk.converged),
             "stream_bytes": l,
             "num_blocks": nb,

@@ -43,7 +43,12 @@ def main():
         if ndev > ndev_all:
             break
         mesh = make_mesh(1, ndev, devices=jax.devices()[:ndev])
-        batch, bps_shard, blk = 4, 512, 128
+        if jax.devices()[0].platform == "cpu":
+            batch, bps_shard, blk = 4, 512, 128
+        else:
+            # real-chip sizes: small workloads are dispatch/tunnel-latency
+            # bound (measured 28 MB/s at 256 KB vs 2+ GB/s at 64 MiB)
+            batch, bps_shard, blk = 8, 8192, 1024
         l = ndev * bps_shard * blk  # scale work with devices (weak scaling)
         classes = jnp.asarray(
             rng.integers(0, dt.num_classes, size=(batch, l), dtype=np.int32)

@@ -1360,6 +1360,18 @@ class SnortMatcher:
         if t[0] == "host":  # \b/\B patterns: Pike-VM match existence
             return bool(t[1].finditer_spans(raw, limit=1))
         _, table, accept, eof, start = t
+        from .utils.native import dfa_scan_native, native_available
+
+        if native_available():
+            # native walk (identity byte classes — pcre tables are raw-byte
+            # indexed); the per-byte Python loop below runs ~1 MB/s and
+            # does not scale to stream payloads
+            counts, _, final = dfa_scan_native(
+                table, np.arange(256, dtype=np.int32), accept,
+                np.frombuffer(raw, dtype=np.uint8),
+                start=start, want_mask=False,
+            )
+            return bool(counts.sum() > 0 or accept[final] or eof[final])
         s = start
         for b in raw:
             if accept[s]:

@@ -22,7 +22,59 @@ from typing import Callable, Iterable, Iterator
 
 import numpy as np
 
-__all__ = ["iter_file_chunks", "shard_files", "CheckpointStore", "resilient_scan"]
+__all__ = [
+    "iter_file_chunks",
+    "shard_files",
+    "CheckpointStore",
+    "resilient_scan",
+    "prefetch_chunks",
+]
+
+
+def prefetch_chunks(
+    chunks: Iterable[tuple[int, np.ndarray]],
+    prepare: Callable[[np.ndarray], object] | None = None,
+    depth: int = 2,
+) -> Iterator[tuple[int, object]]:
+    """Overlap ingest with compute: a worker thread reads (and ``prepare``s)
+    up to ``depth`` chunks ahead while the caller scans the current one —
+    the tpu-native analogue of the reference's fetch/compare overlap
+    (``Design/FPGA.v:229-242``), applied at the chunk level.
+
+    ``prepare`` runs on the worker thread; the intended use is host-side
+    byte-class mapping + ``jnp.asarray`` so the host→device upload of chunk
+    k+1 is in flight during the device scan of chunk k (JAX dispatch is
+    async, so the caller's scan does not block the worker).  Order is
+    preserved; a worker exception re-raises at the consumption point.
+    Composes with ``resilient_scan``:
+
+        resilient_scan(scan_chunk, prefetch_chunks(iter_file_chunks(p, n),
+                                                   prepare=cls_map))
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    sentinel = object()
+    failure: list[BaseException] = []
+
+    def worker():
+        try:
+            for off, chunk in chunks:
+                q.put((off, prepare(chunk) if prepare else chunk))
+        except BaseException as e:  # surfaced to the consumer below
+            failure.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if failure:
+                raise failure[0]
+            return
+        yield item
 
 
 def iter_file_chunks(

@@ -88,3 +88,53 @@ def test_multihost_single_process_topology():
         ser = dfa_scan_serial(dt, jnp.asarray(streams[i]), start=tok.start)
         assert int(finals[i]) == int(ser.final_state)
         assert int(counts[i]) == int(np.asarray(ser.counts).sum())
+
+
+def _counter_dfa(s_states: int):
+    """Adversarial NON-synchronizing automaton: state = (state + byte) mod S.
+
+    Every entry-state guess stays wrong forever (the transition function is
+    a permutation for every byte), so overlap speculation never helps and
+    the Jacobi fixpoint degenerates to sequential seam propagation — the
+    worst case for the block-parallel design (ops/dfa_fast.py header)."""
+    table = (np.arange(256)[:, None] + np.arange(s_states)[None, :]) % s_states
+    accept = np.zeros(s_states, dtype=bool)
+    accept[0] = True
+    return build_dfa_tables(table, accept)
+
+
+@pytest.mark.parametrize("n_seq", [2, 4])
+def test_dfa_dist_adversarial_seams_exact_when_converged(rng, n_seq):
+    """Non-synchronizing automaton ACROSS CHIP SEAMS: with few enough total
+    blocks the sequential Jacobi propagation still reaches the fixpoint and
+    the result is bit-exact vs the serial scan."""
+    n_data = 8 // n_seq
+    mesh = make_mesh(n_data, n_seq)
+    dt = _counter_dfa(17)
+    bps = 2  # blocks per shard -> n_seq*2 total blocks, < max_iters
+    l = n_seq * bps * 128
+    streams = rng.integers(0, 256, size=(n_data, l)).astype(np.uint8)
+    classes = np.asarray(dt.class_of)[streams]
+    finals, counts, converged = dfa_scan_fast_dist(
+        mesh, dt, jnp.asarray(classes), blocks_per_shard=bps,
+        max_iters=4 * n_seq,
+    )
+    assert bool(converged)
+    ser = dfa_scan_serial(dt, jnp.asarray(streams[0]))
+    assert int(finals[0]) == int(ser.final_state)
+    assert int(counts[0]) == int(np.asarray(ser.match_mask).sum())
+
+
+def test_dfa_dist_adversarial_seams_reports_nonconvergence(rng):
+    """With more total blocks than max_iters the engine must REPORT failure
+    (converged=False), never return silently wrong counts."""
+    mesh = make_mesh(2, 4)
+    dt = _counter_dfa(17)
+    bps = 16  # 64 total blocks >> max_iters=8
+    l = 4 * bps * 64
+    streams = rng.integers(0, 256, size=(2, l)).astype(np.uint8)
+    classes = np.asarray(dt.class_of)[streams]
+    _, _, converged = dfa_scan_fast_dist(
+        mesh, dt, jnp.asarray(classes), blocks_per_shard=bps, max_iters=8,
+    )
+    assert not bool(converged)

@@ -141,3 +141,67 @@ def test_cli_snort(tmp_path, capsys):
     clean = tmp_path / "clean.bin"
     clean.write_bytes(b"nothing to see")
     assert main(["snort", str(rules), str(clean)]) == 1
+
+
+def test_prefetch_chunks_preserves_order_and_values(tmp_path):
+    from regex_fpga_tpu.parallel.ingest import prefetch_chunks
+
+    path = tmp_path / "data.bin"
+    data = np.arange(4096, dtype=np.int64).astype(np.uint8)
+    data.tofile(path)
+    plain = list(iter_file_chunks(str(path), 512))
+    pre = list(prefetch_chunks(iter_file_chunks(str(path), 512),
+                               prepare=lambda c: c * 2))
+    assert [o for o, _ in pre] == [o for o, _ in plain]
+    for (_, a), (_, b) in zip(pre, plain):
+        np.testing.assert_array_equal(a, b * 2)
+
+
+def test_prefetch_chunks_propagates_worker_error():
+    from regex_fpga_tpu.parallel.ingest import prefetch_chunks
+
+    def bad_iter():
+        yield 0, np.zeros(4, np.uint8)
+        raise RuntimeError("ingest failed")
+
+    it = prefetch_chunks(bad_iter())
+    next(it)
+    with pytest.raises(RuntimeError, match="ingest failed"):
+        list(it)
+
+
+def test_prefetch_overlaps_prepare_with_scan():
+    """Ingest/compute overlap: with prepare and scan each sleeping T, the
+    prefetched pipeline finishes in ~max-path time, not the serial sum."""
+    import time
+
+    from regex_fpga_tpu.parallel.ingest import prefetch_chunks
+
+    n, t = 6, 0.05
+
+    def chunks():
+        for i in range(n):
+            yield i, np.full(8, i, np.uint8)
+
+    def prepare(c):
+        time.sleep(t)
+        return c
+
+    def scan_chunk(chunk, carry):
+        time.sleep(t)
+        s = (carry or {}).get("sum", 0)
+        return {"sum": s + int(chunk.sum())}
+
+    t0 = time.perf_counter()
+    serial = resilient_scan(scan_chunk,
+                            ((o, prepare(c)) for o, c in chunks()))
+    t_serial = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    overlapped = resilient_scan(scan_chunk,
+                                prefetch_chunks(chunks(), prepare=prepare))
+    t_overlap = time.perf_counter() - t0
+
+    assert overlapped["sum"] == serial["sum"]
+    # serial ~ 2nT = 0.6 s; overlapped ~ (n+1)T = 0.35 s; generous margin
+    assert t_overlap < t_serial * 0.8, (t_overlap, t_serial)

