@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from .regex import (
     Alt,
+    Anchor,
     Bound,
     Cat,
     Group,
@@ -123,6 +124,10 @@ def _lower(prog: _Prog, node) -> tuple[int, int]:
         a, b = prog.new(), prog.new()
         prog.eps[a].append((b, None, "B" if node.negate else "b"))
         return a, b
+    if isinstance(node, Anchor):  # (?m) line anchors: "^" / "$"
+        a, b = prog.new(), prog.new()
+        prog.eps[a].append((b, None, node.kind))
+        return a, b
     if isinstance(node, Group):
         a, b = prog.new(), prog.new()
         fa, fb = _lower(prog, node.node)
@@ -156,6 +161,16 @@ class CaptureProgram:
 
     # -- Pike VM -----------------------------------------------------------
 
+    def _assert_ok(self, asrt: str, data, pos: int) -> bool:
+        r"""Zero-width assertion check at ``pos`` against the whole buffer:
+        \b/\B word boundaries and (?m) line anchors (``^`` = buffer start
+        or right after newline; ``$`` = buffer end or right before one)."""
+        if asrt == "^":
+            return pos == 0 or data[pos - 1] == 0x0A
+        if asrt == "$":
+            return pos == len(data) or data[pos] == 0x0A
+        return self._at_boundary(data, pos) == (asrt == "b")
+
     @staticmethod
     def _at_boundary(data, pos: int) -> bool:
         """Word boundary at ``pos`` (between bytes pos-1 and pos), judged
@@ -176,9 +191,7 @@ class CaptureProgram:
         if self._prog.char[state] is not None or state == self._accept:
             threads.append((state, tags, last))
         for dst, tag, asrt in self._prog.eps[state]:
-            if asrt is not None and self._at_boundary(data, pos) != (
-                asrt == "b"
-            ):
+            if asrt is not None and not self._assert_ok(asrt, data, pos):
                 continue
             nt, nl = tags, last
             if tag is not None:
@@ -231,9 +244,7 @@ class CaptureProgram:
         if self._prog.char[state] is not None or state == self._accept:
             threads.append((state, startpos))
         for dst, _tag, asrt in self._prog.eps[state]:
-            if asrt is not None and self._at_boundary(data, pos) != (
-                asrt == "b"
-            ):
+            if asrt is not None and not self._assert_ok(asrt, data, pos):
                 continue
             self._sclose(threads, dst, startpos, pos, seen, data)
 

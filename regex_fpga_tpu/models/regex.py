@@ -108,6 +108,19 @@ class Bound:
 
 
 @dataclasses.dataclass(frozen=True)
+class Anchor:
+    """Zero-width LINE anchor ``^``/``$`` under ``(?m)`` (MULTILINE).
+
+    Like ``Bound``, not expressible in the streaming DFA engines (a ``$``
+    needs the NEXT byte to be ``\\n`` or end-of-buffer), so patterns
+    containing it route to the host Pike-VM path.  ``kind`` is ``"^"``
+    (start of buffer or right after ``\\n``) or ``"$"`` (end of buffer or
+    right before ``\\n``) — Python ``re.MULTILINE`` semantics."""
+
+    kind: str  # "^" | "$"
+
+
+@dataclasses.dataclass(frozen=True)
 class Group:
     """Capturing group ``(...)`` / ``(?P<name>...)``.  Transparent to the
     DFA/CSR compilation paths (captures do not change the language); consumed
@@ -132,11 +145,12 @@ def _casefold(chars: frozenset) -> frozenset:
 
 class _Parser:
     def __init__(self, pattern: bytes, fold: bool = False,
-                 dotall: bool = False):
+                 dotall: bool = False, multiline: bool = False):
         self.p = pattern
         self.i = 0
         self.fold = fold
         self.dotall = dotall
+        self.multiline = multiline
         self.ngroups = 0
         self.group_names: dict[str, int] = {}
 
@@ -270,14 +284,20 @@ class _Parser:
         if c in b"*+?":
             raise self.error("quantifier with nothing to repeat")
         if c == ord("^"):
+            if self.multiline:
+                self.eat()
+                return Anchor("^")
             raise self.error(
                 "'^' anchor only supported at pattern start (escape as \\^ "
-                "for a literal caret)"
+                "for a literal caret, or use (?m) for line anchors)"
             )
         if c == ord("$"):
+            if self.multiline:
+                self.eat()
+                return Anchor("$")
             raise self.error(
                 "'$' anchor only supported at pattern end (escape as \\$ "
-                "for a literal dollar)"
+                "for a literal dollar, or use (?m) for line anchors)"
             )
         self.eat()
         return self.lit(frozenset({c}))
@@ -370,6 +390,7 @@ class ParsedPattern:
     ignore_case: bool
     num_groups: int = 0
     group_names: dict = dataclasses.field(default_factory=dict)
+    multiline: bool = False
 
 
 def _has_toplevel_alt(data: bytes) -> bool:
@@ -399,34 +420,38 @@ def parse_pattern(pattern: str | bytes) -> ParsedPattern:
     """Parse a pattern, extracting the ``(?i)`` flag and whole-pattern
     anchors.  ``^``/``$`` elsewhere raise (they are never literals)."""
     data = pattern.encode() if isinstance(pattern, str) else bytes(pattern)
-    # pattern-prefix flag groups: (?i) (?s) (?is) ... (whole-pattern scope)
-    fold = dotall = False
+    # pattern-prefix flag groups: (?i) (?s) (?m) (?ism) ... (whole-pattern)
+    fold = dotall = multiline = False
     while data[:2] == b"(?":
         j = data.find(b")", 2)
-        if j < 0 or not data[2:j] or any(c not in b"is" for c in data[2:j]):
+        if j < 0 or not data[2:j] or any(c not in b"ism" for c in data[2:j]):
             break  # not a flag prefix — (?:, (?P<, (?= etc. parse normally
         fold |= ord("i") in data[2:j]
         dotall |= ord("s") in data[2:j]
+        multiline |= ord("m") in data[2:j]
         data = data[j + 1 :]
-    start_anchored = data[:1] == b"^"
-    if start_anchored:
-        data = data[1:]
-    # trailing unescaped '$': count preceding backslashes (even = anchor)
-    end_anchored = False
-    if data[-1:] == b"$":
-        nbs = 0
-        while nbs < len(data) - 1 and data[-2 - nbs] == ord("\\"):
-            nbs += 1
-        if nbs % 2 == 0:
-            end_anchored = True
-            data = data[:-1]
+    start_anchored = end_anchored = False
+    if not multiline:
+        # whole-pattern anchors; under (?m) the parser instead treats ^/$ as
+        # LINE assertions everywhere (which still match buffer start/end)
+        start_anchored = data[:1] == b"^"
+        if start_anchored:
+            data = data[1:]
+        # trailing unescaped '$': count preceding backslashes (even = anchor)
+        if data[-1:] == b"$":
+            nbs = 0
+            while nbs < len(data) - 1 and data[-2 - nbs] == ord("\\"):
+                nbs += 1
+            if nbs % 2 == 0:
+                end_anchored = True
+                data = data[:-1]
     if (start_anchored or end_anchored) and _has_toplevel_alt(data):
         raise RegexError(
             "anchor with a top-level alternation is ambiguous (anchors "
             "apply to the whole pattern) — group the alternation: "
             "^(?:a|b)$"
         )
-    p = _Parser(data, fold=fold, dotall=dotall)
+    p = _Parser(data, fold=fold, dotall=dotall, multiline=multiline)
     node = p.parse_alt()
     if p.i != len(data):
         raise p.error("unexpected )")
@@ -437,6 +462,7 @@ def parse_pattern(pattern: str | bytes) -> ParsedPattern:
         ignore_case=fold,
         num_groups=p.ngroups,
         group_names=dict(p.group_names),
+        multiline=multiline,
     )
 
 
@@ -522,11 +548,12 @@ def _build(nfa: EpsNfa, node) -> tuple[int, int]:
         return a, b
     if isinstance(node, Group):  # captures don't change the language
         return _build(nfa, node.node)
-    if isinstance(node, Bound):
+    if isinstance(node, (Bound, Anchor)):
         raise RegexError(
-            "\\b/\\B are not expressible in the streaming DFA engines "
-            "(accept would depend on the next byte); word-boundary patterns "
-            "run on the host-verified path: search/match/fullmatch/finditer"
+            "zero-width assertions (\\b/\\B, (?m) line anchors) are not "
+            "expressible in the streaming DFA engines (accept would depend "
+            "on the next byte); such patterns run on the host-verified "
+            "path: search/match/fullmatch/finditer"
         )
     raise TypeError(node)
 
@@ -665,9 +692,9 @@ def minimize_dfa(dfa: CompiledDfa) -> CompiledDfa:
 
 
 def contains_bound(node) -> bool:
-    """True if the AST contains a \\b/\\B assertion (routes the pattern to
-    the host Pike-VM path)."""
-    if isinstance(node, Bound):
+    """True if the AST contains a zero-width assertion — \\b/\\B or a
+    (?m) line anchor (routes the pattern to the host Pike-VM path)."""
+    if isinstance(node, (Bound, Anchor)):
         return True
     if isinstance(node, Cat):
         return any(contains_bound(p) for p in node.parts)
@@ -694,6 +721,8 @@ def reverse_ast(node):
         return Group(reverse_ast(node.node), node.index, node.name)
     if isinstance(node, Bound):
         return node  # a word boundary is symmetric under reversal
+    if isinstance(node, Anchor):
+        return Anchor("$" if node.kind == "^" else "^")  # line-start <-> end
     raise TypeError(node)
 
 

@@ -211,11 +211,14 @@ def pcre_to_pattern(pcre: str) -> str | None:
     if end <= 0:
         return None
     body, flags = pcre[1:end], pcre[end + 1 :]
-    if set(flags) - set("is"):  # m/x/R/U/B… not implemented
+    if set(flags) - set("ism"):  # x/R/U/B… not implemented
         return None
     # common PCRE-only constructs the compiler rejects anyway — fail fast
-    # (\b IS supported — it routes the rule to the host Pike-VM verifier)
+    # (\b IS supported — it routes the rule to the host Pike-VM verifier,
+    # as do (?m) line anchors)
     if _pyre.search(r"\(\?<|\(\?=|\(\?!|\\[1-9]", body):
         return None
-    prefix = ("(?i)" if "i" in flags else "") + ("(?s)" if "s" in flags else "")
+    prefix = ("(?i)" if "i" in flags else "") \
+        + ("(?s)" if "s" in flags else "") \
+        + ("(?m)" if "m" in flags else "")
     return prefix + body

@@ -22,8 +22,10 @@ Semantics differences vs ``re`` (inherent to DFA matching):
   * patterns and subjects are byte-oriented: ``str`` input is UTF-8 encoded
     and spans are byte offsets.
 
-Supported flags: ``IGNORECASE`` (ASCII folding, as ``(?i)``) and ``DOTALL``
-(``(?s)``).  ``MULTILINE`` is not implemented and raises.
+Supported flags: ``IGNORECASE`` (ASCII folding, as ``(?i)``), ``DOTALL``
+(``(?s)``), and ``MULTILINE`` (``(?m)`` — line anchors are zero-width
+assertions, so multiline patterns run on the host Pike-VM path like
+``\\b``).
 """
 
 from __future__ import annotations
@@ -49,12 +51,15 @@ __all__ = [
     "I",
     "DOTALL",
     "S",
+    "MULTILINE",
+    "M",
     "Pattern",
     "Match",
     "error",
 ]
 
 IGNORECASE = I = 2  # values mirror re's flag constants for interchangeability
+MULTILINE = M = 8
 DOTALL = S = 16
 
 
@@ -129,13 +134,15 @@ class Pattern:
     """Compiled pattern wrapper; see module docstring for semantics."""
 
     def __init__(self, pattern: str | bytes, flags: int = 0):
-        if flags & ~(IGNORECASE | DOTALL):
+        if flags & ~(IGNORECASE | DOTALL | MULTILINE):
             raise ValueError(
-                f"unsupported flags {flags:#x}: only IGNORECASE and DOTALL "
-                "are implemented"
+                f"unsupported flags {flags:#x}: only IGNORECASE, DOTALL and "
+                "MULTILINE are implemented"
             )
         self._text_mode = isinstance(pattern, str)
         pat = pattern.encode("utf-8") if self._text_mode else bytes(pattern)
+        if flags & MULTILINE:
+            pat = b"(?m)" + pat
         if flags & DOTALL:
             pat = b"(?s)" + pat
         if flags & IGNORECASE:

@@ -144,7 +144,7 @@ def test_compile_cache_and_purge():
 
 def test_unsupported_flags_raise():
     with pytest.raises(ValueError):
-        tre.compile(rb"a", flags=8)  # re.MULTILINE
+        tre.compile(rb"a", flags=64)  # re.VERBOSE
 
 
 def test_error_is_regexerror():
@@ -158,3 +158,39 @@ def test_pattern_engine_extras():
     assert n == 3
     rep = p.scan(np.frombuffer(b"zabzab", dtype=np.uint8))
     assert rep.total == 2
+
+
+def test_multiline_flag_matches_python_re():
+    import re as pyre
+
+    from regex_fpga_tpu import re_compat as fre
+
+    text = "foo bar\nbar foo\nfoo\n\nbaz foo"
+    for pat in (r"^foo", r"foo$", r"^foo$", r"^$", r"^(\w+) (\w+)$"):
+        want = [m.span() for m in pyre.finditer(pat, text, pyre.M)]
+        got = [m.span() for m in fre.finditer(pat, text, fre.MULTILINE)]
+        assert got == want, (pat, got, want)
+    # groups under (?m)
+    w = pyre.search(r"^(\w+) (\w+)$", text, pyre.M)
+    g = fre.search(r"^(\w+) (\w+)$", text, fre.M)
+    assert g.groups() == tuple(x.encode() for x in w.groups())
+    assert g.span() == w.span()
+    # sub with line anchors
+    assert fre.sub(r"^foo", "X", text, flags=fre.M) == \
+        pyre.sub(r"^foo", "X", text, flags=pyre.M)
+
+
+def test_multiline_prefix_flag_group():
+    """(?m) inline prefix works through compile_regex directly."""
+    from regex_fpga_tpu.api import compile_regex
+
+    m = compile_regex(rb"(?m)^ab+$")
+    assert m.finditer(b"abb\nxabb\nab\nabbb") == [(0, 3), (9, 11), (12, 16)]
+    assert m.search(b"zz\nabb\n").span() == (3, 6)
+    # without (?m), mid-pattern anchors still raise
+    import pytest as _pytest
+
+    from regex_fpga_tpu.models.regex import RegexError
+
+    with _pytest.raises(RegexError):
+        compile_regex(rb"a^b")

@@ -51,7 +51,8 @@ def test_pcre_translation():
     assert pcre_to_pattern("/abc/i") == "(?i)abc"
     assert pcre_to_pattern("/a.b/s") == "(?s)a.b"   # dotall -> (?s)
     assert pcre_to_pattern(r"/\bword\b/") == r"\bword\b"  # \b -> host VM
-    assert pcre_to_pattern("/a/m") is None          # multiline unsupported
+    assert pcre_to_pattern("/a/m") == "(?m)a"       # multiline -> (?m)
+    assert pcre_to_pattern("/a/x") is None          # extended unsupported
     assert pcre_to_pattern("notslash") is None
 
 
