@@ -53,6 +53,8 @@ __all__ = [
     "compile_regex",
     "HostRegexMatcher",
     "compile_regex_set",
+    "compile_regex_set_prefiltered",
+    "PrefilteredRuleSet",
     "compile_l7",
     "compile_literals",
     "compile_snort",
@@ -1258,6 +1260,101 @@ def compile_regex_set(patterns, config: EngineConfig = DEFAULT_CONFIG,
     """Compile a list of patterns into one multi-rule NFA ruleset with
     per-rule match counts (IDS-style)."""
     return RuleSetMatcher(patterns, config, strategy=strategy)
+
+
+class PrefilteredRuleSet:
+    """Hyperscan-style literal-prefiltered regex-set matcher.
+
+    Each pattern with a ``required_literal`` (a byte string guaranteed to
+    appear in every match — ``models/regex.py``) is guarded by one
+    Aho–Corasick prefilter scanned on the fast MXU DFA engine (GB/s); a
+    stream only pays the full NFA ruleset machinery for the rules whose
+    literals it actually contains (plus the rules with no usable literal).
+    Counts are EXACTLY ``compile_regex_set(...).scan(...)`` — pruning is
+    sound because a stream without a rule's required literal cannot match
+    that rule.  Sub-rulesets are compiled lazily and cached per candidate
+    subset (alert-style traffic keeps the subsets tiny and few).
+    """
+
+    def __init__(self, patterns, config: EngineConfig = DEFAULT_CONFIG,
+                 strategy: str = "lazy", min_literal: int = 3):
+        from .models.regex import parse_pattern, required_literal
+
+        self.patterns = list(patterns)
+        self.config = config
+        self.strategy = strategy
+        lits: list[bytes] = []
+        self._lit_owner: list[int] = []
+        self.always_check: list[int] = []
+        for i, p in enumerate(self.patterns):
+            lit = required_literal(parse_pattern(p).node)
+            if lit is not None and len(lit) >= min_literal:
+                lits.append(lit)
+                self._lit_owner.append(i)
+            else:
+                self.always_check.append(i)
+        self._ac = compile_literals(lits, config) if lits else None
+        self._subs: dict[tuple, RuleSetMatcher] = {}
+
+    @property
+    def num_rules(self) -> int:
+        return len(self.patterns)
+
+    @property
+    def num_prefiltered(self) -> int:
+        return len(self._lit_owner)
+
+    def _sub(self, subset: tuple) -> RuleSetMatcher:
+        m = self._subs.get(subset)
+        if m is None:
+            m = RuleSetMatcher([self.patterns[i] for i in subset],
+                               self.config, strategy=self.strategy)
+            self._subs[subset] = m
+        return m
+
+    def scan(self, data) -> RuleSetReport:
+        streams = _as_streams(data)
+        per = np.zeros((len(streams), self.num_rules), np.int64)
+        counts_all = np.zeros((len(streams), 0), np.int64)
+        # one device AC pass over every stream decides the candidates
+        lit_hits = (
+            self._ac.scan_patterns(streams).pattern_counts
+            if self._ac is not None
+            else np.zeros((len(streams), 0), np.int64)
+        )
+        groups: dict[tuple, list[int]] = {}
+        for s, row in enumerate(lit_hits):
+            cand = sorted(
+                self.always_check
+                + [self._lit_owner[j] for j in np.nonzero(row)[0]]
+            )
+            groups.setdefault(tuple(cand), []).append(s)
+        for subset, members in groups.items():
+            if not subset:
+                continue
+            rep = self._sub(subset).scan([streams[s] for s in members])
+            for k, s in enumerate(members):
+                per[s, list(subset)] = rep.rule_counts[k]
+        report = ScanReport(
+            counts=counts_all, total=int(per.sum()),
+            match_positions=None,
+            metrics=RunMetrics(
+                engine=f"prefiltered-{self.strategy}",
+                bytes_scanned=sum(len(s) for s in streams),
+                streams=len(streams), matches=int(per.sum()),
+                wall_seconds=0.0,
+            ),
+        )
+        return RuleSetReport(rule_counts=per, report=report)
+
+
+def compile_regex_set_prefiltered(
+    patterns, config: EngineConfig = DEFAULT_CONFIG,
+    strategy: str = "lazy", min_literal: int = 3,
+) -> PrefilteredRuleSet:
+    """Literal-prefiltered variant of ``compile_regex_set`` (same counts,
+    device-rate rejection of streams that cannot match)."""
+    return PrefilteredRuleSet(patterns, config, strategy, min_literal)
 
 
 @dataclasses.dataclass

@@ -705,6 +705,78 @@ def contains_bound(node) -> bool:
     return False
 
 
+def required_literal(node) -> bytes | None:
+    """Longest byte string guaranteed to appear contiguously in EVERY match
+    of the AST — the Hyperscan-style prefilter key.
+
+    Conservative by construction: returns None when no such literal exists
+    (top-level alternation, case-folded letters under ``(?i)``, pure
+    classes).  Soundness contract (tested property): if ``required_literal``
+    returns L, then L is a substring of every string the pattern matches —
+    so a stream NOT containing L cannot match and the pattern can be pruned
+    by an Aho–Corasick prefilter (``api.compile_regex_set_prefiltered``).
+    """
+    best, run = _req_lit(node)
+    cand = _longer(best, run)
+    return cand if cand else None
+
+
+def _longer(a: bytes | None, b: bytes | None) -> bytes | None:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a if len(a) >= len(b) else b
+
+
+def _req_lit(node) -> tuple[bytes | None, bytes | None]:
+    """Returns (best, exact): ``best`` = longest guaranteed substring found
+    anywhere inside; ``exact`` = the ONE byte sequence this node always
+    matches (joinable with neighbours inside a Cat), or None if the node
+    can match more than one string.  Zero-width assertions are exact ``b""``
+    (they do not interrupt byte adjacency)."""
+    if isinstance(node, Lit):
+        if len(node.chars) == 1:
+            b = bytes([next(iter(node.chars))])
+            return b, b
+        return None, None
+    if isinstance(node, (Bound, Anchor)):
+        return None, b""  # zero-width: joins neighbouring runs
+    if isinstance(node, Group):
+        return _req_lit(node.node)
+    if isinstance(node, Cat):
+        best: bytes | None = None
+        run: bytes | None = b""
+        all_exact = True
+        for part in node.parts:
+            b, e = _req_lit(part)
+            best = _longer(best, b)
+            if e is None:
+                all_exact = False
+            if e is not None and run is not None:
+                run += e
+            else:
+                best = _longer(best, run)
+                run = e  # part's own exact seq starts a new run (or None)
+        best = _longer(best, run)
+        # the Cat matches exactly one string only if EVERY part did
+        return best, (run if all_exact else None)
+    if isinstance(node, Alt):
+        if len(node.options) == 1:
+            return _req_lit(node.options[0])
+        return None, None  # no guarantee common to all branches (MVP)
+    if isinstance(node, Rep):
+        b, e = _req_lit(node.node)
+        if node.lo == 0:
+            return None, (b"" if node.hi == 0 else None)
+        exact = e * node.lo if (e is not None and node.hi == node.lo) else None
+        # lo >= 1: one copy of the body is guaranteed; e*lo is guaranteed
+        # contiguous when every copy is the same exact sequence
+        best = _longer(b, e * node.lo if e is not None else None)
+        return best, exact
+    raise TypeError(node)
+
+
 def reverse_ast(node):
     """AST of the reversed language (for backward scans: a match of R ending
     at i in the stream is a match of reverse(R) starting at i in the

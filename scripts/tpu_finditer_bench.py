@@ -22,17 +22,21 @@ def main():
 
     m = compile_regex(rb"[a-z]+")
     frag = b"lorem ipsum dolor sit amet 42 CONSECTETUR 7, adipiscing elit!  "
-    l = 1 << 26
+    l = 1 << 25
     corpus = (frag * (l // len(frag) + 1))[:l]
     stream = np.frombuffer(corpus, dtype=np.uint8)
 
     # plain scan (counts) timing
+    t0 = time.perf_counter()
     rep = m.scan(stream)  # warm/compile
+    print(f"scan warm/compile: {time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     rep = m.scan(stream)
     t_scan = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
     spans = m.finditer(stream)  # warm (compiles the reverse engine)
+    print(f"finditer warm/compile: {time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     spans = m.finditer(stream)
     t_find = time.perf_counter() - t0
