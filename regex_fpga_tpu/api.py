@@ -393,7 +393,11 @@ class DfaMatcher:
         self.dfa = dfa
         self.config = config
         self.tables: DfaTables = build_dfa_tables(dfa.table, dfa.accept)
-        self._class_lut = np.asarray(self.tables.class_of)
+        # uint8 LUT: class ids always fit one byte (C <= 256), so the
+        # host->device upload of a class stream is 1 B/byte instead of 4
+        # (the engines cast to int32 ON device; on this rig's tunnel the
+        # upload is the bottleneck for API-level scans)
+        self._class_lut = np.asarray(self.tables.class_of).astype(np.uint8)
         # accept mask for the FINAL state: end-anchored patterns ($) carry
         # it separately from the per-position mask (models/regex.py)
         self._accept_eof = np.asarray(dfa.eof_accept)
@@ -605,6 +609,36 @@ class DfaMatcher:
         self._last_final = cur
         return states, mask, iters, converged
 
+    def _scan_mask(self, stream: np.ndarray, start=None) -> np.ndarray:
+        """Match-mask-only chunked scan: like ``_scan_stream`` but reads back
+        ONLY the 1-byte/byte accept mask (the 4-byte/byte states array is a
+        pure waste on this rig's tunnel — finditer's backward pass needs just
+        the mask).  Sets ``self._last_final``."""
+        start = self.start if start is None else start
+        classes = self._class_lut[stream]
+        mask = np.empty(len(stream), dtype=bool)
+        off, cur = 0, start
+        cb = self.config.chunk_bytes
+        while off < len(stream):
+            chunk = classes[off : off + cb]
+            nb = self._pick_blocks(len(chunk))
+            res = dfa_scan_fast(
+                self.tables, jnp.asarray(chunk), num_blocks=nb,
+                start=cur, max_iters=self.config.max_iters,
+            )
+            if not bool(res.domain_ok):
+                raise RuntimeError(
+                    "device DFA pass produced out-of-domain state ids "
+                    "(SURVEY.md SS5.2 guard)"
+                )
+            if not bool(res.converged):
+                res = self._exact_fallback(stream[off : off + cb], cur)
+            mask[off : off + cb] = np.asarray(res.match_mask)
+            cur = int(res.final_state)
+            off += cb
+        self._last_final = cur
+        return mask
+
     def _scan_batch_counts(self, arr: np.ndarray):
         """Chunked batch scan of (N, L) equal-length streams via
         ``dfa_scan_fast_multi`` (per-stream device-side histograms).
@@ -795,7 +829,7 @@ class DfaMatcher:
         # of the reversed stream, i.e. a reverse match ending at reversed
         # position p-1 = original start L-p; include_final covers start 0.
         rm = self._reverse_matcher
-        _, rmask, _, _ = rm._scan_stream(stream[::-1])
+        rmask = rm._scan_mask(stream[::-1])
         l = len(stream)
         starts_mask = np.zeros(l, dtype=bool)
         pos = np.nonzero(rmask)[0]
@@ -992,7 +1026,11 @@ class TokenizerMatcher(DfaMatcher):
         self.tok = tok
         self.config = config
         self.tables = build_dfa_tables(tok.table, tok.accept)
-        self._class_lut = np.asarray(self.tables.class_of)
+        # uint8 LUT: class ids always fit one byte (C <= 256), so the
+        # host->device upload of a class stream is 1 B/byte instead of 4
+        # (the engines cast to int32 ON device; on this rig's tunnel the
+        # upload is the bottleneck for API-level scans)
+        self._class_lut = np.asarray(self.tables.class_of).astype(np.uint8)
         self._accept_eof = np.asarray(self.tables.accept)
         self.start = tok.start
         self.dfa = None

@@ -240,3 +240,19 @@ def test_dfa_stream_scanner_eof_accept_nonmutating():
     assert sc.total == 1     # eof accept applied...
     sc.feed(b"ab")           # ...but feeding continues from the raw carry
     assert sc.total == 2
+
+
+def test_scan_mask_equals_scan_stream_mask(rng):
+    """_scan_mask (mask-only readback) == _scan_stream's mask, incl. the
+    chunking path and _last_final."""
+    from regex_fpga_tpu.api import compile_regex
+
+    m = compile_regex(rb"[0-9]+x?")
+    stream = np.frombuffer(
+        bytes(rng.integers(32, 127, size=20000, dtype=np.int64)), np.uint8
+    )
+    _, mask_ref, _, _ = m._scan_stream(stream)
+    final_ref = m._last_final
+    mask = m._scan_mask(stream)
+    np.testing.assert_array_equal(mask, mask_ref)
+    assert m._last_final == final_ref
