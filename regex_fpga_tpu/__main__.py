@@ -116,6 +116,40 @@ def cmd_acgrep(args) -> int:
     return status
 
 
+def cmd_rgrep(args) -> int:
+    """Multi-regex search with Hyperscan-style literal prefiltering: rules
+    with a required literal are guarded by one device Aho–Corasick pass, so
+    clean files never pay the full NFA machinery (api.PrefilteredRuleSet)."""
+    from . import api
+
+    pats = [p.encode("latin1") for p in args.patterns]
+    if args.patterns_file:
+        for line in open(args.patterns_file, "rb").read().splitlines():
+            line = line.strip()
+            if line and not line.startswith(b"#"):
+                pats.append(line)
+    if not pats:
+        print("no patterns given", file=sys.stderr)
+        return 2
+    if args.no_prefilter:
+        m = api.compile_regex_set(pats)
+    else:
+        m = api.compile_regex_set_prefiltered(pats)
+        print(f"# {m.num_prefiltered}/{m.num_rules} rules literal-prefiltered",
+              file=sys.stderr)
+    status = 1
+    for path in args.files:
+        data = np.fromfile(path, dtype=np.uint8)
+        rep = m.scan([data])
+        row = rep.rule_counts[0]
+        if row.sum():
+            status = 0
+        for pid, c in enumerate(row.tolist()):
+            if c:
+                print(f"{path}:{pats[pid].decode('latin1')}:{c}")
+    return status
+
+
 def cmd_snort(args) -> int:
     """Scan files against a Snort .rules file (AC prefilter + verify)."""
     from . import api
@@ -224,6 +258,19 @@ def main(argv=None) -> int:
                    metavar="LITERAL", help="literal pattern (repeatable)")
     s.add_argument("files", nargs="+")
     s.set_defaults(fn=cmd_acgrep)
+
+    s = sub.add_parser(
+        "rgrep",
+        help="multi-regex search with literal prefiltering (Hyperscan-style)",
+    )
+    s.add_argument("-f", "--patterns-file",
+                   help="file with one regex per line (# comments)")
+    s.add_argument("-e", dest="patterns", action="append", default=[],
+                   metavar="REGEX", help="regex pattern (repeatable)")
+    s.add_argument("--no-prefilter", action="store_true",
+                   help="skip the Aho-Corasick literal prefilter")
+    s.add_argument("files", nargs="+")
+    s.set_defaults(fn=cmd_rgrep)
 
     s = sub.add_parser(
         "snort", help="scan files against a Snort .rules file"

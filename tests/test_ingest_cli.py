@@ -205,3 +205,20 @@ def test_prefetch_overlaps_prepare_with_scan():
     assert overlapped["sum"] == serial["sum"]
     # serial ~ 2nT = 0.6 s; overlapped ~ (n+1)T = 0.35 s; generous margin
     assert t_overlap < t_serial * 0.8, (t_overlap, t_serial)
+
+
+def test_cli_rgrep(tmp_path, capsys):
+    from regex_fpga_tpu.__main__ import main
+
+    hit = tmp_path / "hit.txt"
+    hit.write_bytes(b"hello error42 world\nGET /abc HTTP here\n")
+    clean = tmp_path / "clean.txt"
+    clean.write_bytes(b"totally pristine\n")
+    rc = main(["rgrep", "-e", r"error[0-9]+", "-e", r"GET /[a-z]+ HTTP",
+               str(hit), str(clean)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert f"{hit}:error[0-9]+:1" in out
+    assert str(clean) not in out  # prefilter rejected it entirely
+    rc = main(["rgrep", "--no-prefilter", "-e", r"zzz[0-9]", str(clean)])
+    assert rc == 1  # no matches anywhere
