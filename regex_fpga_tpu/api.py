@@ -850,7 +850,8 @@ class DfaMatcher:
                 table, accept, accept_eof, self._anchored_start, dead,
                 stream, starts,
             )
-            return [(int(a), int(b)) for a, b in out]
+            spans = [(int(a), int(b)) for a, b in out]
+            return self._append_tail_empty(spans, stream)
 
         spans: list[tuple[int, int]] = []
         p = 0
@@ -867,6 +868,20 @@ class DfaMatcher:
                     return spans
                 p = max(last_end, s0 + 1)  # empty match: advance one byte
             si += 1
+        return self._append_tail_empty(spans, stream)
+
+    def _append_tail_empty(self, spans, stream):
+        """A nullable pattern matches EMPTY at end-of-buffer (re yields
+        ``(l, l)``); the backward pass has no slot for start == l, so it is
+        appended here when the suppression point allows it."""
+        l = len(stream)
+        if spans:
+            a, b = spans[-1]
+            p = max(b, a + 1)
+        else:
+            p = 0
+        if p <= l and self._anchored_longest_end(stream, l) == l:
+            spans.append((l, l))
         return spans
 
     def finditer_matches(self, data, limit: int | None = None) -> list["Match"]:

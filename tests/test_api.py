@@ -109,9 +109,9 @@ def ref_leftmost_longest(pat, data):
 
     cre = re.compile(b"(?s)" + pat)
     spans, p, L = [], 0, len(data)
-    while p <= L - 1:
+    while p <= L:
         found = False
-        for s in range(p, L):
+        for s in range(p, L + 1):
             best = -1
             for e in range(L, s - 1, -1):
                 if cre.fullmatch(data, s, e):

@@ -73,3 +73,55 @@ def test_dead_state_absorbing():
     dfa = compile_pattern(r"ab")
     assert (dfa.table[:, dfa.dead] == dfa.dead).all()
     assert not dfa.accept[dfa.dead]
+
+
+def _gen_pattern(rng, depth=0) -> str:
+    """Random alternation-free pattern: for these, Python's backtracking-
+    greedy spans coincide with this engine's POSIX leftmost-longest, so
+    finditer/findall/sub can be compared 1:1 (alternation-ORDER differences
+    are exercised separately by the fullmatch fuzz above)."""
+    atoms = ["a", "b", "c", "x", "0", "1", r"\d", "[ab]", "[^c]", "[a-c]", "."]
+    parts = []
+    for _ in range(int(rng.integers(1, 5))):
+        a = atoms[int(rng.integers(0, len(atoms)))]
+        if depth < 2 and rng.random() < 0.25:
+            a = "(" + _gen_pattern(rng, depth + 1) + ")"
+        q = rng.random()
+        if q < 0.15:
+            a += "*"
+        elif q < 0.3:
+            a += "+"
+        elif q < 0.4:
+            a += "?"
+        elif q < 0.45:
+            a += "{1,3}"
+        parts.append(a)
+    return "".join(parts)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_pattern_span_fuzz_vs_re(seed):
+    """Generated patterns: finditer spans == Python re (leftmost; greedy ==
+    longest for alternation-free patterns), sub replacements identical."""
+    from regex_fpga_tpu.api import compile_regex
+    from regex_fpga_tpu.models.regex import DfaBlowupError
+
+    rng = np.random.default_rng(seed)
+    pat = _gen_pattern(rng)
+    cre = re.compile(("(?s)" + pat).encode())
+    try:
+        m = compile_regex(("(?s)" + pat).encode())
+    except DfaBlowupError:
+        pytest.skip(f"blowup: {pat}")
+    alphabet = list(b"abcx01 \n")
+    for _ in range(6):
+        # fixed length keeps the per-pattern jit shape count low
+        w = bytes(rng.choice(alphabet, size=48))
+        want = []
+        # skip Python's zero-width match positions the same way finditer
+        # does (non-overlap + empty advances one byte) — re.finditer already
+        # implements exactly that rule, so spans compare directly
+        want = [mm.span() for mm in cre.finditer(w)]
+        got = m.finditer(w)
+        assert got == want, (pat, w, got, want)
+        assert m.sub(b"<>", w) == cre.sub(b"<>", w), (pat, w)
