@@ -1097,6 +1097,7 @@ class HostRegexMatcher(DfaMatcher):
     def __init__(self, pattern: str | bytes,
                  config: EngineConfig = DEFAULT_CONFIG):
         from .models.captures import CaptureProgram
+        from .models.regex import contains_lazy, parse_pattern
 
         # 2-state all-dead dummy DFA satisfies base-class plumbing; the
         # device engines are never invoked on it (see overrides below)
@@ -1105,7 +1106,12 @@ class HostRegexMatcher(DfaMatcher):
             accept=np.zeros(2, dtype=bool), start=0, dead=1,
         )
         super().__init__(dummy, config)
-        self._prog = CaptureProgram(pattern)
+        pp = parse_pattern(pattern)
+        self._prog = CaptureProgram(pp)
+        #: non-greedy quantifiers switch span disambiguation to
+        #: leftmost-FIRST (PCRE/Python re); otherwise POSIX leftmost-longest,
+        #: identical to the device engines
+        self._first_mode = contains_lazy(pp.node)
         self._finditer_source = (pattern, 0, config)
         self._capture_prog = (
             self._prog if self._prog.num_groups else False
@@ -1133,11 +1139,14 @@ class HostRegexMatcher(DfaMatcher):
 
     def finditer(self, data, limit: int | None = None) -> list[tuple[int, int]]:
         stream = bytes(_as_streams(data)[0])
+        if self._first_mode:
+            return self._prog.finditer_spans_first(stream, limit)
         return self._prog.finditer_spans(stream, limit)
 
     def match(self, data) -> "Match | None":
         raw = bytes(_as_streams(data)[0])
-        end = self._prog.longest_end_at(raw, 0)
+        end = (self._prog.first_end_at(raw, 0) if self._first_mode
+               else self._prog.longest_end_at(raw, 0))
         return None if end < 0 else self._make_match(raw, 0, end)
 
     def fullmatch(self, data) -> "Match | None":
@@ -1154,10 +1163,13 @@ def compile_regex(pattern: str | bytes, anchored: bool = False,
     (unanchored) mode: a match is reported wherever it ends in the stream.
     The matcher also supports ``finditer``/``findall`` (leftmost-longest
     spans) via a reversed-pattern backward scan.  Patterns with ``\\b``/
-    ``\\B`` return a ``HostRegexMatcher`` (same span semantics, host VM)."""
-    from .models.regex import contains_bound, parse_pattern
+    ``\\B``, ``(?m)`` anchors, or non-greedy quantifiers return a
+    ``HostRegexMatcher`` (host Pike VM: POSIX-longest spans for assertions,
+    leftmost-first for lazy quantifiers — Python ``re`` semantics)."""
+    from .models.regex import contains_bound, contains_lazy, parse_pattern
 
-    if contains_bound(parse_pattern(pattern).node):
+    node = parse_pattern(pattern).node
+    if contains_bound(node) or contains_lazy(node):
         return HostRegexMatcher(pattern, config)
     dfa = compile_pattern(pattern, max_states=max_states, anchored=anchored)
     m = DfaMatcher(dfa, config)

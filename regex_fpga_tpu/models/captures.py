@@ -93,6 +93,7 @@ def _lower(prog: _Prog, node) -> tuple[int, int]:
         return a, b
     if isinstance(node, Rep):
         lo, hi = node.lo, node.hi
+        lazy = node.lazy
         a = prog.new()
         cur = a
         for _ in range(lo):
@@ -100,25 +101,34 @@ def _lower(prog: _Prog, node) -> tuple[int, int]:
             prog.eps[cur].append((fa, None, None))
             cur = fb
         if hi is None:
-            # greedy loop: from the loop head, prefer another iteration
+            # loop head: greedy prefers another iteration, lazy prefers
+            # leaving (edge order IS thread priority)
             loop = prog.new()
             prog.eps[cur].append((loop, None, None))
-            fa, fb = _lower(prog, node.node)
-            prog.eps[loop].append((fa, None, None))  # 1st: take the body
-            prog.eps[fb].append((loop, None, None))
             out = prog.new()
-            prog.eps[loop].append((out, None, None))  # 2nd: leave
+            fa, fb = _lower(prog, node.node)
+            if lazy:
+                prog.eps[loop].append((out, None, None))  # 1st: leave
+                prog.eps[loop].append((fa, None, None))   # 2nd: take the body
+            else:
+                prog.eps[loop].append((fa, None, None))   # 1st: take the body
+                prog.eps[loop].append((out, None, None))  # 2nd: leave
+            prog.eps[fb].append((loop, None, None))
             return a, out
         out = prog.new()
-        tail_skips = []
+        copies = []
         for _ in range(hi - lo):
             fa, fb = _lower(prog, node.node)
-            prog.eps[cur].append((fa, None, None))  # 1st: take this optional copy
-            tail_skips.append(cur)
+            copies.append((cur, fa))
             cur = fb
         prog.eps[cur].append((out, None, None))
-        for s in tail_skips:
-            prog.eps[s].append((out, None, None))  # 2nd: skip out (lower priority)
+        for c_, fa in copies:
+            if lazy:
+                prog.eps[c_].append((out, None, None))  # 1st: skip out
+                prog.eps[c_].append((fa, None, None))   # 2nd: take the copy
+            else:
+                prog.eps[c_].append((fa, None, None))   # 1st: take the copy
+                prog.eps[c_].append((out, None, None))  # 2nd: skip out
         return a, out
     if isinstance(node, Bound):
         a, b = prog.new(), prog.new()
@@ -155,8 +165,19 @@ class CaptureProgram:
         )
         self.num_groups = pp.num_groups
         self.group_names = dict(pp.group_names)
+        node = pp.node
+        # whole-pattern anchors were stripped by the parser — restore them
+        # as absolute zero-width assertions so host scanning honors them
+        if pp.start_anchored or pp.end_anchored:
+            parts = []
+            if pp.start_anchored:
+                parts.append(Anchor("A"))
+            parts.append(node)
+            if pp.end_anchored:
+                parts.append(Anchor("Z"))
+            node = Cat(tuple(parts))
         prog = _Prog()
-        self._entry, self._accept = _lower(prog, pp.node)
+        self._entry, self._accept = _lower(prog, node)
         self._prog = prog
 
     # -- Pike VM -----------------------------------------------------------
@@ -169,6 +190,10 @@ class CaptureProgram:
             return pos == 0 or data[pos - 1] == 0x0A
         if asrt == "$":
             return pos == len(data) or data[pos] == 0x0A
+        if asrt == "A":  # absolute buffer start (whole-pattern ^)
+            return pos == 0
+        if asrt == "Z":  # absolute buffer end (whole-pattern $, == accept_eof)
+            return pos == len(data)
         return self._at_boundary(data, pos) == (asrt == "b")
 
     @staticmethod
@@ -270,6 +295,90 @@ class CaptureProgram:
                     self._sclose(nxt, edge[1], sp, pos + 1, seen, data)
             threads = nxt
             pos += 1
+
+    def first_end_at(self, data, s0: int) -> int:
+        """PCRE/Python match end for a match anchored at ``s0``: thread
+        PRIORITY decides (lazy quantifiers prefer short), not length.  A
+        lower-priority accept is overridden if a higher-priority thread
+        accepts later.  Returns -1 when nothing matches."""
+        threads: list = []
+        self._sclose(threads, self._entry, s0, s0, set(), data)
+        best = -1
+        pos = s0
+        n = len(data)
+        while True:
+            for i, (st, _) in enumerate(threads):
+                if st == self._accept:
+                    best = pos
+                    threads = threads[:i]  # kill lower-priority threads
+                    break
+            if pos >= n or not threads:
+                return best
+            b = data[pos]
+            nxt: list = []
+            seen: set = set()
+            for st, sp in threads:
+                edge = self._prog.char[st]
+                if edge is not None and b in edge[0]:
+                    self._sclose(nxt, edge[1], sp, pos + 1, seen, data)
+            threads = nxt
+            pos += 1
+
+    def finditer_spans_first(
+        self, data, limit: int | None = None
+    ) -> list[tuple[int, int]]:
+        """Non-overlapping LEFTMOST-FIRST (PCRE/Python ``re``) spans — the
+        scanning mode for patterns with non-greedy quantifiers, where the
+        span is decided by thread priority rather than POSIX length.
+        New-start threads join at the tail (lowest priority), so earlier
+        starts always win; once a match is recorded only higher-priority
+        threads may override it.  After an EMPTY match at q the search
+        resumes AT q with only the empty match at q banned (Python re's
+        rule — a lazy pattern prefers empty, so a non-empty match at the
+        same position must still be findable)."""
+        n = len(data)
+        spans: list[tuple[int, int]] = []
+        p = 0
+        ban_pos = -1  # position where an empty match was already emitted
+        while p <= n:
+            threads: list = []
+            match: tuple[int, int] | None = None
+            pos = p
+            while True:
+                if match is None:
+                    seen = {st for st, _ in threads}
+                    self._sclose(threads, self._entry, pos, pos, seen, data)
+                for i, (st, s0) in enumerate(threads):
+                    if st == self._accept and not (s0 == pos == ban_pos):
+                        match = (s0, pos)
+                        threads = threads[:i]
+                        break
+                if pos >= n or (match is not None and not threads):
+                    break
+                b = data[pos]
+                nxt: list = []
+                seen = set()
+                for st, s0 in threads:
+                    edge = self._prog.char[st]
+                    if edge is not None and b in edge[0]:
+                        self._sclose(nxt, edge[1], s0, pos + 1, seen, data)
+                threads = nxt
+                pos += 1
+            if match is None:
+                if p == ban_pos and p < n:
+                    # nothing (non-empty) at the banned position: step past
+                    p += 1
+                    continue
+                break
+            spans.append(match)
+            if limit is not None and len(spans) >= limit:
+                break
+            a, b_ = match
+            p = b_
+            ban_pos = b_ if a == b_ else -1
+            if a == b_ and b_ == n:
+                break  # trailing empty emitted; nothing can follow
+        return spans
 
     def finditer_spans(
         self, data, limit: int | None = None

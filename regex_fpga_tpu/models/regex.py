@@ -92,6 +92,11 @@ class Rep:
     node: object
     lo: int
     hi: int | None  # None = unbounded
+    #: non-greedy (``*?``/``+?``/``??``/``{m,n}?``).  The matched LANGUAGE is
+    #: identical either way (the DFA compiler ignores it); only span/group
+    #: disambiguation changes, so lazy patterns route to the host Pike VM
+    #: in leftmost-FIRST (PCRE/Python) mode.
+    lazy: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -189,22 +194,30 @@ class _Parser:
             c = self.peek()
             if c == ord("*"):
                 self.eat()
-                node = Rep(node, 0, None)
+                node = self._lazy_mod(Rep(node, 0, None))
             elif c == ord("+"):
                 self.eat()
-                node = Rep(node, 1, None)
+                node = self._lazy_mod(Rep(node, 1, None))
             elif c == ord("?"):
                 self.eat()
-                node = Rep(node, 0, 1)
+                node = self._lazy_mod(Rep(node, 0, 1))
             elif c == ord("{"):
                 save = self.i
                 rep = self._try_braces()
                 if rep is None:
                     self.i = save
                     break
-                node = Rep(node, rep[0], rep[1])
+                node = self._lazy_mod(Rep(node, rep[0], rep[1]))
             else:
                 break
+        return node
+
+    def _lazy_mod(self, node: Rep) -> Rep:
+        """A ``?`` directly after a quantifier marks it non-greedy (re
+        semantics — NOT a nested optional)."""
+        if self.peek() == ord("?"):
+            self.eat()
+            return dataclasses.replace(node, lazy=True)
         return node
 
     def _try_braces(self):
@@ -705,6 +718,21 @@ def contains_bound(node) -> bool:
     return False
 
 
+def contains_lazy(node) -> bool:
+    """True if the AST contains a non-greedy quantifier (routes the pattern
+    to the host Pike VM in leftmost-FIRST mode — span disambiguation is
+    PCRE/Python, not POSIX-longest)."""
+    if isinstance(node, Rep):
+        return node.lazy or contains_lazy(node.node)
+    if isinstance(node, Cat):
+        return any(contains_lazy(p) for p in node.parts)
+    if isinstance(node, Alt):
+        return any(contains_lazy(o) for o in node.options)
+    if isinstance(node, Group):
+        return contains_lazy(node.node)
+    return False
+
+
 def required_literal(node) -> bytes | None:
     """Longest byte string guaranteed to appear contiguously in EVERY match
     of the AST — the Hyperscan-style prefilter key.
@@ -788,7 +816,7 @@ def reverse_ast(node):
     if isinstance(node, Alt):
         return Alt(tuple(reverse_ast(o) for o in node.options))
     if isinstance(node, Rep):
-        return Rep(reverse_ast(node.node), node.lo, node.hi)
+        return Rep(reverse_ast(node.node), node.lo, node.hi, node.lazy)
     if isinstance(node, Group):
         return Group(reverse_ast(node.node), node.index, node.name)
     if isinstance(node, Bound):

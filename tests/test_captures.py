@@ -251,3 +251,120 @@ def test_boundary_context_outside_span():
     prog = CaptureProgram(rb"\bfoo")
     assert prog.longest_end_at(b"xfoo foo", 1) == -1
     assert prog.longest_end_at(b"xfoo foo", 5) == 8
+
+
+# -- non-greedy quantifiers (leftmost-first host mode) ----------------------
+
+def test_lazy_quantifiers_match_python_re():
+    import re as pyre
+
+    from regex_fpga_tpu.api import HostRegexMatcher, compile_regex
+
+    cases = [
+        (rb"<.+?>", b"<a><bb><ccc> <> <dd>"),
+        (rb"<.+>", b"<a><bb><ccc>"),          # greedy control (device route)
+        (rb"a*?b", b"aaab aab b xb"),
+        (rb"a+?", b"aaaa"),
+        (rb"x??y", b"xy y xxy"),
+        (rb"[ab]{1,3}?c", b"aababc abc bc"),
+        (rb"(a+?)(a*)", b"aaaa baa"),
+        (rb"\d+?\.", b"123. 4."),
+    ]
+    for pat, text in cases:
+        m = compile_regex(pat)
+        got = m.finditer(text)
+        want = [mm.span() for mm in pyre.finditer(pat, text)]
+        assert got == want, (pat, got, want)
+        # groups + sub agree too
+        gm, wm = m.search(text), pyre.search(pat, text)
+        if wm is None:
+            assert gm is None, pat
+        else:
+            assert (gm.span(), gm.groups()) == (wm.span(), wm.groups()), pat
+        assert m.sub(b"#", text) == pyre.sub(pat, b"#", text), pat
+
+
+def test_lazy_with_anchors_and_boundaries():
+    import re as pyre
+
+    from regex_fpga_tpu.api import compile_regex
+
+    # whole-pattern anchors now honored on the host route
+    m = compile_regex(rb"^a+?b")
+    assert m.finditer(b"aab xaab") == [(0, 3)]
+    assert m.match(b"aaab").span() == (0, 4)
+    assert m.search(b"xaab") is None
+    m = compile_regex(rb"a+?$")
+    assert m.finditer(b"baa") == [(1, 3)]
+    assert m.finditer(b"aa b") == []
+    # \b + anchored host patterns honor the anchor too (regression)
+    m = compile_regex(rb"^\bword\b")
+    assert m.finditer(b"word word") == [(0, 4)]
+    # lazy + \b mixes: PCRE-first mode, equals Python
+    pat, text = rb"\ba+?\b", b"aa a aaa"
+    m = compile_regex(pat)
+    assert m.finditer(text) == [mm.span() for mm in pyre.finditer(pat, text)]
+
+
+def test_lazy_empty_matches_like_re():
+    import re as pyre
+
+    from regex_fpga_tpu.api import compile_regex
+
+    for pat, text in [(rb"a*?", b"aa"), (rb"x??", b"xy")]:
+        m = compile_regex(pat)
+        got = m.finditer(text)
+        want = [mm.span() for mm in pyre.finditer(pat, text)]
+        assert got == want, (pat, got, want)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_lazy_fuzz_vs_python_re(seed):
+    """Generated patterns with non-greedy quantifiers (alternation allowed:
+    leftmost-FIRST mode follows textual priority exactly like Python re)."""
+    import re as pyre
+
+    import numpy as np
+
+    from regex_fpga_tpu.api import compile_regex
+
+    rng = np.random.default_rng(1000 + seed)
+
+    def gen(depth=0):
+        atoms = ["a", "b", "[ab]", "[^b]", "x", "."]
+        parts = []
+        for _ in range(int(rng.integers(1, 4))):
+            a = atoms[int(rng.integers(0, len(atoms)))]
+            if depth < 2 and rng.random() < 0.3:
+                inner = gen(depth + 1)
+                if rng.random() < 0.4:
+                    inner += "|" + gen(depth + 1)
+                a = "(" + inner + ")"
+            q = rng.random()
+            if q < 0.2:
+                a += "*?"
+            elif q < 0.4:
+                a += "+?"
+            elif q < 0.5:
+                a += "??"
+            elif q < 0.6:
+                a += "{1,2}?"
+            elif q < 0.7:
+                a += "+"
+            parts.append(a)
+        return "".join(parts)
+
+    pat = gen()
+    if "?" not in pat:
+        pat += "x*?"  # force the lazy (host leftmost-first) route
+    cre = pyre.compile(pat.encode())
+    m = compile_regex(pat.encode())
+    alphabet = list(b"abx ")
+    for _ in range(8):
+        w = bytes(rng.choice(alphabet, size=24).astype(np.uint8))
+        want = [mm.span() for mm in cre.finditer(w)]
+        got = m.finditer(w)
+        assert got == want, (pat, w, got, want)
+        gm, wm = m.search(w), cre.search(w)
+        if wm is not None:
+            assert gm.groups() == wm.groups(), (pat, w)
