@@ -1137,6 +1137,28 @@ class HostRegexMatcher(DfaMatcher):
     def findall_ends(self, data):
         self._no_device("findall_ends")
 
+    # poison every internal device entry point too: the dummy 2-state DFA
+    # exists only to satisfy base-class plumbing, and a future base-class
+    # method that reaches one of these must FAIL LOUDLY rather than silently
+    # scan a dead automaton (r1 review finding)
+    def _scan_stream(self, stream, start=None):
+        self._no_device("_scan_stream")
+
+    def _scan_mask(self, stream, start=None):
+        self._no_device("_scan_mask")
+
+    def _scan_stream_counts(self, stream, start=None):
+        self._no_device("_scan_stream_counts")
+
+    def _scan_batch_counts(self, arr):
+        self._no_device("_scan_batch_counts")
+
+    def _anchored_longest_end(self, stream, s0: int) -> int:
+        # base finditer helpers must not consult the dummy anchored tables
+        end = (self._prog.first_end_at(bytes(stream), s0) if self._first_mode
+               else self._prog.longest_end_at(bytes(stream), s0))
+        return end
+
     def finditer(self, data, limit: int | None = None) -> list[tuple[int, int]]:
         stream = bytes(_as_streams(data)[0])
         if self._first_mode:
