@@ -12,10 +12,21 @@ synchronize; every timed region forces a small host transfer instead.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+# stay inside the driver's wall budget: optional sections are skipped when
+# the remaining time gets thin (fresh remote compiles through the tunnel
+# can eat minutes; the headline JSON line must always land)
+_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "480"))
+
+
+def _remaining() -> float:
+    return _BUDGET - (time.perf_counter() - _T0)
 
 
 def main() -> None:
@@ -44,16 +55,21 @@ def main() -> None:
     l = 1 << 26  # 64 MiB per timed pass
     reps = int(np.ceil(l / len(frag)))
     text = np.frombuffer(frag * reps, dtype=np.uint8)[:l]
-    class_lut = np.asarray(dt.class_of)
-    classes = jnp.asarray(class_lut[text].astype(np.int32))
+    # upload class ids as uint8 (engines cast to int32 ON device): the
+    # tunnel moves ~6 MB/s, so int32 uploads quadruple the setup time
+    class_lut = np.asarray(dt.class_of).astype(np.uint8)
+    classes = jnp.asarray(class_lut[text])
 
     nb = 65536
     run = lambda: dfa_scan_fast(dt, classes, num_blocks=nb, start=tok.start)
 
     # warmup/compile
+    print("# compiling headline full-output graph...", file=sys.stderr)
     r = run()
     np.asarray(r.final_state)
     iters = int(r.iterations)
+    print(f"# headline compile+run done at t={time.perf_counter()-_T0:.0f}s",
+          file=sys.stderr)
 
     n = 5
     t0 = time.perf_counter()
@@ -68,6 +84,8 @@ def main() -> None:
     # (the Pallas lane width is VMEM-capped; see ops/pallas_dfa.py header).
     pallas_bps = None
     try:
+        if _remaining() < 150:
+            raise RuntimeError(f"budget: {_remaining():.0f}s left")
         runp = lambda: dfa_scan_fast(
             dt, classes, num_blocks=nb, start=tok.start, use_pallas=True
         )
@@ -86,6 +104,8 @@ def main() -> None:
     # Aho-Corasick DFAs; full-output and per-state-histogram (counts) modes.
     size_sweep = []
     try:
+        if _remaining() < 180:
+            raise RuntimeError(f"budget: {_remaining():.0f}s left")
         from regex_fpga_tpu.models import build_aho_corasick
 
         words = [
@@ -99,7 +119,9 @@ def main() -> None:
         for n_pat in (8, 24, 64):
             ac = build_aho_corasick(words[:n_pat])
             dts = build_dfa_tables(ac.dfa.table, ac.dfa.accept)
-            cls_s = jnp.asarray(np.asarray(dts.class_of)[text_s].astype(np.int32))
+            cls_s = jnp.asarray(
+                np.asarray(dts.class_of).astype(np.uint8)[text_s]
+            )
             point = {"S": int(dts.num_states), "C": int(dts.num_classes)}
             for emit in ("full", "counts"):
                 rs = dfa_scan_fast(dts, cls_s, num_blocks=16384, emit=emit)
@@ -115,23 +137,31 @@ def main() -> None:
     except Exception as e:
         print(f"# size sweep skipped: {e}", file=sys.stderr)
 
-    # k-gram counting mode (4 bytes per step, exact totals)
-    from regex_fpga_tpu.ops.kgram import build_kgram, dfa_scan_kgram, map_kgram_classes
-    import jax.numpy as jnp2
+    # k-gram counting mode (4 bytes per step, exact totals) — the usual
+    # headline; tolerated to fail (falls back to the full-output number)
+    kgram_bps, rk = 0.0, None
+    try:
+        from regex_fpga_tpu.ops.kgram import (
+            build_kgram, dfa_scan_kgram, map_kgram_classes,
+        )
+        import jax.numpy as jnp2
 
-    kg = build_kgram(dt, levels=2)
-    ck = jnp2.asarray(map_kgram_classes(kg, text))
-    tj, aj = jnp2.asarray(kg.table), jnp2.asarray(kg.acc_table)
-    nbk = 16384  # measured best: longer blocks amortize the overlap prescan
-    rk = dfa_scan_kgram(tj, aj, ck, num_blocks=nbk, start=tok.start,
-                        acc_bound=kg.k)
-    np.asarray(rk.final_state)
-    t0 = time.perf_counter()
-    for _ in range(n):
+        print("# compiling kgram graph...", file=sys.stderr)
+        kg = build_kgram(dt, levels=2)
+        ck = jnp2.asarray(map_kgram_classes(kg, text).astype(np.int16))
+        tj, aj = jnp2.asarray(kg.table), jnp2.asarray(kg.acc_table)
+        nbk = 16384  # measured best: longer blocks amortize the prescan
         rk = dfa_scan_kgram(tj, aj, ck, num_blocks=nbk, start=tok.start,
                             acc_bound=kg.k)
-    np.asarray(rk.final_state)
-    kgram_bps = l / ((time.perf_counter() - t0) / n)
+        np.asarray(rk.final_state)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            rk = dfa_scan_kgram(tj, aj, ck, num_blocks=nbk, start=tok.start,
+                                acc_bound=kg.k)
+        np.asarray(rk.final_state)
+        kgram_bps = l / ((time.perf_counter() - t0) / n)
+    except Exception as e:
+        print(f"# kgram bench skipped: {e}", file=sys.stderr)
 
     bps = max(full_bps, kgram_bps)
 
@@ -140,6 +170,8 @@ def main() -> None:
     # device scan of chunk k (parallel/ingest.py::prefetch_chunks)
     ingest_overlap = None
     try:
+        if _remaining() < 150:
+            raise RuntimeError(f"budget: {_remaining():.0f}s left")
         from regex_fpga_tpu.parallel.ingest import prefetch_chunks, resilient_scan
 
         chunk_b = 1 << 24  # 16 MiB x 8 chunks
@@ -149,8 +181,8 @@ def main() -> None:
             for off in range(0, len(big), chunk_b):
                 yield off, big[off : off + chunk_b]
 
-        def prepare(raw):  # host class-map + async device upload
-            return jnp.asarray(class_lut[raw].astype(np.int32))
+        def prepare(raw):  # host class-map + async device upload (uint8)
+            return jnp.asarray(class_lut[raw])
 
         def scan_chunk(cls_dev, carry):
             st = int(carry["state"]) if carry else tok.start
@@ -194,6 +226,8 @@ def main() -> None:
     conf_ok = None
     conf_bps = None
     try:
+        if _remaining() < 60:
+            raise RuntimeError(f"budget: {_remaining():.0f}s left")
         from regex_fpga_tpu import api
         from regex_fpga_tpu.models import nfa_scan
         from regex_fpga_tpu.utils import load_ruleset, load_trace_pair, reference_root
@@ -243,7 +277,7 @@ def main() -> None:
             "kgram4_counting_bytes_per_sec": round(kgram_bps, 1),
             "size_sweep": size_sweep,
             "ingest_overlap": ingest_overlap,
-            "kgram4_converged": bool(rk.converged),
+            "kgram4_converged": bool(rk.converged) if rk is not None else None,
             "stream_bytes": l,
             "num_blocks": nb,
             "kgram_num_blocks": 16384,
