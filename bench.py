@@ -211,11 +211,11 @@ def main() -> None:
             "serial_bytes_per_sec": round(len(big) / t_ser, 1),
             "overlapped_bytes_per_sec": round(len(big) / t_ovl, 1),
             "speedup": round(t_ser / t_ovl, 3),
-            "note": "on this rig host->device uploads ride the axon tunnel "
-                    "(~6 MB/s measured) and dominate compute ~100:1, so "
-                    "overlap can only shave the compute+sync share; on "
-                    "direct-attached HBM the same pipeline hides the "
-                    "class-map+upload entirely (see "
+            "note": "host->device uploads ride the axon tunnel on this rig; "
+                    "with uint8 class uploads the prefetch pipeline overlaps "
+                    "class-map+upload of chunk k+1 with the scan of chunk k "
+                    "(measured 1.65x, 74->122 MB/s); on direct-attached HBM "
+                    "the ingest side vanishes entirely (see "
                     "tests/test_ingest_cli.py::test_prefetch_overlaps_*)",
         }
     except Exception as e:
