@@ -884,6 +884,39 @@ class DfaMatcher:
             spans.append((l, l))
         return spans
 
+    def finditer_arrays(self, data) -> np.ndarray:
+        """Spans as an (N, 2) int64 ndarray — identical content to
+        ``finditer`` without materializing N Python tuples (match-dense
+        corpora produce millions; the list conversion alone costs seconds)."""
+        self._ensure_anchored()
+        stream = _as_streams(data)[0]
+        from .utils.native import anchored_spans_native, native_available
+
+        if len(stream) and native_available():
+            rm = self._reverse_matcher
+            rmask = rm._scan_mask(stream[::-1])
+            l = len(stream)
+            starts_mask = np.zeros(l, dtype=bool)
+            pos = np.nonzero(rmask)[0]
+            starts_mask[l - pos[pos > 0]] = True
+            if rm._accept_eof[rm._last_final]:
+                starts_mask[0] = True
+            table, accept, dead, accept_eof = self._anchored_np
+            out = anchored_spans_native(
+                table, accept, accept_eof, self._anchored_start, dead,
+                stream, np.nonzero(starts_mask)[0],
+            )
+            l_out = len(out)
+            if l_out:
+                a, b = int(out[-1, 0]), int(out[-1, 1])
+                p = max(b, a + 1)
+            else:
+                p = 0
+            if p <= l and self._anchored_longest_end(stream, l) == l:
+                out = np.concatenate([out, [[l, l]]], axis=0)
+            return out
+        return np.asarray(self.finditer(stream), dtype=np.int64).reshape(-1, 2)
+
     def finditer_matches(self, data, limit: int | None = None) -> list["Match"]:
         """Like ``finditer`` but yields full ``Match`` objects (with capture
         groups when the pattern has any) instead of bare spans."""
@@ -1632,11 +1665,13 @@ def compile_snort(source: str, config: EngineConfig = DEFAULT_CONFIG
 
 
 def compile_l7(path: str, config: EngineConfig = DEFAULT_CONFIG,
-               strategy: str = "lazy") -> RuleSetMatcher:
+               strategy: str = "lazy", prefilter: bool = False):
     """Compile l7-filter ``.pat`` protocol pattern file(s) — the upstream
     source format of the reference's l-7_filter ruleset (models/l7.py) —
     into one multi-rule matcher.  ``path`` is one ``.pat`` file or a
-    directory of them; rule names land in ``matcher.rule_names``."""
+    directory of them; rule names land in ``matcher.rule_names``.
+    ``prefilter=True`` guards literal-bearing protocols behind the device
+    AC prefilter (``PrefilteredRuleSet``; identical counts)."""
     import os
 
     from .models.l7 import load_l7_dir, load_l7_pattern
@@ -1645,7 +1680,10 @@ def compile_l7(path: str, config: EngineConfig = DEFAULT_CONFIG,
             else [load_l7_pattern(path)])
     if not pats:
         raise ValueError(f"no .pat files under {path!r}")
-    m = RuleSetMatcher([p.compile_pattern for p in pats], config,
-                       strategy=strategy)
+    patterns = [p.compile_pattern for p in pats]
+    if prefilter:
+        m = PrefilteredRuleSet(patterns, config, strategy=strategy)
+    else:
+        m = RuleSetMatcher(patterns, config, strategy=strategy)
     m.rule_names = [p.name for p in pats]
     return m

@@ -256,3 +256,16 @@ def test_scan_mask_equals_scan_stream_mask(rng):
     mask = m._scan_mask(stream)
     np.testing.assert_array_equal(mask, mask_ref)
     assert m._last_final == final_ref
+
+
+def test_finditer_arrays_equals_finditer(rng):
+    from regex_fpga_tpu.api import compile_regex
+
+    for pat in (rb"[a-z]+", rb"\d+x?", rb"a*"):
+        m = compile_regex(pat)
+        data = bytes(rng.integers(32, 127, size=3000, dtype=np.int64))
+        arr = m.finditer_arrays(data)
+        assert arr.dtype == np.int64 and arr.ndim == 2 and arr.shape[1] == 2
+        assert [tuple(x) for x in arr.tolist()] == m.finditer(data), pat
+    m = compile_regex(rb"zz")
+    assert m.finditer_arrays(b"no hits").shape == (0, 2)

@@ -74,3 +74,18 @@ def test_all_anchored_ruleset_ok():
 def test_dollar_not_exportable():
     with pytest.raises(ValueError):
         regex_to_csr(r"ab$")
+
+
+def test_compile_l7_prefiltered_equal_counts(tmp_path):
+    from regex_fpga_tpu.api import compile_l7
+
+    (tmp_path / "http.pat").write_text("http\nhttp/(0\\.9|1\\.0|1\\.1)\n")
+    (tmp_path / "ssh.pat").write_text("ssh\nssh-[12]\\.[0-9]\n")
+    plain = compile_l7(str(tmp_path))
+    pre = compile_l7(str(tmp_path), prefilter=True)
+    assert pre.rule_names == plain.rule_names
+    streams = [b"GET / http/1.1\r\n", b"ssh-2.0-OpenSSH\n", b"plain noise"]
+    import numpy as np
+    np.testing.assert_array_equal(
+        pre.scan(streams).rule_counts, plain.scan(streams).rule_counts
+    )
