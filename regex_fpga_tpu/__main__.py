@@ -80,6 +80,10 @@ def cmd_compile_rules(args) -> int:
         print("no rules found", file=sys.stderr)
         return 1
     rs = api.compile_regex_set(patterns)
+    if rs.automaton is None:
+        print("cannot export: mixed ^-anchored and unanchored rules have "
+              "no single .coe image — split the rule file", file=sys.stderr)
+        return 1
     rs.export_coe(args.output)
     print(
         f"{len(patterns)} rules -> {rs.automaton.num_states} states, "

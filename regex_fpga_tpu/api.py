@@ -1344,32 +1344,66 @@ class RuleSetReport:
 
 
 class RuleSetMatcher:
-    """Multi-rule matcher: a set of regexes compiled into ONE reference-
-    convention CSR NFA (the ruleset compiler the reference never shipped,
-    SURVEY.md SS0) and scanned by the bit-exact conformance engine with
-    per-rule match attribution."""
+    """Multi-rule matcher: a set of regexes compiled into reference-
+    convention CSR NFA(s) (the ruleset compiler the reference never
+    shipped, SURVEY.md SS0) and scanned by the bit-exact conformance
+    engine with per-rule match attribution.
+
+    Anchored (``^``) and unanchored rules cannot share one CSR hub (the
+    always-active hub would re-fire anchored rules at every byte —
+    models/export_csr.py), so a mixed set compiles into TWO partitions
+    scanned back to back; counts merge by original rule index.  Pure sets
+    stay a single automaton and remain ``.coe``-exportable."""
 
     def __init__(self, patterns, config: EngineConfig = DEFAULT_CONFIG,
                  strategy: str = "lazy"):
         from .models.export_csr import regexes_to_csr
+        from .models.regex import parse_pattern
 
         self.patterns = list(patterns)
-        self.automaton, self.owner = regexes_to_csr(self.patterns)
-        self.matcher = NfaMatcher(self.automaton, config, strategy=strategy)
+        flags = [parse_pattern(p).start_anchored for p in self.patterns]
+        #: list of (rule_indices, owner, NfaMatcher) — one per partition
+        self._parts = []
+        for anchored in (False, True):
+            idx = [i for i, a in enumerate(flags) if a == anchored]
+            if idx:
+                aut, owner = regexes_to_csr([self.patterns[i] for i in idx])
+                self._parts.append(
+                    (idx, owner, NfaMatcher(aut, config, strategy=strategy))
+                )
+        if len(self._parts) == 1:
+            # single-partition compatibility surface
+            self.owner = self._parts[0][1]
+            self.matcher = self._parts[0][2]
+            self.automaton = self.matcher.automaton
+        else:
+            self.owner = self.matcher = self.automaton = None
 
     @property
     def num_rules(self) -> int:
         return len(self.patterns)
 
     def scan(self, data) -> RuleSetReport:
-        rep = self.matcher.scan(data)
-        per = np.zeros((rep.counts.shape[0], self.num_rules), np.int64)
-        for i in range(self.num_rules):
-            per[:, i] = rep.counts[:, self.owner == i].sum(axis=1)
-        return RuleSetReport(rule_counts=per, report=rep)
+        streams = _as_streams(data)
+        per = np.zeros((len(streams), self.num_rules), np.int64)
+        rep = None
+        for idx, owner, matcher in self._parts:
+            rep = matcher.scan(streams)
+            for k, i in enumerate(idx):
+                per[:, i] = rep.counts[:, owner == k].sum(axis=1)
+        return RuleSetReport(
+            rule_counts=per,
+            report=rep if len(self._parts) == 1 else None,
+        )
 
     def export_coe(self, path: str) -> None:
         """Write the combined ruleset as a reference-loadable .coe image."""
+        if self.automaton is None:
+            raise ValueError(
+                "mixed anchored/unanchored rulesets compile to two CSR "
+                "partitions and have no single .coe image — export pure "
+                "subsets separately"
+            )
         from .models.coe import write_coe
 
         write_coe(path, self.automaton.to_words())

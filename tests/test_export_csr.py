@@ -105,3 +105,31 @@ def test_regex_set_coe_roundtrip(tmp_path):
     a = rs.scan([data]).report.counts
     b = reloaded.scan([data]).counts
     np.testing.assert_array_equal(a, b)
+
+
+def test_mixed_anchored_ruleset_partitions():
+    """Mixed ^-anchored + unanchored rule sets scan correctly via two CSR
+    partitions (one shared hub would re-fire anchored rules every byte)."""
+    import numpy as np
+
+    from regex_fpga_tpu.api import compile_regex_set
+
+    rs = compile_regex_set([rb"abc", rb"^xy", rb"b+c", rb"^q[0-9]"])
+    assert rs.num_rules == 4 and rs.automaton is None
+    rep = rs.scan([b"xyabc q7", b"q7 xy abbc!"])
+    # stream 0: abc at 2 (1), ^xy fires (1), b+c ends at abc's c (1), ^q no
+    np.testing.assert_array_equal(rep.rule_counts[0], [1, 1, 1, 0])
+    # stream 1: ^q7 fires; xy not at start; abbc: b+c fires (the trailing
+    # '!' matters — accepts entered by the FINAL byte are dropped, the
+    # reference's harness-stop semantics); abc absent
+    np.testing.assert_array_equal(rep.rule_counts[1], [0, 0, 1, 1])
+    with pytest.raises(ValueError, match="mixed"):
+        rs.export_coe("/tmp/should_not_exist.coe")
+
+
+def test_pure_ruleset_still_single_automaton(tmp_path):
+    from regex_fpga_tpu.api import compile_regex_set
+
+    rs = compile_regex_set([rb"abc", rb"b+c"])
+    assert rs.automaton is not None
+    rs.export_coe(str(tmp_path / "ok.coe"))

@@ -49,9 +49,14 @@ def test_compile_l7_file_and_dir(tmp_path):
     assert rep.rule_counts[0, 0] == 2
 
     (tmp_path / "ssh.pat").write_text(SSH_PAT)
-    # mixed anchored (ssh) + unanchored (http) rules cannot share a hub
-    with pytest.raises(ValueError):
-        api.compile_l7(str(tmp_path))
+    # mixed anchored (ssh) + unanchored (http) rules: two CSR partitions
+    m = api.compile_l7(str(tmp_path))
+    assert sorted(m.rule_names) == ["http", "ssh"]
+    i_ssh = m.rule_names.index("ssh")
+    rep = m.scan(b"ssh-2.0-OpenSSH hello\n")
+    assert rep.rule_counts[0, i_ssh] == 1
+    rep = m.scan(b"x ssh-2.0 not at start\n")
+    assert rep.rule_counts[0, i_ssh] == 0
 
 
 def test_anchored_csr_export_semantics():

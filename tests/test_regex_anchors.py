@@ -132,11 +132,15 @@ def test_export_path_handles_anchors():
     # '$' has no CSR representation (no stream-end concept)
     with pytest.raises(ValueError):
         api.compile_regex_set([r"abc$"])
-    # all-anchored rulesets are valid (hub-free start state); mixed are not
+    # all-anchored rulesets are valid (hub-free start state)
     m = api.compile_regex_set([r"^ab", r"^a\d"])
     assert m.scan(b"a7 ab").rule_counts.tolist() == [[0, 1]]
-    with pytest.raises(ValueError):
-        api.compile_regex_set([r"^ab", r"cd"])
+    # mixed rulesets scan via two CSR partitions (r2) but cannot export
+    # a single .coe image
+    m = api.compile_regex_set([r"^ab", r"cd"])
+    assert m.scan(b"ab then cd!").rule_counts.tolist() == [[1, 1]]
+    with pytest.raises(ValueError, match="mixed"):
+        m.export_coe("/tmp/na.coe")
 
 
 # -- compiler internals ------------------------------------------------------
