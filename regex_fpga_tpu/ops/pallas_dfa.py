@@ -47,7 +47,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .dfa_fast import mm_dtype, mm_precision
 from .tables import DfaTables
 
-__all__ = ["chain_pass_full_pallas", "chain_pass_finals_pallas", "LANE_TILE"]
+__all__ = [
+    "chain_pass_full_pallas",
+    "chain_pass_finals_pallas",
+    "chain_pass_counts_pallas",
+    "LANE_TILE",
+]
 
 LANE_TILE = 1024  # chain lanes (blocks) per grid cell.  Measured on v5e
                   # (64 MiB stream, tokenizer DFA S=23/C=10, 2026-08-19):
@@ -129,6 +134,105 @@ def _kernel(cls_ref, t_ref, acc_vec_ref, entry_ref, finals_ref,
         acc_ref[:] = acc_scr[:] != 0
     st_state[:] = state
     finals_ref[:] = state  # last window's write is the final state
+
+
+def _counts_kernel(cls_ref, t_ref, entry_ref, finals_ref, counts_ref,
+                   st_state, vis_scr, *, c, s):
+    """Counting variant: per-lane one-hot visit accumulation (one VPU add
+    per step into a (TILE, S) scratch) collapsed ONCE per window via an MXU
+    column sum — no cross-lane work on the per-byte critical path.
+
+    Exactness: per-lane visit counts <= block bytes and the per-tile column
+    sum <= TILE * bytes, both far below 2^24, so f32 accumulation is exact.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        st_state[:] = entry_ref[:]
+        vis_scr[:] = jnp.zeros_like(vis_scr)
+
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    ones_s = jnp.ones((s, 1), jnp.float32)
+    prec = mm_precision(t_ref.dtype)
+    tile = vis_scr.shape[0]
+    ones_row = jnp.ones((1, tile), jnp.float32)
+
+    def sub(si, carry):
+        chunk, state, vis = carry
+        for t in range(_SUB):  # static unroll, <= 32 steps
+            col = chunk[:, t : t + 1]
+            oh_c = (col == iota_c).astype(t_ref.dtype)
+            rows = jnp.dot(oh_c, t_ref[:], precision=prec,
+                           preferred_element_type=jnp.float32)
+            oh_x = (state == iota_s).astype(jnp.float32)
+            vis = vis + oh_x
+            state = jnp.dot(rows * oh_x, ones_s,
+                            preferred_element_type=jnp.float32).astype(jnp.int32)
+        chunk = pltpu.roll(chunk, shift=_WINDOW - _SUB, axis=1)
+        return chunk, state, vis
+
+    _, state, vis = jax.lax.fori_loop(
+        0, _WINDOW // _SUB, sub, (cls_ref[:], st_state[:], vis_scr[:])
+    )
+    st_state[:] = state
+    vis_scr[:] = vis
+    finals_ref[:] = state
+    # per-tile visit histogram: collapse lanes on the MXU (exact in f32)
+    counts_ref[:] = jnp.dot(ones_row, vis,
+                            preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "lane_tile"))
+def chain_pass_counts_pallas(tables: DfaTables, cls_seq: jnp.ndarray,
+                             entries: jnp.ndarray,
+                             interpret: bool | None = None,
+                             lane_tile: int = LANE_TILE):
+    """Counting pass: returns (finals (NB,), counts (S,) int32) — the
+    per-state ACCEPT-visit histogram (visits masked by accept, matching
+    dfa_fast.chain_pass_counts)."""
+    interpret = _auto_interpret(interpret)
+    cls_blocks = cls_seq.T
+    nb, b = cls_blocks.shape
+    c, s = tables.table.shape
+    assert nb % lane_tile == 0, f"num_blocks must be a multiple of {lane_tile}"
+    assert b % _WINDOW == 0, f"block bytes must be a multiple of {_WINDOW}"
+    grid = (nb // lane_tile, b // _WINDOW)
+    kernel = functools.partial(_counts_kernel, c=c, s=s)
+    finals, tile_counts = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((lane_tile, _WINDOW), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, s), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lane_tile, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nb // lane_tile, s), jnp.float32),
+        ],
+        out_specs=[
+            pl.BlockSpec((lane_tile, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((lane_tile, 1), jnp.int32),
+            pltpu.VMEM((lane_tile, s), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        cls_blocks,
+        tables.table.astype(mm_dtype(s)),
+        entries[:, None],
+    )
+    visits = jnp.sum(tile_counts, axis=0).astype(jnp.int32)
+    counts = visits * tables.accept.astype(jnp.int32)
+    return finals[:, 0], counts
 
 
 def _pallas_chain(tables: DfaTables, cls_blocks: jnp.ndarray,

@@ -50,3 +50,20 @@ def test_dfa_scan_fast_pallas_end_to_end(rng):
     assert bool(res.converged)
     assert int(res.final_state) == int(ser.final_state)
     np.testing.assert_array_equal(np.asarray(res.match_mask), np.asarray(ser.match_mask))
+
+
+def test_chain_pass_counts_pallas_vs_reference(rng):
+    from regex_fpga_tpu.ops.dfa_fast import chain_pass_counts
+    from regex_fpga_tpu.ops.pallas_dfa import chain_pass_counts_pallas
+
+    table, accept = random_dfa_table(rng, 48, 6)
+    dt = build_dfa_tables(table, accept)
+    b, nb = 128, 2 * LANE_TILE
+    cls_seq = jnp.asarray(
+        rng.integers(0, dt.num_classes, size=(b, nb), dtype=np.int32)
+    )
+    entries = jnp.asarray(rng.integers(0, 48, size=(nb,), dtype=np.int32))
+    f_ref, c_ref = chain_pass_counts(dt, cls_seq, entries)
+    f_p, c_p = chain_pass_counts_pallas(dt, cls_seq, entries)
+    np.testing.assert_array_equal(np.asarray(f_p), np.asarray(f_ref))
+    np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_ref))
