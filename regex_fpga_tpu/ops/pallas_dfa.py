@@ -54,7 +54,11 @@ __all__ = [
     "LANE_TILE",
 ]
 
-LANE_TILE = 1024  # chain lanes (blocks) per grid cell.  Measured on v5e
+LANE_TILE = 1024  # chain lanes (blocks) per grid cell.  Counts mode
+                  # (chain_pass_counts_pallas) measured 1.06 GB/s on v5e
+                  # (tokenizer DFA, 32 MiB, exact) vs 2.46 GB/s for the
+                  # 32768-lane jnp engine — same story as below.
+                  # Measured on v5e
                   # (64 MiB stream, tokenizer DFA S=23/C=10, 2026-08-19):
                   # full-output 0.60/0.79/0.94/0.98 GB/s and finals-only
                   # 1.09/1.23/1.33/1.38 GB/s at 256/512/1024/2048 lanes —
@@ -179,9 +183,13 @@ def _counts_kernel(cls_ref, t_ref, entry_ref, finals_ref, counts_ref,
     st_state[:] = state
     vis_scr[:] = vis
     finals_ref[:] = state
-    # per-tile visit histogram: collapse lanes on the MXU (exact in f32)
-    counts_ref[:] = jnp.dot(ones_row, vis,
-                            preferred_element_type=jnp.float32)
+    # per-tile visit histogram: collapse lanes on the MXU (exact in f32).
+    # counts_ref holds the FULL (n_tiles, S) array (Mosaic: block dims must
+    # be 8/128-divisible or equal-to-full — a (1, S) block is neither);
+    # each lane-tile writes its own row via a dynamic sublane store.
+    counts_ref[pl.ds(pl.program_id(0), 1), :] = jnp.dot(
+        ones_row, vis, preferred_element_type=jnp.float32
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "lane_tile"))
@@ -217,7 +225,9 @@ def chain_pass_counts_pallas(tables: DfaTables, cls_seq: jnp.ndarray,
         out_specs=[
             pl.BlockSpec((lane_tile, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s), lambda i, j: (i, 0),
+            # full-array block, resident across the grid; row i written by
+            # lane-tile i (see kernel comment)
+            pl.BlockSpec((nb // lane_tile, s), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
