@@ -7,21 +7,24 @@ BASELINE.json config 3/4.  ``vs_baseline`` is the ratio to the 1 GB/s/chip
 north-star target from BASELINE.md (the reference FPGA itself achieves
 ~65-129 KB/s derived, SURVEY.md SS6 — also reported for context).
 
-Timing note: on the tunneled TPU platform ``block_until_ready`` does not
-synchronize; every timed region forces a small host transfer instead.
+Robustness: the axon tunnel sometimes HANGS mid-call (observed: a kgram
+compile stalling 8+ minutes), which no try/except can catch — so after the
+headline measurement every extra section runs on a daemon worker thread and
+the main thread joins with a hard deadline; whatever completed lands in the
+JSON line, the rest reads null.  Timing note: on the tunneled platform
+``block_until_ready`` does not synchronize; every timed region forces a
+small host transfer instead.
 """
 
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 _T0 = time.perf_counter()
-# stay inside the driver's wall budget: optional sections are skipped when
-# the remaining time gets thin (fresh remote compiles through the tunnel
-# can eat minutes; the headline JSON line must always land)
 _BUDGET = float(os.environ.get("BENCH_BUDGET_S", "480"))
 
 
@@ -47,7 +50,6 @@ def main() -> None:
     )
 
     # synthetic text: word-like structure so the pre-split DFA does real work
-    rng = np.random.default_rng(0)
     frag = (
         b"The quick brown fox jumps over 1234 lazy dogs, it's 99.5% fine!  "
         b"pre-split   benchmark text \xc3\xa9t\xc3\xa9 2026... "
@@ -76,192 +78,197 @@ def main() -> None:
     for _ in range(n):
         r = run()
     np.asarray(r.final_state)  # force
-    dt_s = (time.perf_counter() - t0) / n
-    full_bps = l / dt_s
+    full_bps = l / ((time.perf_counter() - t0) / n)
 
-    # Pallas kernel variant of the same pass, compiled on the TPU (VERDICT
-    # r1 item 1).  Honest note: measured v5e numbers have the XLA path ahead
-    # (the Pallas lane width is VMEM-capped; see ops/pallas_dfa.py header).
-    pallas_bps = None
-    try:
-        if _remaining() < 150:
-            raise RuntimeError(f"budget: {_remaining():.0f}s left")
-        runp = lambda: dfa_scan_fast(
-            dt, classes, num_blocks=nb, start=tok.start, use_pallas=True
-        )
-        rp = runp()
-        np.asarray(rp.final_state)
-        t0 = time.perf_counter()
-        for _ in range(n):
-            rp = runp()
-        np.asarray(rp.final_state)
-        pallas_bps = l / ((time.perf_counter() - t0) / n)
-        assert int(rp.final_state) == int(r.final_state)
-    except Exception as e:
-        print(f"# pallas bench skipped: {e}", file=sys.stderr)
+    # ---- everything else runs on a worker thread behind a hard deadline
+    # (a hung tunnel call inside a section must not eat the JSON line);
+    # sections write into ``ext`` as they complete, so partial progress
+    # survives a mid-section stall
+    ext: dict = {}
 
-    # throughput vs automaton size (VERDICT r1 item 4): realistic mid-size
-    # Aho-Corasick DFAs; full-output and per-state-histogram (counts) modes.
-    size_sweep = []
-    try:
-        if _remaining() < 180:
-            raise RuntimeError(f"budget: {_remaining():.0f}s left")
-        from regex_fpga_tpu.models import build_aho_corasick
-
-        words = [
-            w % i
-            for i in range(40)
-            for w in (b"error%04d", b"warning%03d", b"GET /path%d HTTP",
-                      b"user-agent: bot%d", b"fail%dure")
-        ]
-        l_s = 1 << 24  # 16 MiB per sweep point
-        text_s = text[:l_s]
-        for n_pat in (8, 24, 64):
-            ac = build_aho_corasick(words[:n_pat])
-            dts = build_dfa_tables(ac.dfa.table, ac.dfa.accept)
-            cls_s = jnp.asarray(
-                np.asarray(dts.class_of).astype(np.uint8)[text_s]
+    def extras() -> None:
+        # k-gram counting mode (4 bytes per step, exact totals) — the usual
+        # headline winner
+        try:
+            from regex_fpga_tpu.ops.kgram import (
+                build_kgram, dfa_scan_kgram, map_kgram_classes,
             )
-            point = {"S": int(dts.num_states), "C": int(dts.num_classes)}
-            for emit in ("full", "counts"):
-                rs = dfa_scan_fast(dts, cls_s, num_blocks=16384, emit=emit)
-                np.asarray(rs.final_state)
-                t0 = time.perf_counter()
-                for _ in range(3):
-                    rs = dfa_scan_fast(dts, cls_s, num_blocks=16384, emit=emit)
-                np.asarray(rs.final_state)
-                point[f"{emit}_bytes_per_sec"] = round(
-                    l_s / ((time.perf_counter() - t0) / 3), 1
-                )
-            size_sweep.append(point)
-    except Exception as e:
-        print(f"# size sweep skipped: {e}", file=sys.stderr)
 
-    # k-gram counting mode (4 bytes per step, exact totals) — the usual
-    # headline; tolerated to fail (falls back to the full-output number)
-    kgram_bps, rk = 0.0, None
-    try:
-        from regex_fpga_tpu.ops.kgram import (
-            build_kgram, dfa_scan_kgram, map_kgram_classes,
-        )
-        import jax.numpy as jnp2
-
-        print("# compiling kgram graph...", file=sys.stderr)
-        kg = build_kgram(dt, levels=2)
-        ck = jnp2.asarray(map_kgram_classes(kg, text).astype(np.int16))
-        tj, aj = jnp2.asarray(kg.table), jnp2.asarray(kg.acc_table)
-        nbk = 16384  # measured best: longer blocks amortize the prescan
-        rk = dfa_scan_kgram(tj, aj, ck, num_blocks=nbk, start=tok.start,
-                            acc_bound=kg.k)
-        np.asarray(rk.final_state)
-        t0 = time.perf_counter()
-        for _ in range(n):
+            print("# compiling kgram graph...", file=sys.stderr)
+            kg = build_kgram(dt, levels=2)
+            ck = jnp.asarray(map_kgram_classes(kg, text).astype(np.int16))
+            tj, aj = jnp.asarray(kg.table), jnp.asarray(kg.acc_table)
+            nbk = 16384  # measured best: longer blocks amortize the prescan
             rk = dfa_scan_kgram(tj, aj, ck, num_blocks=nbk, start=tok.start,
                                 acc_bound=kg.k)
-        np.asarray(rk.final_state)
-        kgram_bps = l / ((time.perf_counter() - t0) / n)
-    except Exception as e:
-        print(f"# kgram bench skipped: {e}", file=sys.stderr)
+            np.asarray(rk.final_state)
+            t1 = time.perf_counter()
+            for _ in range(n):
+                rk = dfa_scan_kgram(tj, aj, ck, num_blocks=nbk,
+                                    start=tok.start, acc_bound=kg.k)
+            np.asarray(rk.final_state)
+            ext["kgram_bps"] = l / ((time.perf_counter() - t1) / n)
+            ext["kgram_converged"] = bool(rk.converged)
+        except Exception as e:
+            print(f"# kgram bench skipped: {e}", file=sys.stderr)
 
+        # Pallas kernel variant of the same pass, compiled on the TPU
+        # (VERDICT r1 item 1; XLA stays ahead — ops/pallas_dfa.py header)
+        try:
+            if _remaining() < 120:
+                raise RuntimeError(f"budget: {_remaining():.0f}s left")
+            runp = lambda: dfa_scan_fast(
+                dt, classes, num_blocks=nb, start=tok.start, use_pallas=True
+            )
+            rp = runp()
+            np.asarray(rp.final_state)
+            t1 = time.perf_counter()
+            for _ in range(n):
+                rp = runp()
+            np.asarray(rp.final_state)
+            ext["pallas_bps"] = l / ((time.perf_counter() - t1) / n)
+            assert int(rp.final_state) == int(r.final_state)
+        except Exception as e:
+            print(f"# pallas bench skipped: {e}", file=sys.stderr)
+
+        # throughput vs automaton size (VERDICT r1 item 4)
+        try:
+            if _remaining() < 150:
+                raise RuntimeError(f"budget: {_remaining():.0f}s left")
+            from regex_fpga_tpu.models import build_aho_corasick
+
+            words = [
+                w % i
+                for i in range(40)
+                for w in (b"error%04d", b"warning%03d", b"GET /path%d HTTP",
+                          b"user-agent: bot%d", b"fail%dure")
+            ]
+            l_s = 1 << 24  # 16 MiB per sweep point
+            text_s = text[:l_s]
+            sweep = ext.setdefault("size_sweep", [])
+            for n_pat in (8, 24, 64):
+                ac = build_aho_corasick(words[:n_pat])
+                dts = build_dfa_tables(ac.dfa.table, ac.dfa.accept)
+                cls_s = jnp.asarray(
+                    np.asarray(dts.class_of).astype(np.uint8)[text_s]
+                )
+                point = {"S": int(dts.num_states), "C": int(dts.num_classes)}
+                for emit in ("full", "counts"):
+                    rs = dfa_scan_fast(dts, cls_s, num_blocks=16384, emit=emit)
+                    np.asarray(rs.final_state)
+                    t1 = time.perf_counter()
+                    for _ in range(3):
+                        rs = dfa_scan_fast(dts, cls_s, num_blocks=16384,
+                                           emit=emit)
+                    np.asarray(rs.final_state)
+                    point[f"{emit}_bytes_per_sec"] = round(
+                        l_s / ((time.perf_counter() - t1) / 3), 1
+                    )
+                sweep.append(point)
+        except Exception as e:
+            print(f"# size sweep skipped: {e}", file=sys.stderr)
+
+        # ingest/compute overlap (VERDICT r1 item 7)
+        try:
+            if _remaining() < 120:
+                raise RuntimeError(f"budget: {_remaining():.0f}s left")
+            from regex_fpga_tpu.parallel.ingest import (
+                prefetch_chunks, resilient_scan,
+            )
+
+            chunk_b = 1 << 24  # 16 MiB x 8 chunks
+            big = np.frombuffer(
+                frag * (8 * reps), dtype=np.uint8
+            )[: 8 * chunk_b]
+
+            def chunks_iter():
+                for off in range(0, len(big), chunk_b):
+                    yield off, big[off : off + chunk_b]
+
+            def prepare(raw):  # host class-map + async device upload (uint8)
+                return jnp.asarray(class_lut[raw])
+
+            def scan_chunk(cls_dev, carry):
+                st = int(carry["state"]) if carry else tok.start
+                rr = dfa_scan_fast(dt, cls_dev, num_blocks=16384, start=st,
+                                   emit="counts")
+                return {"state": np.asarray(rr.final_state),
+                        "total": (carry or {}).get("total", 0)
+                        + int(np.asarray(rr.counts).sum())}
+
+            scan_chunk(prepare(big[:chunk_b]), None)  # warm the chunk shape
+            t1 = time.perf_counter()
+            c_ser = resilient_scan(
+                scan_chunk, ((o, prepare(c)) for o, c in chunks_iter())
+            )
+            t_ser = time.perf_counter() - t1
+            t1 = time.perf_counter()
+            c_ovl = resilient_scan(
+                scan_chunk, prefetch_chunks(chunks_iter(), prepare=prepare)
+            )
+            t_ovl = time.perf_counter() - t1
+            assert c_ser["total"] == c_ovl["total"]
+            ext["ingest_overlap"] = {
+                "chunks": 8,
+                "chunk_bytes": chunk_b,
+                "serial_bytes_per_sec": round(len(big) / t_ser, 1),
+                "overlapped_bytes_per_sec": round(len(big) / t_ovl, 1),
+                "speedup": round(t_ser / t_ovl, 3),
+                "note": "prefetch overlaps class-map+upload of chunk k+1 "
+                        "with the scan of chunk k (measured 1.65x on this "
+                        "rig's ~6 MB/s tunnel; on direct-attached HBM the "
+                        "ingest side vanishes — see tests/test_ingest_cli"
+                        ".py::test_prefetch_overlaps_*)",
+            }
+        except Exception as e:
+            print(f"# ingest overlap skipped: {e}", file=sys.stderr)
+
+        # context: conformance on the reference's own headline workload
+        try:
+            if _remaining() < 45:
+                raise RuntimeError(f"budget: {_remaining():.0f}s left")
+            from regex_fpga_tpu import api
+            from regex_fpga_tpu.utils import load_trace_pair, reference_root
+
+            m = api.compile_ruleset(
+                os.path.join(reference_root(), "Block_Mem/CSR_BlockMem.coe")
+            )
+            lo, _ = load_trace_pair("l-7_filter", limit=30_000)
+            rep = m.scan(lo)
+            ok = rep.histogram(0) == {443: 1, 1386: 1}
+
+            snort = api.compile_ruleset(
+                os.path.join(reference_root(),
+                             "Block_Mem/CSR_BlockMem_snort_16.coe")
+            )
+            s_lo, s_hi = load_trace_pair("snort_16")
+            warm = snort.scan([s_lo, s_hi])  # interns the subset automaton
+            ext["conf_ok"] = (ok and int(warm.counts[0].sum()) == 13
+                              and int(warm.counts[1].sum()) == 678)
+            # sustained many-flows IDS workload (native multi-cursor walk)
+            flow = np.concatenate([s_lo, s_hi])
+            flows = [np.roll(flow, i * 997) for i in range(64)]  # 25.6 MB
+            snort.lazy_dfa.host_scan_batch(flows)  # warm
+            total = sum(len(f) for f in flows)
+            best = 0.0
+            for _ in range(3):
+                t1 = time.perf_counter()
+                snort.lazy_dfa.host_scan_batch(flows)
+                best = max(best, total / (time.perf_counter() - t1))
+            ext["conf_bps"] = best
+        except Exception as e:
+            print(f"# conformance check skipped: {e}", file=sys.stderr)
+
+    worker = threading.Thread(target=extras, daemon=True)
+    worker.start()
+    worker.join(timeout=max(10.0, _remaining() - 15.0))
+    if worker.is_alive():
+        print("# extras deadline hit — emitting with partial results",
+              file=sys.stderr)
+
+    kgram_bps = ext.get("kgram_bps", 0.0)
+    conf_bps = ext.get("conf_bps")
     bps = max(full_bps, kgram_bps)
-
-    # ingest/compute overlap (VERDICT r1 item 7): chunked scan with the
-    # host-side class-map + upload of chunk k+1 prefetched during the
-    # device scan of chunk k (parallel/ingest.py::prefetch_chunks)
-    ingest_overlap = None
-    try:
-        if _remaining() < 150:
-            raise RuntimeError(f"budget: {_remaining():.0f}s left")
-        from regex_fpga_tpu.parallel.ingest import prefetch_chunks, resilient_scan
-
-        chunk_b = 1 << 24  # 16 MiB x 8 chunks
-        big = np.frombuffer(frag * (8 * reps), dtype=np.uint8)[: 8 * chunk_b]
-
-        def chunks_iter():
-            for off in range(0, len(big), chunk_b):
-                yield off, big[off : off + chunk_b]
-
-        def prepare(raw):  # host class-map + async device upload (uint8)
-            return jnp.asarray(class_lut[raw])
-
-        def scan_chunk(cls_dev, carry):
-            st = int(carry["state"]) if carry else tok.start
-            r = dfa_scan_fast(dt, cls_dev, num_blocks=16384, start=st,
-                              emit="counts")
-            return {"state": np.asarray(r.final_state),
-                    "total": (carry or {}).get("total", 0)
-                    + int(np.asarray(r.counts).sum())}
-
-        # warm the chunk shape
-        scan_chunk(prepare(big[:chunk_b]), None)
-        t0 = time.perf_counter()
-        c_ser = resilient_scan(
-            scan_chunk, ((o, prepare(c)) for o, c in chunks_iter())
-        )
-        t_ser = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        c_ovl = resilient_scan(
-            scan_chunk, prefetch_chunks(chunks_iter(), prepare=prepare)
-        )
-        t_ovl = time.perf_counter() - t0
-        assert c_ser["total"] == c_ovl["total"]
-        ingest_overlap = {
-            "chunks": 8,
-            "chunk_bytes": chunk_b,
-            "serial_bytes_per_sec": round(len(big) / t_ser, 1),
-            "overlapped_bytes_per_sec": round(len(big) / t_ovl, 1),
-            "speedup": round(t_ser / t_ovl, 3),
-            "note": "host->device uploads ride the axon tunnel on this rig; "
-                    "with uint8 class uploads the prefetch pipeline overlaps "
-                    "class-map+upload of chunk k+1 with the scan of chunk k "
-                    "(measured 1.65x, 74->122 MB/s); on direct-attached HBM "
-                    "the ingest side vanishes entirely (see "
-                    "tests/test_ingest_cli.py::test_prefetch_overlaps_*)",
-        }
-    except Exception as e:
-        print(f"# ingest overlap skipped: {e}", file=sys.stderr)
-
-    # context: conformance on the reference's own headline workload
-    # (snort_16 NFA ruleset) — exactness + sustained lazy-DFA throughput
-    conf_ok = None
-    conf_bps = None
-    try:
-        if _remaining() < 60:
-            raise RuntimeError(f"budget: {_remaining():.0f}s left")
-        from regex_fpga_tpu import api
-        from regex_fpga_tpu.models import nfa_scan
-        from regex_fpga_tpu.utils import load_ruleset, load_trace_pair, reference_root
-        import os
-
-        m = api.compile_ruleset(
-            os.path.join(reference_root(), "Block_Mem/CSR_BlockMem.coe")
-        )
-        lo, _ = load_trace_pair("l-7_filter", limit=30_000)
-        rep = m.scan(lo)
-        conf_ok = rep.histogram(0) == {443: 1, 1386: 1}
-
-        snort = api.compile_ruleset(
-            os.path.join(reference_root(), "Block_Mem/CSR_BlockMem_snort_16.coe")
-        )
-        s_lo, s_hi = load_trace_pair("snort_16")
-        warm = snort.scan([s_lo, s_hi])  # cold: interns the subset automaton
-        conf_ok = conf_ok and int(warm.counts[0].sum()) == 13 \
-            and int(warm.counts[1].sum()) == 678
-        # sustained many-flows IDS workload: 64 independent streams walked
-        # concurrently by the native multi-cursor engine (the reference's
-        # dual-stream axis generalized; exact per-flow histograms)
-        flow = np.concatenate([s_lo, s_hi])
-        flows = [np.roll(flow, i * 997) for i in range(64)]  # 25.6 MB
-        snort.lazy_dfa.host_scan_batch(flows)  # warm: intern flow states
-        total = sum(len(f) for f in flows)
-        conf_bps = 0.0
-        for _ in range(3):  # best-of-3: host CPU contends with the runtime
-            t0 = time.perf_counter()
-            snort.lazy_dfa.host_scan_batch(flows)
-            conf_bps = max(conf_bps, total / (time.perf_counter() - t0))
-    except Exception as e:  # reference not mounted in bench env
-        print(f"# conformance check skipped: {e}", file=sys.stderr)
-
     target = 1e9  # BASELINE.md north star, B/s/chip
     out = {
         "metric": "dfa_scan_bytes_per_sec_per_chip",
@@ -272,12 +279,12 @@ def main() -> None:
             "engine": "dfa-fast (Jacobi + MXU one-hot)",
             "full_output_bytes_per_sec": round(full_bps, 1),
             "pallas_full_output_bytes_per_sec": (
-                round(pallas_bps, 1) if pallas_bps else None
+                round(ext["pallas_bps"], 1) if "pallas_bps" in ext else None
             ),
             "kgram4_counting_bytes_per_sec": round(kgram_bps, 1),
-            "size_sweep": size_sweep,
-            "ingest_overlap": ingest_overlap,
-            "kgram4_converged": bool(rk.converged) if rk is not None else None,
+            "size_sweep": ext.get("size_sweep", []),
+            "ingest_overlap": ext.get("ingest_overlap"),
+            "kgram4_converged": ext.get("kgram_converged"),
             "stream_bytes": l,
             "num_blocks": nb,
             "kgram_num_blocks": 16384,
@@ -287,7 +294,7 @@ def main() -> None:
             "byte_classes": dt.num_classes,
             "reference_fpga_bytes_per_sec": 129e3,
             "vs_reference_fpga": round(bps / 129e3, 1),
-            "conformance_exact": conf_ok,
+            "conformance_exact": ext.get("conf_ok"),
             "snort16_conformance_bytes_per_sec": (
                 round(conf_bps, 1) if conf_bps else None
             ),
@@ -298,6 +305,11 @@ def main() -> None:
         },
     }
     print(json.dumps(out))
+    # daemon worker may still hold a hung tunnel call — exit hard so the
+    # process cannot outlive its budget waiting on it
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":
