@@ -205,7 +205,12 @@ def chain_pass_counts_pallas(tables: DfaTables, cls_seq: jnp.ndarray,
     nb, b = cls_blocks.shape
     c, s = tables.table.shape
     assert nb % lane_tile == 0, f"num_blocks must be a multiple of {lane_tile}"
-    assert b % _WINDOW == 0, f"block bytes must be a multiple of {_WINDOW}"
+    assert b % _WINDOW == 0, f"steps per block must be a multiple of {_WINDOW}"
+    # per-tile column sums accumulate in f32: exact only below 2^24 visits
+    assert lane_tile * b < (1 << 24), (
+        "lane_tile * block_bytes must stay below 2^24 for exact f32 "
+        "visit accumulation — use more lane tiles or shorter blocks"
+    )
     grid = (nb // lane_tile, b // _WINDOW)
     kernel = functools.partial(_counts_kernel, c=c, s=s)
     finals, tile_counts = pl.pallas_call(
