@@ -31,7 +31,14 @@ import numpy as np
 
 from .tables import DfaTables
 
-__all__ = ["KgramTables", "build_kgram", "map_kgram_classes", "dfa_scan_kgram"]
+__all__ = [
+    "KgramTables",
+    "build_kgram",
+    "map_kgram_classes",
+    "make_kgram_step",
+    "kgram_pass_full",
+    "dfa_scan_kgram",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -162,6 +169,93 @@ class KgramScanResult(NamedTuple):
     iterations: jnp.ndarray   # () int32 full passes executed
 
 
+def make_kgram_step(
+    table: jnp.ndarray, acc_table: jnp.ndarray, acc_bound: int | None = None
+):
+    """Build ``step(state, cls_t) -> (next_state, acc)`` for NB parallel
+    lanes — the k-gram analogue of ``dfa_fast._mm_step`` with the accept
+    count riding the same GEMM.  Shared by the single-device scan below and
+    the (data, seq)-mesh distributed scan (``parallel/dist_scan.py``).
+
+    When the caller promises acc values <= acc_bound (k, known statically),
+    transition and accept pack into ONE value T*mult + A — one select
+    instead of two (measured ~5% faster).  Exactness: packed values must
+    stay bf16-exact (<= 256).  Packing into "f32" is NOT safe on TPU —
+    the default matmul precision truncates f32 operands to one bf16 MXU
+    pass, corrupting the low bit of values above 256 (measured 5% count
+    loss at levels=3; dfa_fast.mm_dtype docstring).  Above 256 the split
+    tables are used instead: their entries (state ids and per-step accept
+    counts) stay individually small, or ride f32 with HIGHEST precision.
+    """
+    from .dfa_fast import mm_dtype, mm_precision
+
+    c, s = table.shape
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+
+    mult = 0
+    if acc_bound is not None:
+        mult = 1
+        while mult <= acc_bound:
+            mult *= 2
+        # TPU: bf16-exact only; CPU/GPU f32 dots are true f32 (exact < 2^24)
+        limit = 256 if jax.default_backend() == "tpu" else (1 << 24) - 1
+        if (s - 1) * mult + acc_bound > limit:
+            mult = 0  # beyond the exact range: use the split tables
+    if mult:
+        packed_max = (s - 1) * mult + acc_bound
+        mmdt = mm_dtype(packed_max)
+        pk = (table * mult + acc_table).astype(mmdt)  # (C, S)
+
+        def step(state, cls_t):
+            oh_c = (cls_t[:, None] == iota_c).astype(mmdt)
+            rows = jnp.dot(oh_c, pk, preferred_element_type=jnp.float32,
+                           precision=mm_precision(mmdt))
+            oh_x = (state[:, None] == iota_s).astype(jnp.float32)
+            v = jnp.sum(rows * oh_x, axis=-1).astype(jnp.int32)
+            return v // mult, v % mult
+    else:
+        # exactness rule shared with the other engines; accept counts per
+        # step are bounded by k (build_kgram caps levels well below 256)
+        mmdt = mm_dtype(s)
+        ta = jnp.concatenate([table, acc_table], axis=1).astype(mmdt)
+
+        def step(state, cls_t):
+            oh_c = (cls_t[:, None] == iota_c).astype(mmdt)
+            rows = jnp.dot(oh_c, ta, preferred_element_type=jnp.float32,
+                           precision=mm_precision(mmdt))
+            oh_x = (state[:, None] == iota_s).astype(jnp.float32)
+            nxt = jnp.sum(rows[:, :s] * oh_x, axis=-1).astype(jnp.int32)
+            acc = jnp.sum(rows[:, s:] * oh_x, axis=-1).astype(jnp.int32)
+            return nxt, acc
+
+    return step
+
+
+def kgram_pass_full(
+    table: jnp.ndarray,
+    acc_table: jnp.ndarray,
+    cls_seq: jnp.ndarray,   # (B, NB) scan columns
+    entries: jnp.ndarray,   # (NB,) entry states
+    acc_bound: int | None = None,
+):
+    """One full chain pass over NB lanes: final states + per-lane accept
+    totals, both (NB,).  Cost equals a finals-only pass: the accept row
+    rides the same (NB, C) @ (C, 2S) GEMM (2S <= 128 pads to the same MXU
+    tile as S alone)."""
+    step = make_kgram_step(table, acc_table, acc_bound)
+
+    def body(carry, cl):
+        st, tot = carry
+        nxt, acc = step(st, cl)
+        return (nxt, tot + acc), None
+
+    (finals, totals), _ = jax.lax.scan(
+        body, (entries, jnp.zeros_like(entries)), cls_seq
+    )
+    return finals, totals
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -200,62 +294,14 @@ def dfa_scan_kgram(
     remain exact whenever ``converged`` is True.  The reference engine has
     no analogue — its chain is serial per char (``Design/FPGA.v:733-737``).
     """
-    from .dfa_fast import mm_dtype, mm_precision
-
     l = classes_k.shape[0]
     assert l % num_blocks == 0
     b = l // num_blocks
     c, s = table.shape
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
-    iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
     blocks = classes_k.astype(jnp.int32).reshape(num_blocks, b)
     cls_seq = blocks.T  # (B, NB) scan columns
     start = jnp.asarray(start, jnp.int32)
-
-    # When the caller promises acc values <= acc_bound (k, known statically),
-    # transition and accept pack into ONE value T*mult + A — one select
-    # instead of two (measured ~5% faster).  Exactness: packed values must
-    # stay bf16-exact (<= 256).  Packing into "f32" is NOT safe on TPU —
-    # the default matmul precision truncates f32 operands to one bf16 MXU
-    # pass, corrupting the low bit of values above 256 (measured 5% count
-    # loss at levels=3; dfa_fast.mm_dtype docstring).  Above 256 the split
-    # tables are used instead: their entries (state ids and per-step accept
-    # counts) stay individually small, or ride f32 with HIGHEST precision.
-    mult = 0
-    if acc_bound is not None:
-        mult = 1
-        while mult <= acc_bound:
-            mult *= 2
-        # TPU: bf16-exact only; CPU/GPU f32 dots are true f32 (exact < 2^24)
-        limit = 256 if jax.default_backend() == "tpu" else (1 << 24) - 1
-        if (s - 1) * mult + acc_bound > limit:
-            mult = 0  # beyond the exact range: use the split tables
-    if mult:
-        packed_max = (s - 1) * mult + acc_bound
-        mmdt = mm_dtype(packed_max)
-        pk = (table * mult + acc_table).astype(mmdt)  # (C, S)
-
-        def step(state, cls_t):
-            oh_c = (cls_t[:, None] == iota_c).astype(mmdt)
-            rows = jnp.dot(oh_c, pk, preferred_element_type=jnp.float32,
-                           precision=mm_precision(mmdt))
-            oh_x = (state[:, None] == iota_s).astype(jnp.float32)
-            v = jnp.sum(rows * oh_x, axis=-1).astype(jnp.int32)
-            return v // mult, v % mult
-    else:
-        # exactness rule shared with the other engines; accept counts per
-        # step are bounded by k (build_kgram caps levels well below 256)
-        mmdt = mm_dtype(s)
-        ta = jnp.concatenate([table, acc_table], axis=1).astype(mmdt)
-
-        def step(state, cls_t):
-            oh_c = (cls_t[:, None] == iota_c).astype(mmdt)
-            rows = jnp.dot(oh_c, ta, preferred_element_type=jnp.float32,
-                           precision=mm_precision(mmdt))
-            oh_x = (state[:, None] == iota_s).astype(jnp.float32)
-            nxt = jnp.sum(rows[:, :s] * oh_x, axis=-1).astype(jnp.int32)
-            acc = jnp.sum(rows[:, s:] * oh_x, axis=-1).astype(jnp.int32)
-            return nxt, acc
+    step = make_kgram_step(table, acc_table, acc_bound)
 
     # --- speculation prescan: lane l replays the tail of block l-1
     ov = min(overlap, b)

@@ -1,4 +1,4 @@
-from .dist_scan import dfa_scan_fast_dist, nfa_scan_dist
+from .dist_scan import dfa_scan_fast_dist, dfa_scan_kgram_dist, nfa_scan_dist
 from .ingest import CheckpointStore, iter_file_chunks, resilient_scan, shard_files
 from .mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS, make_mesh, make_tp_mesh
 from .multi_ruleset import multi_ruleset_scan, stack_nfa_tables
@@ -10,6 +10,7 @@ __all__ = [
     "MODEL_AXIS",
     "SEQ_AXIS",
     "dfa_scan_fast_dist",
+    "dfa_scan_kgram_dist",
     "iter_file_chunks",
     "make_mesh",
     "make_tp_mesh",

@@ -7,7 +7,13 @@ import pytest
 
 from regex_fpga_tpu.models import nfa_scan
 from regex_fpga_tpu.ops import build_dfa_tables, build_nfa_tables, dfa_scan_serial
-from regex_fpga_tpu.parallel import dfa_scan_fast_dist, make_mesh, nfa_scan_dist
+from regex_fpga_tpu.ops.kgram import build_kgram, dfa_scan_kgram, map_kgram_classes
+from regex_fpga_tpu.parallel import (
+    dfa_scan_fast_dist,
+    dfa_scan_kgram_dist,
+    make_mesh,
+    nfa_scan_dist,
+)
 from regex_fpga_tpu.utils import load_ruleset, load_trace_pair
 
 from conftest import random_dfa_table, random_nfa
@@ -123,6 +129,105 @@ def test_dfa_dist_adversarial_seams_exact_when_converged(rng, n_seq):
     ser = dfa_scan_serial(dt, jnp.asarray(streams[0]))
     assert int(finals[0]) == int(ser.final_state)
     assert int(counts[0]) == int(np.asarray(ser.match_mask).sum())
+
+
+@pytest.mark.parametrize("n_data,n_seq,levels", [(2, 4, 1), (1, 8, 2), (4, 2, 2)])
+def test_kgram_dist_matches_serial(rng, n_data, n_seq, levels):
+    """Distributed k-gram == serial scan (totals + final state), every mesh
+    shape, levels 1 and 2."""
+    mesh = make_mesh(n_data, n_seq)
+    table, accept = random_dfa_table(rng, 24, 4)
+    # collapse the byte axis to 5 equivalence classes so the composed-class
+    # count stays bounded through levels=2 (random rows are all-distinct)
+    table = table[np.arange(256) % 5]
+    dt = build_dfa_tables(table, accept)
+    kg = build_kgram(dt, levels=levels, max_classes=200_000)
+    assert kg is not None
+    batch = 2 * n_data
+    bps = 4
+    l = n_seq * bps * 64 * kg.k  # bytes; 64 k-gram steps per block
+    streams = rng.integers(0, 256, size=(batch, l)).astype(np.uint8)
+    ck = np.stack([map_kgram_classes(kg, s) for s in streams])
+    finals, totals, converged = dfa_scan_kgram_dist(
+        mesh, jnp.asarray(kg.table), jnp.asarray(kg.acc_table),
+        jnp.asarray(ck), blocks_per_shard=bps, acc_bound=kg.k,
+    )
+    assert bool(converged)
+    for i in range(batch):
+        ser = dfa_scan_serial(dt, jnp.asarray(streams[i]))
+        assert int(finals[i]) == int(ser.final_state), f"stream {i}"
+        assert int(totals[i]) == int(np.asarray(ser.counts).sum()), f"stream {i}"
+
+
+def test_kgram_dist_matches_single_device(rng):
+    """Dist k-gram on the mesh == single-device dfa_scan_kgram on the same
+    stream (same tables, same block count)."""
+    from regex_fpga_tpu.models import build_tokenizer_dfa
+
+    mesh = make_mesh(2, 4)
+    tok = build_tokenizer_dfa()
+    dt = build_dfa_tables(tok.table, tok.accept)
+    kg = build_kgram(dt, levels=2)
+    text = (b"The quick brown fox 123 jumps!  over  the lazy dog 45.6 " * 600)
+    data = np.frombuffer(text, np.uint8)[: 4 * 8 * 32 * kg.k * 2]
+    ck = map_kgram_classes(kg, data)
+    single = dfa_scan_kgram(
+        jnp.asarray(kg.table), jnp.asarray(kg.acc_table), jnp.asarray(ck),
+        num_blocks=32, start=tok.start, acc_bound=kg.k,
+    )
+    finals, totals, converged = dfa_scan_kgram_dist(
+        mesh, jnp.asarray(kg.table), jnp.asarray(kg.acc_table),
+        jnp.asarray(np.stack([ck, ck])), blocks_per_shard=8,
+        start=tok.start, acc_bound=kg.k,
+    )
+    assert bool(converged) and bool(single.converged)
+    for i in range(2):
+        assert int(finals[i]) == int(single.final_state)
+        assert int(totals[i]) == int(single.total)
+
+
+def test_kgram_dist_adversarial_seams_exact_when_converged(rng):
+    """Mod-3 counter (never synchronizes; k=2 steps with block length odd in
+    groups of 3): chip-seam Jacobi propagation still reaches the fixpoint
+    with enough iterations and the totals are exact."""
+    ptable = np.zeros((256, 3), dtype=np.int32)
+    for s in range(3):
+        ptable[:, s] = (s + 1) % 3
+    pt = build_dfa_tables(ptable, np.array([False, True, False]))
+    kg = build_kgram(pt, levels=1)
+    mesh = make_mesh(2, 4)
+    bps = 2
+    steps = 4 * bps * 26          # 26 k-gram steps/block; 26*2 % 3 != 0
+    streams = np.zeros((2, steps * kg.k), np.uint8)
+    ck = np.stack([map_kgram_classes(kg, s) for s in streams])
+    finals, totals, converged = dfa_scan_kgram_dist(
+        mesh, jnp.asarray(kg.table), jnp.asarray(kg.acc_table),
+        jnp.asarray(ck), blocks_per_shard=bps, max_iters=32,
+        acc_bound=kg.k,
+    )
+    assert bool(converged)
+    ser = dfa_scan_serial(pt, jnp.asarray(streams[0]))
+    assert int(finals[0]) == int(ser.final_state)
+    assert int(totals[0]) == int(np.asarray(ser.counts).sum())
+
+
+def test_kgram_dist_reports_nonconvergence(rng):
+    """More total blocks than max_iters on a non-synchronizing automaton:
+    the engine must report converged=False, never silently wrong totals."""
+    ptable = np.zeros((256, 5), dtype=np.int32)
+    for s in range(5):
+        ptable[:, s] = (s + 1) % 5
+    pt = build_dfa_tables(ptable, np.array([False, True, False, False, False]))
+    kg = build_kgram(pt, levels=1)
+    mesh = make_mesh(2, 4)
+    bps = 16  # 64 total blocks >> max_iters=8
+    streams = np.zeros((2, 4 * bps * 13 * kg.k), np.uint8)
+    ck = np.stack([map_kgram_classes(kg, s) for s in streams])
+    _, _, converged = dfa_scan_kgram_dist(
+        mesh, jnp.asarray(kg.table), jnp.asarray(kg.acc_table),
+        jnp.asarray(ck), blocks_per_shard=bps, max_iters=8, acc_bound=kg.k,
+    )
+    assert not bool(converged)
 
 
 def test_dfa_dist_adversarial_seams_reports_nonconvergence(rng):
