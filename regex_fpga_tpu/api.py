@@ -1538,9 +1538,12 @@ class SnortMatcher:
     engines (one automaton for case-sensitive contents, one over the
     case-folded stream for ``nocase`` ones); only rules whose non-negated
     contents ALL occur — the same multi-pattern prefilter architecture
-    Snort uses — reach stage 2, which checks ordered occurrence, negated-
-    content absence, and the rule's ``pcre`` via the framework's own DFA
-    compiler (``models/snort.py`` documents the supported subset)."""
+    Snort uses — reach stage 2, which checks ordered occurrence WITH the
+    positional modifiers ``offset``/``depth``/``distance``/``within``
+    enforced (backtracking across occurrences), negated-content absence
+    (stream-wide, or window-scoped when positionally constrained), and the
+    rule's ``pcre`` via the framework's own DFA compiler
+    (``models/snort.py`` documents the supported subset)."""
 
     def __init__(self, rules, config: EngineConfig = DEFAULT_CONFIG):
         from .models.snort import SnortRule  # noqa: F401 (typing only)
@@ -1554,6 +1557,14 @@ class SnortMatcher:
         for r in self.rules:
             entries = []
             for c in r.contents:
+                if c.negated and (
+                    c.offset is not None or c.depth is not None
+                    or c.distance is not None or c.within is not None
+                ):
+                    # windowed negation asserts absence only INSIDE its
+                    # window — stream-wide presence must not prefilter the
+                    # rule away; _verify alone enforces it
+                    continue
                 if c.nocase:
                     key = c.pattern.lower()
                     pid = fold.setdefault(key, len(fold))
@@ -1631,20 +1642,57 @@ class SnortMatcher:
         return bool(accept[s] or eof[s])
 
     def _verify(self, idx: int, raw: bytes, low: bytes) -> bool:
-        """Ordered-occurrence + negation check for one candidate rule."""
-        pos = 0
-        for c in self.rules[idx].contents:
+        """Ordered-occurrence check with the positional content modifiers
+        ENFORCED (``models/snort.py``): ``offset``/``depth`` window the
+        search absolutely (depth measured from offset, Snort semantics);
+        ``distance``/``within`` window it relative to the previous content
+        match's end (``within`` bounds the current match's END).  Negated
+        contents assert absence — stream-wide by default, inside their
+        window when positionally constrained.
+
+        The walk BACKTRACKS over occurrences: a rule matches iff ANY
+        assignment of content occurrences satisfies every window (the
+        greedy first-occurrence walk would wrongly refuse e.g.
+        ``content:"A"; content:"B"; within:3;`` on ``b"A....A..B"``).
+        Window sizes bound the search, so backtracking stays cheap."""
+        contents = self.rules[idx].contents
+        n = len(raw)
+
+        def ok_from(ci: int, prev_end: int) -> bool:
+            if ci == len(contents):
+                return True
+            c = contents[ci]
             hay = low if c.nocase else raw
             needle = c.pattern.lower() if c.nocase else c.pattern
+            relative = c.distance is not None or c.within is not None
+            start = prev_end + (c.distance or 0) if relative else prev_end
+            end_limit = (
+                prev_end + c.within if c.within is not None else None
+            )
+            if c.offset is not None:
+                start = max(start, c.offset)
+            if c.depth is not None:
+                dl = (c.offset or 0) + c.depth
+                end_limit = dl if end_limit is None else min(end_limit, dl)
+            start = max(start, 0)
             if c.negated:
-                if hay.find(needle) != -1:  # absence, stream-wide
+                windowed = relative or c.offset is not None or c.depth is not None
+                seg_end = end_limit if end_limit is not None else n
+                frm = start if windowed else 0
+                if hay.find(needle, frm, seg_end if windowed else n) != -1:
                     return False
-            else:
-                at = hay.find(needle, pos)
-                if at == -1:
-                    return False
-                pos = at + len(needle)
-        return True
+                # a negated content matches "nothing": cursor stays put
+                return ok_from(ci + 1, prev_end)
+            at = hay.find(needle, start)
+            while at != -1:
+                if end_limit is not None and at + len(needle) > end_limit:
+                    return False  # later occurrences only end later
+                if ok_from(ci + 1, at + len(needle)):
+                    return True
+                at = hay.find(needle, at + 1)
+            return False
+
+        return ok_from(0, 0)
 
     def scan(self, data) -> SnortReport:
         streams = _as_streams(data)

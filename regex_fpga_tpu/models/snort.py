@@ -20,10 +20,16 @@ the same two-stage architecture Snort itself uses —
      (PCRE constructs outside the supported subset leave the rule
      content-verified only, flagged in the result).
 
-Supported rule options: ``msg``, ``sid``, ``content`` (with ``|hex|``
-escapes, ``!`` negation, and the ``nocase`` modifier), ``pcre``.  Other
-options (offsets, byte_test, flow, …) are preserved in ``SnortRule.options``
-but not enforced — this is a stream scanner, not a full packet IDS.
+Supported + ENFORCED rule options: ``msg``, ``sid``, ``content`` (with
+``|hex|`` escapes, ``!`` negation, the ``nocase`` modifier, and the
+positional modifiers ``offset``/``depth`` — absolute window from payload
+start — and ``distance``/``within`` — window relative to the previous
+content match's end), ``pcre``.  The verifier backtracks across content
+occurrences, so a rule matches whenever ANY assignment of occurrences
+satisfies every window (greedy-first would wrongly refuse some rules).
+Remaining options (byte_test, flow, http_* buffers, …) are preserved in
+``SnortRule.options`` but not enforced — this is a stream scanner, not a
+full packet IDS.
 """
 
 from __future__ import annotations
@@ -44,6 +50,16 @@ class SnortContent:
     pattern: bytes
     nocase: bool = False
     negated: bool = False
+    #: positional modifiers (ENFORCED by the matcher, ``api.SnortMatcher``):
+    #: ``offset``/``depth`` window the search absolutely from payload start
+    #: (depth is measured from offset, per Snort); ``distance``/``within``
+    #: window it relative to the END of the previous content match
+    #: (``within`` bounds the current match's END, Suricata-compatible).
+    #: None = unconstrained.  Variable (byte_extract) values stay None.
+    offset: int | None = None
+    depth: int | None = None
+    distance: int | None = None
+    within: int | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -179,6 +195,14 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
                 )
             elif name == "nocase" and contents:
                 contents[-1] = dataclasses.replace(contents[-1], nocase=True)
+            elif (name in ("offset", "depth", "distance", "within")
+                  and contents and val is not None):
+                try:
+                    contents[-1] = dataclasses.replace(
+                        contents[-1], **{name: int(val)}
+                    )
+                except ValueError:
+                    pass  # byte_extract variable: left unenforced (None)
             elif name == "pcre" and val is not None:
                 pcre = _unquote(val)[0]
         rules.append(

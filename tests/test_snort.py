@@ -125,6 +125,83 @@ def test_no_rules_raises():
         compile_snort("# nothing here\n")
 
 
+POSITIONAL_RULES = r'''
+alert tcp any any -> any any (msg:"offset"; content:"EXE"; offset:4; sid:9000;)
+alert tcp any any -> any any (msg:"depth"; content:"GET"; depth:3; sid:9001;)
+alert tcp any any -> any any (msg:"off+depth"; content:"AB"; offset:2; depth:4; sid:9002;)
+alert tcp any any -> any any (msg:"dist"; content:"USER"; content:"root"; distance:1; sid:9003;)
+alert tcp any any -> any any (msg:"within"; content:"AA"; content:"BB"; within:4; sid:9004;)
+alert tcp any any -> any any (msg:"neg window"; content:"HDR"; content:!"XX"; distance:0; within:4; sid:9005;)
+alert tcp any any -> any any (msg:"var depth"; content:"V"; depth:varlen; sid:9006;)
+'''
+
+
+def test_positional_parse():
+    rules = parse_snort_rules(POSITIONAL_RULES)
+    c = rules[0].contents[0]
+    assert (c.offset, c.depth, c.distance, c.within) == (4, None, None, None)
+    c = rules[2].contents[0]
+    assert (c.offset, c.depth) == (2, 4)
+    assert rules[3].contents[1].distance == 1
+    assert rules[4].contents[1].within == 4
+    # byte_extract-style variable value stays unenforced (None)
+    assert rules[6].contents[0].depth is None
+
+
+@pytest.fixture(scope="module")
+def pos_matcher():
+    return compile_snort(POSITIONAL_RULES)
+
+
+def test_offset_enforced(pos_matcher):
+    assert 9000 in _sids(pos_matcher, b"xxxxEXE")     # match at 4
+    assert 9000 in _sids(pos_matcher, b"xxxxxxEXE")   # later is fine
+    assert 9000 not in _sids(pos_matcher, b"EXExxxx")  # only before offset
+
+
+def test_depth_enforced(pos_matcher):
+    assert 9001 in _sids(pos_matcher, b"GET /x")
+    assert 9001 not in _sids(pos_matcher, b" GET /x")  # ends at 4 > depth 3
+
+
+def test_offset_plus_depth_window(pos_matcher):
+    # window = [2, 2+4): match must lie fully within bytes 2..6
+    assert 9002 in _sids(pos_matcher, b"..AB..")
+    assert 9002 in _sids(pos_matcher, b"....AB")
+    assert 9002 not in _sids(pos_matcher, b"AB....")   # before offset
+    assert 9002 not in _sids(pos_matcher, b".....AB")  # ends at 7 > 6
+
+
+def test_distance_enforced(pos_matcher):
+    assert 9003 in _sids(pos_matcher, b"USER root")    # gap 1
+    assert 9003 in _sids(pos_matcher, b"USER   root")
+    assert 9003 not in _sids(pos_matcher, b"USERroot")  # gap 0 < distance 1
+
+
+def test_within_enforced(pos_matcher):
+    assert 9004 in _sids(pos_matcher, b"AA..BB")       # BB ends at 6 <= 2+4
+    assert 9004 not in _sids(pos_matcher, b"AA...BB")  # ends at 7 > 6
+
+
+def test_within_backtracks_over_occurrences(pos_matcher):
+    """Greedy first-occurrence would bind AA at 0 and refuse; a later AA
+    satisfies the window, and Snort semantics say the rule matches."""
+    assert 9004 in _sids(pos_matcher, b"AA......AA..BB")
+
+
+def test_negated_content_windowed(pos_matcher):
+    # !XX constrained to the 4 bytes after HDR: XX outside the window is OK
+    assert 9005 in _sids(pos_matcher, b"HDR....XX")
+    assert 9005 not in _sids(pos_matcher, b"HDRXX....")
+    assert 9005 not in _sids(pos_matcher, b"HDR..XX..")  # XX at +2, inside
+    assert 9005 in _sids(pos_matcher, b"HDR....")
+
+
+def test_unparsed_variable_modifier_unenforced(pos_matcher):
+    # depth:varlen could not be parsed -> content enforced without a window
+    assert 9006 in _sids(pos_matcher, b"......V")
+
+
 def test_pcre_boundary_and_dotall_verification():
     """\\b and /s pcres verify via the host Pike VM / (?s) compile."""
     from regex_fpga_tpu.api import compile_snort
