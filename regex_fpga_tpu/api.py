@@ -609,14 +609,20 @@ class DfaMatcher:
         self._last_final = cur
         return states, mask, iters, converged
 
-    def _scan_mask(self, stream: np.ndarray, start=None) -> np.ndarray:
-        """Match-mask-only chunked scan: like ``_scan_stream`` but reads back
-        ONLY the 1-byte/byte accept mask (the 4-byte/byte states array is a
-        pure waste on this rig's tunnel — finditer's backward pass needs just
-        the mask).  Sets ``self._last_final``."""
+    def _scan_match_positions(self, stream: np.ndarray, start=None) -> np.ndarray:
+        """Byte offsets where the accept mask is set, via DEVICE-side
+        compaction (``ops.dfa_fast.mask_positions``): each chunk downloads a
+        4-byte count plus a geometric bucket of int32 positions instead of
+        the full 1 B/byte mask — N*4 bytes for N matches (r2 verdict #3:
+        the full-mask readback cost 19-27 s vs 0.6-1.7 s scan through the
+        ~6 MB/s tunnel on a 32 MiB match-dense corpus).  Chunks denser than
+        cap/chunk fall back to mask readback (cheaper at that density).
+        Sets ``self._last_final``.  Returns ascending int64 offsets."""
+        from .ops.dfa_fast import mask_positions
+
         start = self.start if start is None else start
         classes = self._class_lut[stream]
-        mask = np.empty(len(stream), dtype=bool)
+        out = [np.empty(0, np.int64)]
         off, cur = 0, start
         cb = self.config.chunk_bytes
         while off < len(stream):
@@ -633,10 +639,34 @@ class DfaMatcher:
                 )
             if not bool(res.converged):
                 res = self._exact_fallback(stream[off : off + cb], cur)
-            mask[off : off + cb] = np.asarray(res.match_mask)
+                pos = np.nonzero(np.asarray(res.match_mask))[0]
+            else:
+                cap = max(1024, len(chunk) // 4)
+                pos_dev, count_dev = mask_positions(res.match_mask, cap)
+                count = int(count_dev)
+                if count > cap:  # dense chunk: the mask IS the cheaper read
+                    pos = np.nonzero(np.asarray(res.match_mask))[0]
+                else:
+                    # geometric bucket keeps the compiled-slice shape count
+                    # small (each new shape is a fresh remote compile)
+                    b = 1024
+                    while b < count:
+                        b *= 4
+                    pos = (np.asarray(pos_dev[: min(b, cap)])[:count]
+                           if count else np.empty(0, np.int32))
+            out.append(pos.astype(np.int64) + off)
             cur = int(res.final_state)
             off += cb
         self._last_final = cur
+        return np.concatenate(out)
+
+    def _scan_mask(self, stream: np.ndarray, start=None) -> np.ndarray:
+        """Match-mask chunked scan, reconstructed host-side from the
+        compacted device positions (``_scan_match_positions``) — one code
+        path for both representations.  Sets ``self._last_final``."""
+        pos = self._scan_match_positions(stream, start)
+        mask = np.zeros(len(stream), dtype=bool)
+        mask[pos] = True
         return mask
 
     def _scan_batch_counts(self, arr: np.ndarray):
@@ -823,21 +853,7 @@ class DfaMatcher:
             # a nullable pattern matches the empty string once
             end = self._anchored_longest_end(stream, 0)
             return [(0, 0)] if end == 0 else []
-        # backward pass: ends of reverse matches in the reversed stream are
-        # starts of forward matches: reversed index i -> start L-1-i... the
-        # reverse engine reports accept at position p = state BEFORE byte p
-        # of the reversed stream, i.e. a reverse match ending at reversed
-        # position p-1 = original start L-p; include_final covers start 0.
-        rm = self._reverse_matcher
-        rmask = rm._scan_mask(stream[::-1])
-        l = len(stream)
-        starts_mask = np.zeros(l, dtype=bool)
-        pos = np.nonzero(rmask)[0]
-        starts_mask[l - pos[pos > 0]] = True
-        if rm._accept_eof[rm._last_final]:
-            starts_mask[0] = True
-
-        starts = np.nonzero(starts_mask)[0]
+        starts = self._match_starts(stream)
 
         # forward stage: native anchored walk over all candidate starts
         # (the per-byte Python loop below runs ~1 MB/s on match-dense
@@ -870,6 +886,26 @@ class DfaMatcher:
             si += 1
         return self._append_tail_empty(spans, stream)
 
+    def _match_starts(self, stream: np.ndarray) -> np.ndarray:
+        """Ascending candidate match-start offsets from the backward pass
+        (shared by ``finditer`` and ``finditer_arrays``).
+
+        Ends of reverse matches in the reversed stream are starts of
+        forward matches: the reverse engine reports accept at position p =
+        state BEFORE byte p of the reversed stream, i.e. a reverse match
+        ending at reversed position p-1 = original start L-p;
+        ``accept_eof`` of the reverse final state covers start 0.  The
+        positions arrive device-compacted (N*4 bytes, not an L-byte mask).
+        """
+        self._ensure_anchored()
+        rm = self._reverse_matcher
+        l = len(stream)
+        pos = rm._scan_match_positions(stream[::-1])
+        starts = (l - pos[pos > 0])[::-1]  # ascending, unique
+        if rm._accept_eof[rm._last_final]:
+            starts = np.concatenate([np.zeros(1, np.int64), starts])
+        return starts
+
     def _append_tail_empty(self, spans, stream):
         """A nullable pattern matches EMPTY at end-of-buffer (re yields
         ``(l, l)``); the backward pass has no slot for start == l, so it is
@@ -893,18 +929,12 @@ class DfaMatcher:
         from .utils.native import anchored_spans_native, native_available
 
         if len(stream) and native_available():
-            rm = self._reverse_matcher
-            rmask = rm._scan_mask(stream[::-1])
             l = len(stream)
-            starts_mask = np.zeros(l, dtype=bool)
-            pos = np.nonzero(rmask)[0]
-            starts_mask[l - pos[pos > 0]] = True
-            if rm._accept_eof[rm._last_final]:
-                starts_mask[0] = True
+            starts = self._match_starts(stream)
             table, accept, dead, accept_eof = self._anchored_np
             out = anchored_spans_native(
                 table, accept, accept_eof, self._anchored_start, dead,
-                stream, np.nonzero(starts_mask)[0],
+                stream, starts,
             )
             l_out = len(out)
             if l_out:
@@ -1115,16 +1145,31 @@ def compile_ruleset(source: str | CsrAutomaton,
     return NfaMatcher(aut, config, strategy=strategy)
 
 
+_UNSET = object()
+
+
 class HostRegexMatcher(DfaMatcher):
     """Matcher for patterns containing ``\\b``/``\\B`` word boundaries.
 
     Boundary assertions are not expressible in the streaming DFA engines,
     whose accept is a pure function of the state AT a position — a trailing
-    ``\\b`` needs the NEXT byte (``foo\\b`` on ``food`` vs ``foo!``).  This
-    matcher therefore runs span search on the host Pike VM
-    (``models/captures.py``) with the SAME POSIX leftmost-longest span
-    semantics as the device path; the device-throughput APIs (``scan``,
-    ``count``, ``stream_scanner``, ``findall_ends``) raise with guidance.
+    ``\\b`` needs the NEXT byte (``foo\\b`` on ``food`` vs ``foo!``).  Span
+    search therefore runs in two stages (the Snort prefilter architecture
+    applied to the re layer, r2 verdict #6):
+
+    1. **device prefilter**: the assertion-STRIPPED envelope DFA
+       (``models/regex.strip_assertions`` — a superset language) is scanned
+       backward on the device exactly like ``DfaMatcher.finditer``'s
+       reversed pass, yielding every candidate match start;
+    2. **host verify**: the Pike VM (``models/captures.py``) checks the
+       assertions only at those candidates, with the SAME POSIX
+       leftmost-longest span semantics as the device path (leftmost-FIRST
+       for lazy quantifiers — Python ``re``).
+
+    Patterns whose envelope is nullable (e.g. a bare ``\\b``) or fails to
+    compile fall back to the pure-host walk.  The device-throughput APIs
+    (``scan``, ``count``, ``stream_scanner``, ``findall_ends``) raise with
+    guidance.
     """
 
     def __init__(self, pattern: str | bytes,
@@ -1149,6 +1194,45 @@ class HostRegexMatcher(DfaMatcher):
         self._capture_prog = (
             self._prog if self._prog.num_groups else False
         )
+        self._pattern_src = pattern
+        self._envelope = _UNSET  # lazy: reversed envelope DFA or None
+
+    def _ensure_envelope(self):
+        """Lazily compile the reversed assertion-stripped envelope used by
+        the device prefilter; None when it has no pruning power (nullable)
+        or does not compile (blowup)."""
+        if self._envelope is _UNSET:
+            from .models.regex import (
+                compile_pattern as _cp,
+                nullable,
+                parse_pattern,
+                strip_assertions,
+            )
+
+            env = None
+            try:
+                pp = parse_pattern(self._pattern_src)
+                if not nullable(strip_assertions(pp.node)):
+                    rev = _cp(self._pattern_src, anchored=False,
+                              reverse=True, strip=True)
+                    env = DfaMatcher(rev, self.config)
+            except Exception:
+                env = None
+            self._envelope = env
+        return self._envelope
+
+    def _candidate_starts(self, stream: np.ndarray) -> np.ndarray | None:
+        """Ascending candidate match starts from the device envelope scan
+        (superset of the true starts), or None when unavailable."""
+        env = self._ensure_envelope()
+        if env is None or len(stream) == 0:
+            return None
+        l = len(stream)
+        pos = env._scan_match_positions(stream[::-1])
+        starts = (l - pos[pos > 0])[::-1]
+        if env._accept_eof[env._last_final]:
+            starts = np.concatenate([np.zeros(1, np.int64), starts])
+        return starts
 
     def _no_device(self, name: str):
         raise NotImplementedError(
@@ -1180,6 +1264,9 @@ class HostRegexMatcher(DfaMatcher):
     def _scan_mask(self, stream, start=None):
         self._no_device("_scan_mask")
 
+    def _scan_match_positions(self, stream, start=None):
+        self._no_device("_scan_match_positions")
+
     def _scan_stream_counts(self, stream, start=None):
         self._no_device("_scan_stream_counts")
 
@@ -1193,10 +1280,33 @@ class HostRegexMatcher(DfaMatcher):
         return end
 
     def finditer(self, data, limit: int | None = None) -> list[tuple[int, int]]:
-        stream = bytes(_as_streams(data)[0])
-        if self._first_mode:
-            return self._prog.finditer_spans_first(stream, limit)
-        return self._prog.finditer_spans(stream, limit)
+        stream = _as_streams(data)[0]
+        raw = bytes(stream)
+        starts = self._candidate_starts(stream)
+        if starts is None:  # nullable/uncompilable envelope: pure host
+            if self._first_mode:
+                return self._prog.finditer_spans_first(raw, limit)
+            return self._prog.finditer_spans(raw, limit)
+        # Pike-VM verification ONLY at device candidates.  Equivalence to
+        # the pure-host walk: candidates are a superset of true match
+        # starts (envelope language is a superset), and both walks take the
+        # leftmost matching start then the longest (or lazy-first) end,
+        # non-overlapping.  A non-nullable envelope also implies the
+        # pattern cannot match empty.
+        end_at = (self._prog.first_end_at if self._first_mode
+                  else self._prog.longest_end_at)
+        spans: list[tuple[int, int]] = []
+        p = 0
+        for s0 in starts.tolist():
+            if s0 < p:
+                continue
+            end = end_at(raw, s0)
+            if end >= 0:
+                spans.append((s0, end))
+                if limit is not None and len(spans) >= limit:
+                    return spans
+                p = max(end, s0 + 1)
+        return spans
 
     def match(self, data) -> "Match | None":
         raw = bytes(_as_streams(data)[0])
@@ -1333,10 +1443,15 @@ def compile_tokenizer(pattern: str = GPT2_PRESPLIT,
 @dataclasses.dataclass
 class RuleSetReport:
     """Per-rule match counts (streams x rules) + the underlying per-state
-    report (reference testbench semantics)."""
+    report (reference testbench semantics).
 
-    rule_counts: np.ndarray     # (num_streams, num_rules) int64
-    report: ScanReport
+    ``report`` is None when no single per-state report exists: mixed
+    anchored/unanchored rule sets scan as TWO CSR partitions whose state
+    spaces do not line up, so only the per-rule counts are meaningful
+    there (ADVICE r2: callers touching ``.report`` must handle None)."""
+
+    rule_counts: np.ndarray         # (num_streams, num_rules) int64
+    report: "ScanReport | None"
 
     def histogram(self, stream: int = 0) -> dict[int, int]:
         row = self.rule_counts[stream]
@@ -1448,7 +1563,13 @@ class PrefilteredRuleSet:
             else:
                 self.always_check.append(i)
         self._ac = compile_literals(lits, config) if lits else None
-        self._subs: dict[tuple, RuleSetMatcher] = {}
+        #: LRU-bounded subset cache: diverse traffic could otherwise drive
+        #: up to 2^num_prefiltered distinct compiles (ADVICE r2).  On
+        #: overflow the FULL ruleset matcher (always sound, one compile)
+        #: serves the request instead of evicting into thrash.
+        self._subs: "dict[tuple, RuleSetMatcher]" = {}
+        self.max_cached_subsets = 64
+        self._full: RuleSetMatcher | None = None
 
     @property
     def num_rules(self) -> int:
@@ -1458,13 +1579,22 @@ class PrefilteredRuleSet:
     def num_prefiltered(self) -> int:
         return len(self._lit_owner)
 
-    def _sub(self, subset: tuple) -> RuleSetMatcher:
+    def _sub(self, subset: tuple) -> "tuple[RuleSetMatcher, tuple]":
+        """Matcher for a candidate subset + the rule indices it reports.
+        Past the cache cap, returns the full-ruleset matcher (scanning a
+        superset of rules is sound; counts are sliced by the caller)."""
         m = self._subs.get(subset)
-        if m is None:
+        if m is not None:
+            return m, subset
+        if len(self._subs) < self.max_cached_subsets:
             m = RuleSetMatcher([self.patterns[i] for i in subset],
                                self.config, strategy=self.strategy)
             self._subs[subset] = m
-        return m
+            return m, subset
+        if self._full is None:
+            self._full = RuleSetMatcher(self.patterns, self.config,
+                                        strategy=self.strategy)
+        return self._full, tuple(range(self.num_rules))
 
     def scan(self, data) -> RuleSetReport:
         streams = _as_streams(data)
@@ -1486,9 +1616,15 @@ class PrefilteredRuleSet:
         for subset, members in groups.items():
             if not subset:
                 continue
-            rep = self._sub(subset).scan([streams[s] for s in members])
-            for k, s in enumerate(members):
-                per[s, list(subset)] = rep.rule_counts[k]
+            m, scanned = self._sub(subset)
+            rep = m.scan([streams[s] for s in members])
+            if scanned == subset:
+                for k, s in enumerate(members):
+                    per[s, list(subset)] = rep.rule_counts[k]
+            else:  # full-ruleset fallback: slice the candidate columns
+                cols = list(subset)
+                for k, s in enumerate(members):
+                    per[s, cols] = rep.rule_counts[k][cols]
         report = ScanReport(
             counts=counts_all, total=int(per.sum()),
             match_positions=None,

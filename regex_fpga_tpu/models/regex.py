@@ -41,6 +41,8 @@ __all__ = [
     "Group",
     "Bound",
     "contains_bound",
+    "strip_assertions",
+    "nullable",
     "compile_nfa",
     "nfa_to_dfa",
     "minimize_dfa",
@@ -430,8 +432,11 @@ def _has_toplevel_alt(data: bytes) -> bool:
 
 
 def parse_pattern(pattern: str | bytes) -> ParsedPattern:
-    """Parse a pattern, extracting the ``(?i)`` flag and whole-pattern
-    anchors.  ``^``/``$`` elsewhere raise (they are never literals)."""
+    """Parse a pattern, extracting the ``(?i)``/``(?s)``/``(?m)`` flags and
+    whole-pattern anchors.  Without ``(?m)``, ``^``/``$`` anywhere but the
+    pattern edges raise (they are never literals); under ``(?m)`` they
+    parse as LINE anchors (``Anchor`` nodes) everywhere instead, routing
+    the pattern to the host-verified path."""
     data = pattern.encode() if isinstance(pattern, str) else bytes(pattern)
     # pattern-prefix flag groups: (?i) (?s) (?m) (?ism) ... (whole-pattern)
     fold = dotall = multiline = False
@@ -718,6 +723,40 @@ def contains_bound(node) -> bool:
     return False
 
 
+def strip_assertions(node):
+    """Replace every zero-width assertion (``\\b``/``\\B``, (?m) line
+    anchors) with epsilon.  Assertions only CONSTRAIN context, so the
+    stripped pattern's language is a SUPERSET of the original's — a DFA
+    compiled from it is a sound device prefilter for the host Pike-VM path
+    (every true match span is also an envelope match span)."""
+    if isinstance(node, (Bound, Anchor)):
+        return Cat(())
+    if isinstance(node, Cat):
+        return Cat(tuple(strip_assertions(p) for p in node.parts))
+    if isinstance(node, Alt):
+        return Alt(tuple(strip_assertions(o) for o in node.options))
+    if isinstance(node, (Rep, Group)):
+        return dataclasses.replace(node, node=strip_assertions(node.node))
+    return node
+
+
+def nullable(node) -> bool:
+    """True if the AST matches the empty string (assertions count as
+    epsilon).  A nullable envelope accepts at EVERY position — zero pruning
+    power — so the prefilter path declines it."""
+    if isinstance(node, Lit):
+        return False
+    if isinstance(node, Cat):
+        return all(nullable(p) for p in node.parts)
+    if isinstance(node, Alt):
+        return any(nullable(o) for o in node.options)
+    if isinstance(node, Rep):
+        return node.lo == 0 or nullable(node.node)
+    if isinstance(node, Group):
+        return nullable(node.node)
+    return True  # Bound / Anchor
+
+
 def contains_lazy(node) -> bool:
     """True if the AST contains a non-greedy quantifier (routes the pattern
     to the host Pike VM in leftmost-FIRST mode — span disambiguation is
@@ -832,8 +871,13 @@ def compile_pattern(
     minimize: bool = True,
     anchored: bool = True,
     reverse: bool = False,
+    strip: bool = False,
 ) -> CompiledDfa:
     """Compile a pattern to a minimal dense DFA.
+
+    ``strip=True`` compiles the assertion-stripped ENVELOPE (``\\b``/``\\B``
+    and (?m) line anchors replaced by epsilon — a superset language), the
+    device prefilter for host-routed patterns.
 
     ``anchored=True``: accept iff the whole input so far matches (fullmatch
     semantics).  ``anchored=False``: scanning DFA for ``.*pattern`` — accept
@@ -847,7 +891,7 @@ def compile_pattern(
     of the reversed language and vice versa).
     """
     pp = parse_pattern(pattern)
-    node = pp.node
+    node = strip_assertions(pp.node) if strip else pp.node
     if reverse:
         node = reverse_ast(node)
         start_anchored, end_anchored = pp.end_anchored, pp.start_anchored

@@ -42,10 +42,37 @@ __all__ = [
     "dfa_scan_fast_multi",
     "chain_pass_finals",
     "chain_pass_full",
+    "mask_positions",
     "mm_dtype",
     "mm_precision",
     "table_domain_ok",
 ]
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def mask_positions(mask: jnp.ndarray, cap: int):
+    """DEVICE-side compaction of a (L,) bool accept mask into match
+    positions: cumsum assigns each set bit its output slot, one scatter
+    writes the byte offsets densely into a (cap,) array.  The caller
+    downloads the count (4 bytes) plus a prefix of the positions array
+    (N*4 bytes) instead of the full L-byte mask — an 8-1000x readback cut
+    for sparse matches, decisive through a slow host link and still a win
+    on direct-attached hosts (r2 measured 19-27 s full-mask readback vs
+    0.6-1.7 s scan on a 32 MiB corpus).
+
+    Returns (positions (cap,) int32 — slots beyond ``count`` undefined —
+    and count ()).  When count > cap the overflow positions are dropped:
+    callers must then fall back to full-mask readback (density > cap/L
+    makes the mask the cheaper download anyway)."""
+    n = mask.shape[0]
+    m32 = mask.astype(jnp.int32)
+    idx = jnp.cumsum(m32) - 1          # output slot of each set bit
+    count = idx[-1] + 1 if n else jnp.zeros((), jnp.int32)
+    tgt = jnp.where(mask, idx, cap)    # unset bits scatter out of range
+    pos = jnp.zeros((cap,), jnp.int32).at[tgt].set(
+        jax.lax.broadcasted_iota(jnp.int32, (n,), 0), mode="drop"
+    )
+    return pos, count
 
 
 class FastScanResult(NamedTuple):
@@ -74,10 +101,26 @@ def mm_dtype(num_states: int):
     truncates f32 operands to ONE bf16 MXU pass, so "f32" alone is NOT
     exact above 256 on the chip (measured: k-gram packed values in
     257..360 lost their low bit — totals off by ~5%).  HIGHEST runs the
-    multi-pass decomposition, which is exact for integers below 2^24."""
+    multi-pass decomposition, which is exact for integers below 2^24.
+
+    On TPU the engines avoid the f32 route entirely for S <= 65536 via
+    BYTE-SPLIT tables (``split_states``): T = 256*Th + Tl with both halves
+    <= 255, concatenated column-wise into one 2S-wide bf16 GEMM.  Products
+    are one-hot x (<256) — bf16-exact — and accumulate in f32; the select-
+    reduce recombines lo + 256*hi.  2x the MACs of a bf16 pass vs 6x for
+    Precision.HIGHEST f32: measured decisive for S in (256, 1024] automata
+    (the r2 size-sweep regime)."""
     if num_states > 256 or jax.default_backend() != "tpu":
         return jnp.float32
     return jnp.bfloat16
+
+
+def split_states(num_states: int) -> bool:
+    """True when the TPU byte-split encoding (see ``mm_dtype``) applies:
+    state ids exceed bf16's exact range but both split halves stay < 256."""
+    return (
+        256 < num_states <= (1 << 16) and jax.default_backend() == "tpu"
+    )
 
 
 def mm_precision(dtype):
@@ -95,7 +138,13 @@ _mm_dtype = mm_dtype  # internal alias
 def _step_tables(tables: DfaTables):
     c, s = tables.table.shape
     assert s < (1 << 24), "state ids must stay exactly representable in f32"
-    t = tables.table.astype(_mm_dtype(s))
+    if split_states(s):
+        # byte-split bf16 encoding (mm_dtype docstring): [Tl | Th] columns
+        t = jnp.concatenate(
+            [tables.table % 256, tables.table // 256], axis=1
+        ).astype(jnp.bfloat16)
+    else:
+        t = tables.table.astype(_mm_dtype(s))
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
     return t, iota_c, iota_s
@@ -120,7 +169,8 @@ def _finals_domain_ok(finals: jnp.ndarray, s: int) -> jnp.ndarray:
 
 
 def _mm_step(t_mm, iota_c, iota_s, state, cls_t):
-    """One byte for NB chains: state (NB,), cls_t (NB,) -> next state (NB,)."""
+    """One byte for NB chains: state (NB,), cls_t (NB,) -> next state (NB,).
+    ``t_mm`` is (C, S) plain or (C, 2S) byte-split (``_step_tables``)."""
     oh_c = (cls_t[:, None] == iota_c).astype(t_mm.dtype)
     rows = jnp.dot(
         oh_c, t_mm,
@@ -128,6 +178,11 @@ def _mm_step(t_mm, iota_c, iota_s, state, cls_t):
         precision=mm_precision(t_mm.dtype),
     )
     oh_x = (state[:, None] == iota_s).astype(jnp.float32)
+    s = iota_s.shape[1]
+    if t_mm.shape[1] == 2 * s:  # byte-split: recombine lo + 256*hi
+        lo = jnp.sum(rows[:, :s] * oh_x, axis=-1)
+        hi = jnp.sum(rows[:, s:] * oh_x, axis=-1)
+        return (lo + 256.0 * hi).astype(jnp.int32)
     return jnp.sum(rows * oh_x, axis=-1).astype(jnp.int32)
 
 

@@ -187,11 +187,31 @@ def make_kgram_step(
     tables are used instead: their entries (state ids and per-step accept
     counts) stay individually small, or ride f32 with HIGHEST precision.
     """
-    from .dfa_fast import mm_dtype, mm_precision
+    from .dfa_fast import mm_dtype, mm_precision, split_states
 
     c, s = table.shape
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+
+    if split_states(s):
+        # byte-split bf16 (dfa_fast.mm_dtype docstring): [Tl | Th | A]
+        # columns in ONE 3S-wide GEMM instead of the 6-pass f32 HIGHEST
+        # route.  Per-step accept counts are <= k <= 256 (build_kgram
+        # levels stay tiny), so A is bf16-exact unsplit.
+        ta3 = jnp.concatenate(
+            [table % 256, table // 256, acc_table], axis=1
+        ).astype(jnp.bfloat16)
+
+        def step(state, cls_t):
+            oh_c = (cls_t[:, None] == iota_c).astype(jnp.bfloat16)
+            rows = jnp.dot(oh_c, ta3, preferred_element_type=jnp.float32)
+            oh_x = (state[:, None] == iota_s).astype(jnp.float32)
+            lo = jnp.sum(rows[:, :s] * oh_x, axis=-1)
+            hi = jnp.sum(rows[:, s:2 * s] * oh_x, axis=-1)
+            acc = jnp.sum(rows[:, 2 * s:] * oh_x, axis=-1)
+            return (lo + 256.0 * hi).astype(jnp.int32), acc.astype(jnp.int32)
+
+        return step
 
     mult = 0
     if acc_bound is not None:

@@ -258,6 +258,42 @@ def test_scan_mask_equals_scan_stream_mask(rng):
     assert m._last_final == final_ref
 
 
+def test_scan_match_positions_equals_mask_nonzero(rng):
+    """Device-compacted positions == nonzero of the per-position mask, for
+    sparse, dense (cap-overflow mask fallback), and empty streams, across
+    the geometric download buckets."""
+    from regex_fpga_tpu.api import compile_regex
+    from regex_fpga_tpu.utils.config import EngineConfig
+
+    cfg = EngineConfig(chunk_bytes=8192)
+    m = compile_regex(rb"ab", config=cfg)
+    # sparse: a handful of matches, count < first bucket
+    sparse = bytearray(rng.integers(99, 122, size=20000, dtype=np.int64)
+                       .astype(np.uint8).tobytes())
+    for i in (5, 700, 9000, 19990):
+        sparse[i:i + 2] = b"ab"
+    sparse = np.frombuffer(bytes(sparse), np.uint8)
+    _, mask_ref, _, _ = m._scan_stream(sparse)
+    np.testing.assert_array_equal(
+        m._scan_match_positions(sparse), np.nonzero(mask_ref)[0]
+    )
+    # bucket boundary: count > 1024 forces the next 4x bucket
+    mid = np.frombuffer(b"ab" * 3000 + b"x" * 14000, np.uint8)
+    _, mask_ref, _, _ = m._scan_stream(mid)
+    np.testing.assert_array_equal(
+        m._scan_match_positions(mid), np.nonzero(mask_ref)[0]
+    )
+    # dense: every other byte matches -> count > cap, mask fallback
+    dense = np.frombuffer(b"ab" * 10000, np.uint8)
+    _, mask_ref, _, _ = m._scan_stream(dense)
+    np.testing.assert_array_equal(
+        m._scan_match_positions(dense), np.nonzero(mask_ref)[0]
+    )
+    # empty mask
+    clean = np.frombuffer(b"x" * 4096, np.uint8)
+    assert len(m._scan_match_positions(clean)) == 0
+
+
 def test_finditer_arrays_equals_finditer(rng):
     from regex_fpga_tpu.api import compile_regex
 

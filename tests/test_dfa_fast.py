@@ -133,3 +133,53 @@ def test_domain_guard_flags_bf16_lossy_table(rng):
     dt = build_dfa_tables(table, accept)
     # guard passes because mm_dtype(300) is f32 (lossless)
     assert bool(table_domain_ok(dt))
+
+
+def test_split_state_encoding_exact(rng, monkeypatch):
+    """Byte-split bf16 tables (TPU big-S route, forced on here) == serial
+    scan: T = 256*Th + Tl recombination is exact for S up to 2^16."""
+    import jax.numpy as jnp
+    import regex_fpga_tpu.ops.dfa_fast as df
+    from regex_fpga_tpu.ops import dfa_scan_serial
+
+    monkeypatch.setattr(df, "split_states", lambda s: s > 256)
+    table, accept = random_dfa_table(rng, 501, 12)
+    dt = build_dfa_tables(table, accept)
+    stream = rng.integers(0, 256, size=64 * 32).astype(np.uint8)
+    classes = jnp.asarray(np.asarray(dt.class_of)[stream])
+    res = df.dfa_scan_fast(dt, classes, num_blocks=32)
+    ser = dfa_scan_serial(dt, jnp.asarray(stream))
+    assert bool(res.converged) and bool(res.domain_ok)
+    assert int(res.final_state) == int(ser.final_state)
+    np.testing.assert_array_equal(
+        np.asarray(res.match_mask), np.asarray(ser.match_mask)
+    )
+    rc = df.dfa_scan_fast(dt, classes, num_blocks=32, emit="counts")
+    np.testing.assert_array_equal(np.asarray(rc.counts), np.asarray(ser.counts))
+
+
+def test_split_state_kgram_exact(rng, monkeypatch):
+    """Byte-split [Tl|Th|A] k-gram step (forced on) == serial totals."""
+    import jax.numpy as jnp
+    import regex_fpga_tpu.ops.dfa_fast as df
+    from regex_fpga_tpu.ops import dfa_scan_serial
+    from regex_fpga_tpu.ops.kgram import (
+        build_kgram, dfa_scan_kgram, map_kgram_classes,
+    )
+
+    monkeypatch.setattr(df, "split_states", lambda s: s > 256)
+    table, accept = random_dfa_table(rng, 347, 20)
+    table = table[np.arange(256) % 7]  # few byte classes -> kgram viable
+    dt = build_dfa_tables(table, accept)
+    kg = build_kgram(dt, levels=2, max_classes=1 << 16)
+    assert kg is not None
+    stream = rng.integers(0, 256, size=16 * 64 * kg.k).astype(np.uint8)
+    ck = map_kgram_classes(kg, stream)
+    res = dfa_scan_kgram(
+        jnp.asarray(kg.table), jnp.asarray(kg.acc_table), jnp.asarray(ck),
+        num_blocks=16,
+    )
+    ser = dfa_scan_serial(dt, jnp.asarray(stream))
+    assert bool(res.converged)
+    assert int(res.total) == int(np.asarray(ser.counts).sum())
+    assert int(res.final_state) == int(ser.final_state)

@@ -85,3 +85,25 @@ def test_prefiltered_no_literal_patterns_only():
     rep = pre.scan([b"xxx a yyy", b"zzz"])
     full = compile_regex_set([rb"a|b"]).scan([b"xxx a yyy", b"zzz"])
     np.testing.assert_array_equal(rep.rule_counts, full.rule_counts)
+
+
+def test_prefiltered_subset_cache_cap_falls_back_to_full():
+    """ADVICE r2: the subset cache is LRU-capped — past the cap, streams
+    scan against the FULL ruleset (sound superset) with candidate columns
+    sliced, and counts stay identical to the unfiltered matcher."""
+    pats = [bytes(f"needle{i}x[0-9]", "ascii") for i in range(6)]
+    pre = compile_regex_set_prefiltered(pats, min_literal=3)
+    pre.max_cached_subsets = 2
+    full = compile_regex_set(pats)
+    streams = [
+        b"needle0x5 only",
+        b"needle1x7 only",
+        b"needle2x9 and needle3x1",
+        b"needle4x2 needle5x3 needle0x0",
+        b"no needles at all......",
+    ]
+    got = pre.scan(streams).rule_counts
+    want = full.scan(streams).rule_counts
+    np.testing.assert_array_equal(got, want)
+    assert len(pre._subs) <= 2          # cap respected
+    assert pre._full is not None        # fallback actually exercised

@@ -163,3 +163,59 @@ def test_anchors_with_scan_report():
     rep = api.compile_regex(r"^\d+").scan(b"123 456", collect_positions=True)
     assert rep.total == 3
     assert rep.match_positions[0].tolist() == [1, 2, 3]
+
+
+# -- device prefilter for host-routed patterns (r2 verdict #6) ---------------
+
+
+def test_host_prefilter_spans_equal_pure_host_fuzz():
+    """HostRegexMatcher's device-prefiltered finditer == the pure-host Pike
+    VM walk, on a fuzz suite of boundary/multiline/lazy patterns."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    pats = [r"\bcat\b", r"\bword", r"ing\b", r"\Bsub\B", r"(?m)^line",
+            r"(?m)end$", r"a+?b", r"<.+?>", r"\b\d{2,4}\b"]
+    alphabet = b"cat catalog word wording line end sub a b <x> 12 1234 \n. "
+    for pat in pats:
+        m = api.compile_regex(pat)
+        assert isinstance(m, api.HostRegexMatcher)
+        for trial in range(4):
+            idx = rng.integers(0, len(alphabet), size=600)
+            raw = bytes(bytearray(alphabet[i] for i in idx))
+            pure = (m._prog.finditer_spans_first(raw)
+                    if m._first_mode else m._prog.finditer_spans(raw))
+            assert m.finditer(raw) == pure, pat
+
+
+def test_host_prefilter_engages_and_prunes():
+    """The envelope compiles for \\bcat\\b and prunes a clean stream to
+    zero candidate starts (no host verification work at all)."""
+    m = api.compile_regex(r"\bcat\b")
+    assert m._ensure_envelope() is not None
+    clean = np.frombuffer(b"dog " * 2048, np.uint8)
+    starts = m._candidate_starts(clean)
+    assert starts is not None and len(starts) == 0
+    assert m.finditer(bytes(clean)) == []
+    # candidates appear exactly where "cat" occurs (superset of true starts)
+    data = np.frombuffer(b"cat concatenate cat." * 8, np.uint8)
+    starts = m._candidate_starts(data)
+    true_spans = m.finditer(bytes(data))
+    assert all(a in starts.tolist() for a, _ in true_spans)
+    import re as pyre
+    assert [s for s, _ in true_spans] == [
+        mm.start() for mm in pyre.finditer(rb"\bcat\b", bytes(data))
+    ]
+
+
+def test_host_prefilter_nullable_envelope_falls_back():
+    """A bare \\b has a nullable envelope (zero pruning power): the matcher
+    must decline the prefilter and still produce re-identical spans."""
+    import re as pyre
+
+    m = api.compile_regex(r"\bcat\b|\B")
+    assert m._ensure_envelope() is None
+    raw = b"a cat sat"
+    assert m.finditer(raw) == [
+        (mm.start(), mm.end()) for mm in pyre.finditer(rb"\bcat\b|\B", raw)
+    ]
