@@ -184,6 +184,75 @@ def cmd_presplit(args) -> int:
     return 0
 
 
+def cmd_corpus(args) -> int:
+    """BASELINE config 5 as a CLI: scan a corpus file far larger than
+    device memory with chunked prefetching ingest feeding the distributed
+    scan (sequence parallelism over every available device), per-chunk
+    carry, and optional checkpoint/resume at chunk boundaries."""
+    import time
+
+    import jax
+
+    from . import api
+    from .ops.kgram import build_kgram
+    from .parallel import make_mesh
+    from .parallel.ingest import (
+        CheckpointStore, dist_resilient_scan, iter_file_chunks,
+    )
+
+    m = api.compile_regex(args.pattern)
+    if isinstance(m, api.HostRegexMatcher):
+        print("corpus mode needs a device-scannable pattern "
+              "(\\b/\\B, (?m), and lazy quantifiers route to the host "
+              "engine — use grep)", file=sys.stderr)
+        return 2
+    kg = None
+    if args.kgram_levels:
+        kg = build_kgram(m.tables, levels=args.kgram_levels)
+        if kg is None:
+            print("# k-gram tables blew up; falling back to k=1",
+                  file=sys.stderr)
+    n_seq = jax.device_count()
+    mesh = make_mesh(1, n_seq)
+    k = kg.k if kg else 1
+    bps_align = n_seq * args.blocks_per_shard * k * 64
+    chunk = max(bps_align, (args.chunk_mb << 20) // bps_align * bps_align)
+    size = __import__("os").path.getsize(args.file)
+    main_len = (size // chunk) * chunk
+
+    def chunks():
+        for off, c in iter_file_chunks(args.file, chunk):
+            if off + len(c) <= main_len:
+                yield off, c[None, :]
+
+    store = CheckpointStore(args.checkpoint) if args.checkpoint else None
+    t0 = time.perf_counter()
+    carry = dist_resilient_scan(
+        mesh, m.tables, chunks(), kgram=kg,
+        blocks_per_shard=args.blocks_per_shard, start=m.start, store=store,
+    ) if main_len else {"states": np.array([m.start]),
+                        "counts": np.array([0]), "offset": 0}
+    # finish the non-aligned tail (and count the reference-timing EOF drop
+    # exactly) with the serial engine from the carried state
+    total = int(carry["counts"][0])
+    if main_len < size:
+        from .ops import dfa_scan_serial
+        import jax.numpy as jnp
+
+        tail = np.fromfile(args.file, dtype=np.uint8, offset=main_len)
+        ser = dfa_scan_serial(m.tables, jnp.asarray(tail),
+                              start=int(carry["states"][0]))
+        total += int(np.asarray(ser.counts).sum())
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "file": args.file, "bytes": size, "matches": total,
+        "mesh": f"1x{n_seq}", "kgram_k": k, "chunk_bytes": chunk,
+        "bytes_per_sec": round(size / wall, 1),
+        "final_offset": int(carry.get("offset", main_len)),
+    }))
+    return 0
+
+
 def cmd_conformance(args) -> int:
     """The four-trace bit-exact gate (SURVEY.md SS4.2) as a CLI check.
 
@@ -282,6 +351,21 @@ def main(argv=None) -> int:
     s.add_argument("rules")
     s.add_argument("files", nargs="+")
     s.set_defaults(fn=cmd_snort)
+
+    s = sub.add_parser(
+        "corpus",
+        help="count matches over a huge corpus: chunked prefetching ingest "
+             "-> distributed scan over all devices, checkpointable",
+    )
+    s.add_argument("pattern")
+    s.add_argument("file")
+    s.add_argument("--chunk-mb", type=int, default=64)
+    s.add_argument("--blocks-per-shard", type=int, default=2048)
+    s.add_argument("--kgram-levels", type=int, default=2,
+                   help="0 disables k-gram precomposition")
+    s.add_argument("--checkpoint", default=None,
+                   help="npz carry path: resume an interrupted scan")
+    s.set_defaults(fn=cmd_corpus)
 
     s = sub.add_parser("presplit", help="tokenizer pre-split a file")
     s.add_argument("file")

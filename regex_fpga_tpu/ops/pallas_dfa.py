@@ -79,14 +79,18 @@ def _kernel(cls_ref, t_ref, acc_vec_ref, entry_ref, finals_ref,
             *rest, c, s, emit_outputs):
     """Grid: (lane_tiles, num_windows) — window axis innermost, sequential.
 
-    cls_ref: (TILE, 128) int32 block-major classes of this window;
+    cls_ref: (TILE, 128) uint8 block-major classes of this window (byte
+    classes are always < 256; uint8 window buffers quarter the resident
+    VMEM vs the r2 int32 layout, which is what capped lanes at ~2048 —
+    the whole window is cast to int32 ONCE per grid step below);
     t_ref: (C, S) table in mm dtype; acc_vec_ref: (S, 1) f32 accept column;
     entry/finals: (TILE, 1) int32.  Scratch: st_state (TILE, 1) carries the
-    chain state across windows; in emit mode rest also holds the
-    per-position output refs and their staging scratches.
+    chain state across windows; in emit mode ``st_scr`` stages state AND
+    accept PACKED as ``state | accept << 30`` (state ids < 2^24), halving
+    the staging footprint vs r2's two scratches.
     """
     if emit_outputs:
-        states_ref, acc_ref, st_state, st_scr, acc_scr = rest
+        states_ref, acc_ref, st_state, st_scr = rest
     else:
         (st_state,) = rest
     j = pl.program_id(1)
@@ -106,7 +110,6 @@ def _kernel(cls_ref, t_ref, acc_vec_ref, entry_ref, finals_ref,
         if emit_outputs:
             # rotate staged outputs left by _SUB; this sub writes 96..127
             st_scr[:] = pltpu.roll(st_scr[:], shift=_WINDOW - _SUB, axis=1)
-            acc_scr[:] = pltpu.roll(acc_scr[:], shift=_WINDOW - _SUB, axis=1)
         for t in range(_SUB):  # static unroll, <= 32 steps
             col = chunk[:, t : t + 1]                           # (TILE, 1)
             oh_c = (col == iota_c).astype(t_ref.dtype)          # (TILE, C)
@@ -115,14 +118,15 @@ def _kernel(cls_ref, t_ref, acc_vec_ref, entry_ref, finals_ref,
             oh_x = (state == iota_s).astype(jnp.float32)        # (TILE, S)
             if emit_outputs:
                 o = _WINDOW - _SUB + t
-                st_scr[:, o : o + 1] = state
                 # accept bit = <onehot(state), accept> — one MXU column dot
                 # (a VPU cross-lane reduce here costs ~log2(S) shuffles and
-                # dominated the measured kernel time)
-                acc_scr[:, o : o + 1] = (
+                # dominated the measured kernel time); packed with the
+                # state into one staged int32
+                acc_bit = (
                     jnp.dot(oh_x, acc_col,
                             preferred_element_type=jnp.float32) > 0.0
                 ).astype(jnp.int32)
+                st_scr[:, o : o + 1] = state | (acc_bit << 30)
             # select-reduce on the MXU: sum_s (rows*oh_x)[i,s] via @ones
             state = jnp.dot(rows * oh_x, ones_s,
                             preferred_element_type=jnp.float32).astype(jnp.int32)
@@ -131,11 +135,12 @@ def _kernel(cls_ref, t_ref, acc_vec_ref, entry_ref, finals_ref,
         return chunk, state
 
     _, state = jax.lax.fori_loop(
-        0, _WINDOW // _SUB, sub, (cls_ref[:], st_state[:])
+        0, _WINDOW // _SUB, sub, (cls_ref[:].astype(jnp.int32), st_state[:])
     )
     if emit_outputs:
-        states_ref[:] = st_scr[:]
-        acc_ref[:] = acc_scr[:] != 0
+        packed = st_scr[:]
+        states_ref[:] = packed & ((1 << 30) - 1)
+        acc_ref[:] = (packed >> 30) != 0
     st_state[:] = state
     finals_ref[:] = state  # last window's write is the final state
 
@@ -178,7 +183,8 @@ def _counts_kernel(cls_ref, t_ref, entry_ref, finals_ref, counts_ref,
         return chunk, state, vis
 
     _, state, vis = jax.lax.fori_loop(
-        0, _WINDOW // _SUB, sub, (cls_ref[:], st_state[:], vis_scr[:])
+        0, _WINDOW // _SUB, sub,
+        (cls_ref[:].astype(jnp.int32), st_state[:], vis_scr[:]),
     )
     st_state[:] = state
     vis_scr[:] = vis
@@ -241,7 +247,7 @@ def chain_pass_counts_pallas(tables: DfaTables, cls_seq: jnp.ndarray,
         ],
         interpret=interpret,
     )(
-        cls_blocks,
+        cls_blocks.astype(jnp.uint8),  # see _pallas_chain: uint8 windows
         tables.table.astype(mm_dtype(s)),
         entries[:, None],
     )
@@ -263,11 +269,6 @@ def _pallas_chain(tables: DfaTables, cls_blocks: jnp.ndarray,
 
     kernel = functools.partial(_kernel, c=c, s=s, emit_outputs=emit_outputs)
     scratch_shapes = [pltpu.VMEM((LANE_TILE_, 1), jnp.int32)]  # chain state
-    if emit_outputs:
-        scratch_shapes += [
-            pltpu.VMEM((LANE_TILE_, _WINDOW), jnp.int32),
-            pltpu.VMEM((LANE_TILE_, _WINDOW), jnp.int32),
-        ]
     out_shape = [jax.ShapeDtypeStruct((nb, 1), jnp.int32)]  # finals
     out_specs = [
         pl.BlockSpec((LANE_TILE_, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
@@ -283,12 +284,11 @@ def _pallas_chain(tables: DfaTables, cls_blocks: jnp.ndarray,
             pl.BlockSpec((LANE_TILE_, _WINDOW), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ]
-        # emit-mode scratches are staged via rolls only; order inside rest
-        # is (states_ref, acc_ref, st_state, st_scr, acc_scr) — st_state
-        # first in scratch_shapes order after the two output refs.
+        # emit-mode staging: ONE packed scratch (state | accept << 30),
+        # rolled by _SUB per sub-loop; rest order is
+        # (states_ref, acc_ref, st_state, st_scr)
         scratch_shapes = [
             pltpu.VMEM((LANE_TILE_, 1), jnp.int32),
-            pltpu.VMEM((LANE_TILE_, _WINDOW), jnp.int32),
             pltpu.VMEM((LANE_TILE_, _WINDOW), jnp.int32),
         ]
     acc_vec = tables.accept.astype(jnp.float32)[:, None]  # (S, 1) column
@@ -308,7 +308,10 @@ def _pallas_chain(tables: DfaTables, cls_blocks: jnp.ndarray,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(
-        cls_blocks,
+        # uint8 window buffers: byte classes are < 256 by construction, and
+        # the resident double-buffered windows were the VMEM term that
+        # capped lane width at ~2048 in r2
+        cls_blocks.astype(jnp.uint8),
         # exactness rule shared with the other engines (dfa_fast.mm_dtype)
         tables.table.astype(mm_dtype(s)),
         acc_vec,

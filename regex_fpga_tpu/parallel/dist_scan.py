@@ -12,6 +12,12 @@ inner loop is entirely local MXU work.
 The NFA conformance engine distributes over ``data`` only (each stream's
 active-set chain is short-range serial; streams are independent, mirroring
 the reference's two fully independent streams, SURVEY.md SS3.3 item 5).
+
+The k-gram counting engine — the single-chip throughput headline — runs on
+the same mesh via ``dfa_scan_kgram_dist`` (k-gram tables compose
+associatively exactly like k=1 tables, so the seam machinery is shared);
+``parallel.ingest.dist_resilient_scan`` chains chunked corpus ingest into
+either scan with per-stream carries (BASELINE config 5).
 """
 
 from __future__ import annotations

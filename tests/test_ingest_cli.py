@@ -222,3 +222,43 @@ def test_cli_rgrep(tmp_path, capsys):
     assert str(clean) not in out  # prefilter rejected it entirely
     rc = main(["rgrep", "--no-prefilter", "-e", r"zzz[0-9]", str(clean)])
     assert rc == 1  # no matches anywhere
+
+
+def test_cli_corpus_exact(tmp_path, capsys):
+    """CLI `corpus`: chunked dist scan of a file == serial count, incl. the
+    non-aligned tail finished by the serial engine, and checkpoint resume."""
+    import json
+
+    import jax.numpy as jnp
+
+    from regex_fpga_tpu.__main__ import main as cli_main
+    from regex_fpga_tpu import api
+    from regex_fpga_tpu.ops import dfa_scan_serial
+
+    data = (b"GET /a.php HTTP/1.1 stuff 12.5 more " * 40000)[: (1 << 20) + 12345]
+    f = tmp_path / "corpus.bin"
+    f.write_bytes(data)
+    rc = cli_main([
+        "corpus", r"[0-9]+\.[0-9]+", str(f), "--chunk-mb", "1",
+        "--blocks-per-shard", "8",
+        "--checkpoint", str(tmp_path / "carry.npz"),
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    # the distributed path actually engaged (main region > 0) and the
+    # checkpoint recorded its end; only the tail ran serial
+    assert out["final_offset"] >= (1 << 20)
+    m = api.compile_regex(rb"[0-9]+\.[0-9]+")
+    ser = dfa_scan_serial(
+        m.tables, jnp.asarray(np.frombuffer(data, np.uint8)), start=m.start
+    )
+    assert out["matches"] == int(np.asarray(ser.counts).sum())
+    assert out["bytes"] == len(data)
+
+
+def test_cli_corpus_host_pattern_refused(capsys, tmp_path):
+    from regex_fpga_tpu.__main__ import main as cli_main
+
+    f = tmp_path / "x.bin"
+    f.write_bytes(b"data")
+    assert cli_main(["corpus", r"\bword\b", str(f)]) == 2
