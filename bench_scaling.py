@@ -76,6 +76,50 @@ def main():
             "platform": jax.devices()[0].platform,
         }))
 
+    # k-gram counting engine on the same meshes (the headline engine's
+    # multi-chip path, parallel/dist_scan.py::dfa_scan_kgram_dist)
+    from regex_fpga_tpu.ops.kgram import build_kgram, map_kgram_classes
+    from regex_fpga_tpu.parallel import dfa_scan_kgram_dist
+
+    kg = build_kgram(dt, levels=2)
+    tj, aj = jnp.asarray(kg.table), jnp.asarray(kg.acc_table)
+    kres = {}
+    for ndev in (1, 2, 4, 8):
+        if ndev > ndev_all:
+            break
+        mesh = make_mesh(1, ndev, devices=jax.devices()[:ndev])
+        if jax.devices()[0].platform == "cpu":
+            batch, bps_shard, blk = 4, 128, 128
+        else:
+            batch, bps_shard, blk = 8, 4096, 1024
+        lk = ndev * bps_shard * blk
+        raw = rng.integers(0, 256, size=(batch, lk * kg.k), dtype=np.int64)
+        ck = jnp.asarray(np.stack([
+            map_kgram_classes(kg, r.astype(np.uint8)) for r in raw
+        ]))
+        f = lambda: dfa_scan_kgram_dist(
+            mesh, tj, aj, ck, blocks_per_shard=bps_shard, start=tok.start,
+            acc_bound=kg.k,
+        )
+        np.asarray(f()[0])
+        t0 = time.perf_counter()
+        n = 3
+        for _ in range(n):
+            r = f()
+        np.asarray(r[0])
+        dt_s = (time.perf_counter() - t0) / n
+        total = batch * lk * kg.k
+        kres[ndev] = total / dt_s
+        eff = kres[ndev] / (kres[1] * ndev) if 1 in kres else 1.0
+        print(json.dumps({
+            "metric": "dist_kgram_bytes_per_sec",
+            "devices": ndev,
+            "value": round(total / dt_s, 1),
+            "unit": "B/s",
+            "weak_scaling_efficiency": round(eff, 3),
+            "platform": jax.devices()[0].platform,
+        }))
+
 
 if __name__ == "__main__":
     sys.exit(main())
