@@ -284,6 +284,18 @@ def _measure(state: dict) -> None:
                     point["kgram"] = "composed-class blowup (> 16384)"
                 else:
                     point["kgram_classes_per_level"] = kgs.level_classes
+                    # MAC-optimal level: cost/byte ~ C_L * 2S / 2^L; the
+                    # optimum DECREASES as S grows (C_L growth catches up)
+                    s_d = dts.num_states
+                    costs = [
+                        kgs.level_classes[lv] * 2 * s_d / (1 << lv)
+                        for lv in range(len(kgs.level_classes))
+                    ]
+                    best = int(np.argmin(costs[1:])) + 1
+                    if best != 2:
+                        kgs = build_kgram(dts, levels=best,
+                                          max_classes=1 << 14)
+                    point["kgram_level"] = best
                     cks = jnp.asarray(
                         map_kgram_classes(kgs, text_s).astype(np.int16)
                     )
