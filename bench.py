@@ -9,10 +9,10 @@ north-star target from BASELINE.md (the reference FPGA itself achieves
 
 Trustworthiness (r2 verdict "weak" #1/#2/#7): every rate is the MEDIAN of
 repeated, individually-timed passes and carries its min/max spread; the
-host-walker conformance measurement runs on the MAIN thread while the chip
-and the worker thread are idle (its r1->r2 swing, 445->180 MB/s, was CPU
-contention on this 2-core host between the walker and the daemon worker's
-device sections racing it).
+host-walker conformance measurement runs BEFORE the extras worker thread
+starts, with the chip idle (its r1->r2 swing, 445->180 MB/s, was CPU
+contention on this 2-core host between the walker and the extras sections
+racing it).
 
 Robustness: the axon tunnel sometimes HANGS mid-call (observed: a kgram
 compile stalling 8+ minutes), which no try/except can catch — so after the
@@ -141,9 +141,11 @@ def _measure(state: dict) -> None:
     full_bps = full["bytes_per_sec"]
     state["progress"] = "headline-measured"
 
-    # ---- host-walker conformance: MAIN thread, chip + worker idle
-    # (r2 weak #1: measured 445->180 MB/s across rounds because the daemon
-    # worker's sections raced it for the 2 host cores)
+    # ---- host-walker conformance: runs BEFORE the extras worker exists,
+    # chip idle (r2 weak #1: measured 445->180 MB/s across rounds because
+    # concurrent device sections raced it for the 2 host cores).  Note the
+    # whole of _measure is itself on a daemon thread purely as tunnel-hang
+    # insurance — nothing else runs concurrently with this section.
     conf: dict = {}
     try:
         from regex_fpga_tpu import api

@@ -898,13 +898,7 @@ class DfaMatcher:
         positions arrive device-compacted (N*4 bytes, not an L-byte mask).
         """
         self._ensure_anchored()
-        rm = self._reverse_matcher
-        l = len(stream)
-        pos = rm._scan_match_positions(stream[::-1])
-        starts = (l - pos[pos > 0])[::-1]  # ascending, unique
-        if rm._accept_eof[rm._last_final]:
-            starts = np.concatenate([np.zeros(1, np.int64), starts])
-        return starts
+        return _starts_from_reverse(self._reverse_matcher, stream)
 
     def _append_tail_empty(self, spans, stream):
         """A nullable pattern matches EMPTY at end-of-buffer (re yields
@@ -1145,6 +1139,21 @@ def compile_ruleset(source: str | CsrAutomaton,
     return NfaMatcher(aut, config, strategy=strategy)
 
 
+def _starts_from_reverse(rm: "DfaMatcher", stream: np.ndarray) -> np.ndarray:
+    """Ascending candidate match starts from one backward device pass with
+    reversed-pattern matcher ``rm`` — THE single home of the tricky index
+    mapping (shared by ``DfaMatcher._match_starts`` and the Host matcher's
+    envelope prefilter): a reverse match ending at reversed position p-1 is
+    an original start l-p, and ``accept_eof`` of the reverse final state
+    covers start 0.  Positions arrive device-compacted (N*4 bytes)."""
+    l = len(stream)
+    pos = rm._scan_match_positions(stream[::-1])
+    starts = (l - pos[pos > 0])[::-1]  # ascending, unique
+    if rm._accept_eof[rm._last_final]:
+        starts = np.concatenate([np.zeros(1, np.int64), starts])
+    return starts
+
+
 _UNSET = object()
 
 
@@ -1227,12 +1236,7 @@ class HostRegexMatcher(DfaMatcher):
         env = self._ensure_envelope()
         if env is None or len(stream) == 0:
             return None
-        l = len(stream)
-        pos = env._scan_match_positions(stream[::-1])
-        starts = (l - pos[pos > 0])[::-1]
-        if env._accept_eof[env._last_final]:
-            starts = np.concatenate([np.zeros(1, np.int64), starts])
-        return starts
+        return _starts_from_reverse(env, stream)
 
     def _no_device(self, name: str):
         raise NotImplementedError(
@@ -1786,13 +1790,28 @@ class SnortMatcher:
         contents assert absence — stream-wide by default, inside their
         window when positionally constrained.
 
-        The walk BACKTRACKS over occurrences: a rule matches iff ANY
-        assignment of content occurrences satisfies every window (the
-        greedy first-occurrence walk would wrongly refuse e.g.
-        ``content:"A"; content:"B"; within:3;`` on ``b"A....A..B"``).
-        Window sizes bound the search, so backtracking stays cheap."""
+        The walk BACKTRACKS over occurrences of content ``i`` ONLY when a
+        later content is positioned relative to it (``distance``/``within``
+        somewhere after ``i``): there the occurrence choice matters (greedy
+        first-occurrence would wrongly refuse e.g. ``content:"A";
+        content:"B"; within:3;`` on ``b"A....A..B"``), and the windows
+        bound the retry cost.  When no later content is relative, the
+        earliest occurrence is provably optimal (every later content
+        searches FROM the previous match end, so an earlier end only
+        widens its window) and the walk stays greedy — this also keeps the
+        verify stage LINEAR on attacker-controlled payloads (unbounded
+        backtracking measured quadratic: 5 s on a 160 KB crafted packet)."""
         contents = self.rules[idx].contents
         n = len(raw)
+        # later_relative[i]: some content at index >= i is distance/within-
+        # anchored; queried at [ci + 1] to ask "does any LATER content
+        # depend on where content ci matched?"
+        later_relative = [False] * (len(contents) + 1)
+        for i in range(len(contents) - 1, -1, -1):
+            c = contents[i]
+            later_relative[i] = later_relative[i + 1] or (
+                c.distance is not None or c.within is not None
+            )
 
         def ok_from(ci: int, prev_end: int) -> bool:
             if ci == len(contents):
@@ -1820,6 +1839,13 @@ class SnortMatcher:
                 # a negated content matches "nothing": cursor stays put
                 return ok_from(ci + 1, prev_end)
             at = hay.find(needle, start)
+            if not later_relative[ci + 1]:
+                # greedy: earliest occurrence is optimal (see docstring)
+                if at == -1 or (
+                    end_limit is not None and at + len(needle) > end_limit
+                ):
+                    return False
+                return ok_from(ci + 1, at + len(needle))
             while at != -1:
                 if end_limit is not None and at + len(needle) > end_limit:
                     return False  # later occurrences only end later

@@ -226,7 +226,9 @@ def dfa_scan_kgram_dist(
     batch, lk = classes_k.shape
     assert lk % (n_seq * blocks_per_shard) == 0
     starts = jnp.broadcast_to(jnp.asarray(start, jnp.int32), (batch,))
-    classes3 = classes_k.reshape(batch, n_seq, lk // n_seq)
+    # callers may ship class ids narrow (int16 halves tunnel bytes);
+    # the engine math is int32
+    classes3 = classes_k.astype(jnp.int32).reshape(batch, n_seq, lk // n_seq)
 
     @functools.partial(
         jax.shard_map,

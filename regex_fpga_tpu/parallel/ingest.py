@@ -26,11 +26,18 @@ __all__ = [
     "iter_file_chunks",
     "shard_files",
     "CheckpointStore",
+    "NonRetryableScanError",
     "resilient_scan",
     "prefetch_chunks",
     "iter_batch_chunks",
     "dist_resilient_scan",
 ]
+
+
+class NonRetryableScanError(RuntimeError):
+    """A deterministic scan failure (e.g. seam fixpoint non-convergence):
+    re-running the identical chunk cannot succeed, so ``resilient_scan``
+    surfaces it immediately instead of burning retries."""
 
 
 def prefetch_chunks(
@@ -163,6 +170,8 @@ def resilient_scan(
             try:
                 carry = scan_chunk(chunk, carry)
                 break
+            except NonRetryableScanError:
+                raise  # deterministic: identical retry cannot succeed
             except Exception:
                 attempt += 1
                 if attempt > max_retries:
@@ -233,9 +242,12 @@ def dist_resilient_scan(
         ka = jnp.asarray(kgram.acc_table)
 
         def prepare(slab: np.ndarray):
-            return jnp.asarray(
-                np.stack([map_kgram_classes(kgram, row) for row in slab])
-            )
+            # ship class ids at the narrowest exact width: build_kgram caps
+            # classes at max_classes (<= 16384 in every caller), so int16
+            # halves/quarters the host->device bytes; the device scan
+            # upcasts to int32 (dfa_scan_kgram_dist)
+            ck = np.stack([map_kgram_classes(kgram, row) for row in slab])
+            return jnp.asarray(ck.astype(np.int16))
 
         def scan_chunk(classes_k, carry):
             batch = classes_k.shape[0]
@@ -251,7 +263,7 @@ def dist_resilient_scan(
                 max_iters=max_iters, overlap=overlap, acc_bound=kgram.k,
             )
             if not bool(converged):
-                raise RuntimeError(
+                raise NonRetryableScanError(
                     "k-gram seam fixpoint did not converge; use the exact "
                     "associative engine for this automaton"
                 )
@@ -279,7 +291,7 @@ def dist_resilient_scan(
                 max_iters=max_iters, overlap=overlap,
             )
             if not bool(converged):
-                raise RuntimeError(
+                raise NonRetryableScanError(
                     "seam fixpoint did not converge; use the exact "
                     "associative engine for this automaton"
                 )
@@ -287,6 +299,18 @@ def dist_resilient_scan(
                 "states": np.asarray(finals),
                 "counts": carry["counts"] + np.asarray(counts),
             }
+
+    # resume filter BEFORE the prefetch pipeline: already-scanned chunks
+    # must not pay class-mapping + device upload just to be discarded by
+    # resilient_scan's own skip (on this rig that replay costs ~real time:
+    # uploads run MB/s through the tunnel)
+    if store is not None:
+        loaded = store.load()
+        if loaded and "offset" in loaded:
+            start_off = int(loaded["offset"])
+            chunks = (
+                (off, c) for off, c in chunks if off >= start_off
+            )
 
     k = kgram.k if kgram is not None else 1
     return resilient_scan(

@@ -11,6 +11,7 @@ Run only when no other chip process is active:  timeout 560 python
 scripts/tpu_pallas_sweep.py
 """
 
+import os
 import sys
 import time
 
@@ -18,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from regex_fpga_tpu.models import build_tokenizer_dfa
 from regex_fpga_tpu.ops import build_dfa_tables
@@ -38,6 +39,13 @@ def main() -> None:
     frag = (b"The quick brown fox jumps over 1234 lazy dogs 99.5%!  " * 64)
     text = np.frombuffer(frag * (l // len(frag) + 1), np.uint8)[:l]
     cls_host = np.asarray(dt.class_of).astype(np.uint8)[text]
+    # ONE uint8 upload (64 MB through the tunnel); per-config layouts are
+    # derived on device (reshape/transpose/cast are HBM-local)
+    import time as _t
+    t0 = _t.perf_counter()
+    cls_flat = jnp.asarray(cls_host)
+    np.asarray(cls_flat[:4])
+    print(f"# upload done in {_t.perf_counter()-t0:.0f}s", file=sys.stderr)
 
     def bench(fn, tag):
         t0 = time.perf_counter()
@@ -61,8 +69,10 @@ def main() -> None:
         b = l // nb
         if b % 128:
             continue
-        blocks = cls_host.reshape(nb, b)
-        cls_seq = jnp.asarray(blocks.T.astype(np.int32))
+        cls_seq = jax.jit(
+            lambda x: x.reshape(nb, b).T.astype(jnp.int32)
+        )(cls_flat)
+        np.asarray(cls_seq[:1, :1])
         entries = jnp.zeros((nb,), jnp.int32)
         # XLA reference at this lane count
         try:

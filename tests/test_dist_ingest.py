@@ -153,3 +153,26 @@ def test_prefetch_abandoned_consumer_no_leak():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_nonconvergence_not_retried(monkeypatch):
+    """Deterministic non-convergence must surface immediately — no retry
+    sleeps, no re-scans (review r3)."""
+    import regex_fpga_tpu.parallel.ingest as ingest_mod
+
+    mesh = make_mesh(2, 4)
+    ptable = np.zeros((256, 5), dtype=np.int32)
+    for s in range(5):
+        ptable[:, s] = (s + 1) % 5
+    dt = build_dfa_tables(
+        ptable, np.array([False, True, False, False, False])
+    )
+    streams = np.zeros((2, 4 * 64 * 64), np.uint8)
+    sleeps = []
+    monkeypatch.setattr(ingest_mod.time, "sleep", sleeps.append)
+    with pytest.raises(ingest_mod.NonRetryableScanError):
+        dist_resilient_scan(
+            mesh, dt, iter_batch_chunks(streams, streams.shape[1]),
+            blocks_per_shard=64, max_iters=4, max_retries=5,
+        )
+    assert sleeps == []

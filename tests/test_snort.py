@@ -330,3 +330,25 @@ def test_pcre_hit_native_matches_python(community):
                 s = int(table[b, s])
             want = bool(hit or accept[s] or eof[s])
             assert m._pcre_hit(idx, raw) == want, (idx, raw[:20])
+
+
+def test_verify_linear_without_relative_modifiers():
+    """Adversarial payload (content B before many As) must verify in linear
+    time: without distance/within on later contents the walk is greedy, not
+    backtracking (review r3: unbounded backtracking measured quadratic)."""
+    import time
+
+    m = compile_snort(
+        'alert tcp any any -> any any (msg:"p"; content:"AA"; '
+        'content:"BB"; sid:1;)'
+    )
+    payload = b"BB" + b"AA" * 200_000  # prefilter passes, verify must fail
+    t0 = time.perf_counter()
+    assert m.scan(payload).sids() == []
+    assert time.perf_counter() - t0 < 2.0  # quadratic would take minutes
+    # and the backtracking path still engages when within demands it
+    m2 = compile_snort(
+        'alert tcp any any -> any any (msg:"w"; content:"AA"; '
+        'content:"BB"; within:4; sid:2;)'
+    )
+    assert m2.scan(b"AA......AA..BB ").sids() == [2]
