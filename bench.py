@@ -271,12 +271,16 @@ def _measure(state: dict) -> None:
                     np.asarray(dts.class_of).astype(np.uint8)[text_s]
                 )
                 point = {"S": int(dts.num_states), "C": int(dts.num_classes)}
+                k1_total = None
                 emits = ("full", "counts") if n_pat <= 64 else ("counts",)
                 for emit in emits:
                     runs = lambda: dfa_scan_fast(
                         dts, cls_s, num_blocks=16384, emit=emit
                     )
-                    np.asarray(runs().final_state)
+                    rs = runs()
+                    np.asarray(rs.final_state)
+                    if emit == "counts":
+                        k1_total = int(np.asarray(rs.counts).sum())
                     ms = _med_spread(
                         runs, 3, lambda rr: np.asarray(rr.final_state)
                     )
@@ -312,6 +316,13 @@ def _measure(state: dict) -> None:
                     )
                     point["kgram_counts"] = _rate(l_s, ms)
                     point["kgram_converged"] = bool(rks.converged)
+                    # cross-engine exactness ON SILICON: k=1 counting and
+                    # k-gram totals are independent paths (incl. the
+                    # byte-split bf16 encoding at S > 256) and must agree
+                    point["totals_agree"] = (
+                        k1_total is not None
+                        and int(rks.total) == k1_total
+                    )
                 sweep.append(point)
                 print(f"# sweep point S={point['S']} done "
                       f"t={time.perf_counter()-_T0:.0f}s", file=sys.stderr)
