@@ -408,6 +408,7 @@ class DfaMatcher:
         self._anchored_np: tuple | None = None
         self._anchored_start: int = 0
         self._capture_prog = None  # lazy CaptureProgram (False = no groups)
+        self._mask2 = None  # lazy pair-composed mask tables (False = n/a)
 
     @property
     def num_states(self) -> int:
@@ -609,6 +610,55 @@ class DfaMatcher:
         self._last_final = cur
         return states, mask, iters, converged
 
+    def _ensure_mask2(self):
+        """Lazy pair-composed mask tables (``ops.kgram.build_mask2``): the
+        backward/mask scans run 2 bytes per step with per-position accept
+        bits preserved.  False when the pair classes blow up (engine falls
+        back to the k=1 mask scan)."""
+        if self._mask2 is None:
+            from .ops.kgram import build_mask2
+
+            m2 = build_mask2(self.tables)
+            self._mask2 = (
+                (m2, jnp.asarray(m2.table), jnp.asarray(m2.acc_table))
+                if m2 is not None else False
+            )
+        return self._mask2
+
+    def _mask_chunk_device(self, chunk_cls: np.ndarray, raw_chunk, cur: int):
+        """One chunk's (match_mask device/host array, final_state, converged)
+        via the fastest applicable engine: the 2-byte mask2 scan when its
+        tables exist and the chunk is even-length, else the k=1 mask scan.
+        Non-convergence falls back to the exact path (host mask)."""
+        from .ops.kgram import dfa_scan_mask2, map_kgram_classes
+
+        m2 = self._ensure_mask2()
+        n = len(chunk_cls)
+        if m2 is not False and n >= 2 and n % 2 == 0:
+            kg2, tj, mj = m2
+            ck = map_kgram_classes(kg2, np.asarray(raw_chunk))
+            nb = self._pick_blocks(len(ck))
+            res = dfa_scan_mask2(
+                tj, mj, jnp.asarray(ck), num_blocks=nb, start=cur,
+                max_iters=self.config.max_iters,
+            )
+            if bool(res.converged):
+                return res.match_mask, int(res.final_state), True
+        nb = self._pick_blocks(n)
+        res = dfa_scan_fast(
+            self.tables, jnp.asarray(chunk_cls), num_blocks=nb,
+            start=cur, max_iters=self.config.max_iters, emit="mask",
+        )
+        if not bool(res.domain_ok):
+            raise RuntimeError(
+                "device DFA pass produced out-of-domain state ids "
+                "(SURVEY.md SS5.2 guard)"
+            )
+        if not bool(res.converged):
+            fb = self._exact_fallback(np.asarray(raw_chunk), cur)
+            return np.asarray(fb.match_mask), int(fb.final_state), False
+        return res.match_mask, int(res.final_state), True
+
     def _scan_match_positions(self, stream: np.ndarray, start=None) -> np.ndarray:
         """Byte offsets where the accept mask is set, via DEVICE-side
         compaction (``ops.dfa_fast.mask_positions``): each chunk downloads a
@@ -617,7 +667,9 @@ class DfaMatcher:
         the full-mask readback cost 19-27 s vs 0.6-1.7 s scan through the
         ~6 MB/s tunnel on a 32 MiB match-dense corpus).  Chunks denser than
         cap/chunk fall back to mask readback (cheaper at that density).
-        Sets ``self._last_final``.  Returns ascending int64 offsets."""
+        Even-length chunks run the 2-byte pair-composed mask engine
+        (``dfa_scan_mask2``) when its tables exist.  Sets
+        ``self._last_final``.  Returns ascending int64 offsets."""
         from .ops.dfa_fast import mask_positions
 
         start = self.start if start is None else start
@@ -627,25 +679,17 @@ class DfaMatcher:
         cb = self.config.chunk_bytes
         while off < len(stream):
             chunk = classes[off : off + cb]
-            nb = self._pick_blocks(len(chunk))
-            res = dfa_scan_fast(
-                self.tables, jnp.asarray(chunk), num_blocks=nb,
-                start=cur, max_iters=self.config.max_iters,
+            mask_dev, cur_next, dev_ok = self._mask_chunk_device(
+                chunk, stream[off : off + cb], cur
             )
-            if not bool(res.domain_ok):
-                raise RuntimeError(
-                    "device DFA pass produced out-of-domain state ids "
-                    "(SURVEY.md SS5.2 guard)"
-                )
-            if not bool(res.converged):
-                res = self._exact_fallback(stream[off : off + cb], cur)
-                pos = np.nonzero(np.asarray(res.match_mask))[0]
+            if not dev_ok:  # exact fallback already host-side
+                pos = np.nonzero(mask_dev)[0]
             else:
                 cap = max(1024, len(chunk) // 4)
-                pos_dev, count_dev = mask_positions(res.match_mask, cap)
+                pos_dev, count_dev = mask_positions(mask_dev, cap)
                 count = int(count_dev)
                 if count > cap:  # dense chunk: the mask IS the cheaper read
-                    pos = np.nonzero(np.asarray(res.match_mask))[0]
+                    pos = np.nonzero(np.asarray(mask_dev))[0]
                 else:
                     # geometric bucket keeps the compiled-slice shape count
                     # small (each new shape is a fresh remote compile)
@@ -655,7 +699,7 @@ class DfaMatcher:
                     pos = (np.asarray(pos_dev[: min(b, cap)])[:count]
                            if count else np.empty(0, np.int32))
             out.append(pos.astype(np.int64) + off)
-            cur = int(res.final_state)
+            cur = cur_next
             off += cb
         self._last_final = cur
         return np.concatenate(out)

@@ -215,6 +215,24 @@ def chain_pass_full(tables: DfaTables, cls_seq: jnp.ndarray, entries: jnp.ndarra
     return finals, states, acc
 
 
+def chain_pass_mask(tables: DfaTables, cls_seq: jnp.ndarray, entries: jnp.ndarray):
+    """Mask-only output pass: per-position accept bit (B, NB), no states
+    array — finditer's backward scan and ``_scan_mask`` need only the bits,
+    and skipping the (B, NB) int32 states store saves 4 B/byte of HBM
+    write traffic."""
+    t, iota_c, iota_s = _step_tables(tables)
+    accept_f = tables.accept.astype(jnp.float32)
+
+    def body(state, cls_t):
+        oh_x = (state[:, None] == iota_s).astype(jnp.float32)
+        acc = jnp.sum(oh_x * accept_f[None, :], axis=-1) > 0.0
+        nxt = _mm_step(t, iota_c, iota_s, state, cls_t)
+        return nxt, acc
+
+    finals, acc = jax.lax.scan(body, entries, cls_seq)
+    return finals, acc
+
+
 def chain_pass_counts(tables: DfaTables, cls_seq: jnp.ndarray, entries: jnp.ndarray):
     """Counting pass: per-state visit counts accumulated IN the scan carry.
 
@@ -351,6 +369,41 @@ def dfa_scan_fast(
             counts=counts,
             domain_ok=jnp.logical_and(
                 table_domain_ok(tables), _finals_domain_ok(finals, s_dim)
+            ),
+        )
+
+    if emit == "mask":
+        # accept bits only: finditer's backward pass and _scan_mask never
+        # read the states array, so skip its (B, NB) int32 HBM store
+        if use_pallas:
+            pass_mask = lambda e: (lambda f, s, a: (f, a))(*pass_full(e))
+        else:
+            pass_mask = lambda e: chain_pass_mask(tables, cls_seq, e)
+        finals0, acc0 = pass_mask(entries0)
+        spec_ok = jnp.all(_shift_entries(finals0, start) == entries0)
+
+        def _spec_m(_):
+            return finals0, acc0, jnp.array(True), jnp.array(1, jnp.int32)
+
+        def _jac_m(_):
+            entries, converged, iters = _jacobi_entries(
+                _shift_entries(finals0, start)
+            )
+            finals, acc = pass_mask(entries)
+            return finals, acc, converged, iters
+
+        finals, acc, converged, iters = jax.lax.cond(
+            spec_ok, _spec_m, _jac_m, None
+        )
+        return FastScanResult(
+            final_state=finals[-1],
+            match_mask=acc.T.reshape(-1),
+            states=None,
+            converged=converged,
+            iterations=iters,
+            domain_ok=jnp.logical_and(
+                table_domain_ok(tables),
+                _finals_domain_ok(finals, tables.num_states),
             ),
         )
 

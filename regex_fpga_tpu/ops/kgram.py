@@ -34,10 +34,12 @@ from .tables import DfaTables
 __all__ = [
     "KgramTables",
     "build_kgram",
+    "build_mask2",
     "map_kgram_classes",
     "make_kgram_step",
     "kgram_pass_full",
     "dfa_scan_kgram",
+    "dfa_scan_mask2",
 ]
 
 
@@ -106,6 +108,60 @@ def build_kgram(
         level_classes=level_classes,
         num_states=tables.num_states,
         k=1 << levels,
+    )
+
+
+def build_mask2(
+    tables: DfaTables, max_classes: int = 2048
+) -> KgramTables | None:
+    """Pair-composed tables for the MATCH-MASK path: 2 bytes per step with
+    the two per-position accept bits preserved.
+
+    Unlike ``build_kgram`` (whose acc_table carries accept COUNTS, so
+    per-position bits are lost), the ``acc_table`` here encodes
+    ``accept(s) | accept(T[c1, s]) << 1`` — bit p is the accept mask at
+    byte p of the pair — so ``dfa_scan_mask2`` reconstructs the exact
+    per-position mask at half the steps of the k=1 full scan.  The bit
+    encoding dedupes differently from counts ((1,0) != (0,1)), hence a
+    separate builder.  Returns a ``KgramTables`` (k=2, one pair_map —
+    ``map_kgram_classes`` works unchanged, including the native passes),
+    or None when the pair classes exceed ``max_classes``.
+    """
+    t = np.asarray(tables.table).astype(np.int32)       # (C, S)
+    a = np.asarray(tables.accept).astype(np.int32)      # (S,)
+    c, s = t.shape
+    if c * c > (1 << 22):
+        return None
+    t2 = t[:, t].transpose(1, 0, 2).reshape(c * c, s)   # [(c1,c2), s]
+    # mask bits depend only on (c1, s): bit0 = accept at the pair's first
+    # byte, bit1 = accept after consuming c1
+    m = a[None, :] + 2 * a[t]                           # (C, S)
+    m2 = np.broadcast_to(m[:, None, :], (c, c, s)).reshape(c * c, s)
+    both = np.ascontiguousarray(
+        np.concatenate([t2, m2], axis=1), dtype=np.int32
+    )
+    seen: dict[bytes, int] = {}
+    remap = np.empty(both.shape[0], dtype=np.int32)
+    keep: list[int] = []
+    for i, row in enumerate(both):
+        key = row.tobytes()
+        j = seen.get(key)
+        if j is None:
+            j = len(seen)
+            seen[key] = j
+            keep.append(i)
+        remap[i] = j
+    if len(seen) > max_classes:
+        return None
+    uniq = both[keep]
+    return KgramTables(
+        table=np.ascontiguousarray(uniq[:, :s]),
+        acc_table=np.ascontiguousarray(uniq[:, s:]),
+        class_of=np.asarray(tables.class_of),
+        pair_maps=[remap],
+        level_classes=[c, len(seen)],
+        num_states=tables.num_states,
+        k=2,
     )
 
 
@@ -291,6 +347,101 @@ def kgram_pass_full(
         body, (entries, jnp.zeros_like(entries)), cls_seq
     )
     return finals, totals
+
+
+class Mask2ScanResult(NamedTuple):
+    final_state: jnp.ndarray  # () int32
+    match_mask: jnp.ndarray   # (L,) bool — accept fired before byte i
+    converged: jnp.ndarray
+    iterations: jnp.ndarray
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_blocks", "max_iters", "overlap")
+)
+def dfa_scan_mask2(
+    table: jnp.ndarray,       # (C2, S) int32 pair transitions (build_mask2)
+    mask_table: jnp.ndarray,  # (C2, S) int32 2-bit per-pair accept masks
+    classes2: jnp.ndarray,    # (L/2,) pair-class ids (map_kgram_classes)
+    num_blocks: int = 16384,
+    start: int = 0,
+    max_iters: int = 16,
+    overlap: int = 32,
+) -> Mask2ScanResult:
+    """Match-mask scan at 2 bytes per step: same speculation + Jacobi seam
+    machinery as ``dfa_scan_kgram``, but every step's GEMM also yields the
+    pair's 2-bit accept mask, which unpacks on device into the exact (L,)
+    per-position mask (bit p of a step = accept BEFORE byte 2*step+p —
+    identical to ``dfa_scan_fast(emit="mask")`` at half the steps).  Mask
+    values <= 3 ride the same exactness envelope as accept counts."""
+    lk = classes2.shape[0]
+    assert lk % num_blocks == 0
+    b = lk // num_blocks
+    blocks = classes2.astype(jnp.int32).reshape(num_blocks, b)
+    cls_seq = blocks.T  # (B, NB)
+    start = jnp.asarray(start, jnp.int32)
+    step = make_kgram_step(table, mask_table)
+
+    # speculation prescan: replay the previous block's last ``ov`` pairs
+    ov = min(overlap, b)
+    entries0 = jnp.full((num_blocks,), start, dtype=jnp.int32)
+    if ov > 0:
+        ov_seq = jnp.concatenate(
+            [blocks[:1, b - ov:], blocks[:-1, b - ov:]], axis=0
+        ).T
+
+        def ov_body(st, cl):
+            return step(st, cl)[0], None
+
+        spec, _ = jax.lax.scan(ov_body, entries0, ov_seq)
+        entries0 = spec.at[0].set(start)
+
+    def pass_mask(entries):
+        def body(st, cl):
+            nxt, mbits = step(st, cl)
+            return nxt, mbits
+
+        finals, mvals = jax.lax.scan(body, entries, cls_seq)
+        return finals, mvals  # mvals: (B, NB) int32 in 0..3
+
+    def _shift(finals):
+        return jnp.concatenate([start[None], finals[:-1]])
+
+    finals0, mvals0 = pass_mask(entries0)
+    spec_ok = jnp.all(_shift(finals0) == entries0)
+
+    def _spec(_):
+        return finals0, mvals0, jnp.array(True), jnp.array(1, jnp.int32)
+
+    def _jac(_):
+        def cond(carry):
+            _, done, it = carry
+            return jnp.logical_and(~done, it < max_iters)
+
+        def body(carry):
+            entries, _, it = carry
+            finals, _ = pass_mask(entries)
+            new_entries = _shift(finals)
+            return new_entries, jnp.all(new_entries == entries), it + 1
+
+        entries, converged, iters = jax.lax.while_loop(
+            cond, body,
+            (_shift(finals0), jnp.array(False), jnp.array(1, jnp.int32)),
+        )
+        finals, mvals = pass_mask(entries)
+        return finals, mvals, converged, iters
+
+    finals, mvals, converged, iters = jax.lax.cond(spec_ok, _spec, _jac, None)
+    # (B, NB) 2-bit values -> stream-ordered (L,) bool mask
+    lanes = mvals.T  # (NB, B)
+    bits = jnp.stack([lanes & 1, lanes >> 1], axis=-1)  # (NB, B, 2)
+    mask = bits.reshape(num_blocks, 2 * b).reshape(-1) != 0
+    return Mask2ScanResult(
+        final_state=finals[-1],
+        match_mask=mask,
+        converged=converged,
+        iterations=iters,
+    )
 
 
 @functools.partial(
