@@ -33,6 +33,18 @@ Remote-compile discipline (CLAUDE.md Mosaic quirks, learned on pallas_kgram):
 Integer exactness: the table rides in bf16 only when ids <= 256 (7-bit
 mantissa), f32 with HIGHEST-precision dots otherwise (exact below 2^24);
 accumulation is f32 (SURVEY.md SS7.4 item 4; rule lives in dfa_fast.mm_dtype).
+
+Roofline model (v5e, ~98.5 T bf16 MAC/s): every step issues 2 MXU ops that
+pad to (TILE, 128) @ (128, 128) regardless of the real C/S (row lookup +
+select-reduce; emit mode adds the accept column dot), i.e. ~32.8 K padded
+MACs per byte -> ~3.0 GB/s pad-limited ceiling for the k=1 chain on ANY
+lane count.  XLA's 65536-lane plan measures 2.07-2.15 GB/s full output
+(~70% of that ceiling); the per-step MAC count is lane-width-independent,
+so the Pallas kernel's deficit is per-op overhead (fori_loop + roll + issue
+latency) amortized over TILE lanes — the r3 uint8 window buffers and packed
+staging exist to push TILE toward the XLA plan's width within the ~16 MB
+VMEM budget.  (The 6+ GB/s headline lives in the k-gram engine, which packs
+4 bytes into the same padded step — ops/kgram.py.)
 """
 
 from __future__ import annotations

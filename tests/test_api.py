@@ -305,3 +305,25 @@ def test_finditer_arrays_equals_finditer(rng):
         assert [tuple(x) for x in arr.tolist()] == m.finditer(data), pat
     m = compile_regex(rb"zz")
     assert m.finditer_arrays(b"no hits").shape == (0, 2)
+
+
+def test_scan_match_positions_mask2_chunked_odd_tail(rng):
+    """Chunked position scan with the pair-mask engine on even chunks and
+    the k=1 path on the odd tail chunk: exact across chunk boundaries."""
+    from regex_fpga_tpu.api import compile_regex
+    from regex_fpga_tpu.utils.config import EngineConfig
+
+    cfg = EngineConfig(chunk_bytes=4096)
+    m = compile_regex(rb"ab+", config=cfg)
+    raw = bytearray(rng.integers(99, 122, size=3 * 4096 + 123, dtype=np.int64)
+                    .astype(np.uint8).tobytes())
+    for i in (10, 4090, 4096, 8191, 12280):  # straddle chunk seams
+        raw[i:i + 2] = b"ab"
+    stream = np.frombuffer(bytes(raw), np.uint8)
+    assert m._ensure_mask2() is not False
+    _, mask_ref, _, _ = m._scan_stream(stream)
+    final_ref = m._last_final
+    np.testing.assert_array_equal(
+        m._scan_match_positions(stream), np.nonzero(mask_ref)[0]
+    )
+    assert m._last_final == final_ref
