@@ -1828,11 +1828,14 @@ class SnortMatcher:
     def _verify(self, idx: int, raw: bytes, low: bytes) -> bool:
         """Ordered-occurrence check with the positional content modifiers
         ENFORCED (``models/snort.py``): ``offset``/``depth`` window the
-        search absolutely (depth measured from offset, Snort semantics);
+        search absolutely — anchored to PAYLOAD START, independent of the
+        ordered-walk cursor, depth measured from offset (Snort semantics);
         ``distance``/``within`` window it relative to the previous content
         match's end (``within`` bounds the current match's END).  Negated
         contents assert absence — stream-wide by default, inside their
-        window when positionally constrained.
+        window when positionally constrained.  Fuzz-validated against a
+        brute-force all-assignments oracle
+        (``tests/test_snort.py::test_verify_fuzz_vs_bruteforce_oracle``).
 
         The walk BACKTRACKS over occurrences of content ``i`` ONLY when a
         later content is positioned relative to it (``distance``/``within``
@@ -1864,12 +1867,24 @@ class SnortMatcher:
             hay = low if c.nocase else raw
             needle = c.pattern.lower() if c.nocase else c.pattern
             relative = c.distance is not None or c.within is not None
-            start = prev_end + (c.distance or 0) if relative else prev_end
+            absolute = (
+                (c.offset is not None or c.depth is not None)
+                and not relative
+            )
+            if absolute:
+                # Snort semantics: offset/depth anchor to PAYLOAD START,
+                # independent of the ordered-walk cursor (also keeps the
+                # walk free of hidden prev_end dependencies)
+                start = c.offset or 0
+            elif relative:
+                start = prev_end + (c.distance or 0)
+                if c.offset is not None:  # mixed: both constraints apply
+                    start = max(start, c.offset)
+            else:
+                start = prev_end  # ordered-occurrence walk
             end_limit = (
                 prev_end + c.within if c.within is not None else None
             )
-            if c.offset is not None:
-                start = max(start, c.offset)
             if c.depth is not None:
                 dl = (c.offset or 0) + c.depth
                 end_limit = dl if end_limit is None else min(end_limit, dl)

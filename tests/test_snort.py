@@ -352,3 +352,96 @@ def test_verify_linear_without_relative_modifiers():
         'content:"BB"; within:4; sid:2;)'
     )
     assert m2.scan(b"AA......AA..BB ").sids() == [2]
+
+
+def test_verify_fuzz_vs_bruteforce_oracle():
+    """Property fuzz: _verify == a brute-force oracle that enumerates ALL
+    occurrence assignments (exponential, tiny inputs only) under the same
+    window semantics — catches both wrong greediness and wrong windows."""
+    import itertools
+    import random
+
+    from regex_fpga_tpu.models.snort import SnortContent
+    from regex_fpga_tpu.api import SnortMatcher
+    from regex_fpga_tpu.models.snort import SnortRule
+
+    rnd = random.Random(5)
+
+    def occurrences(hay, needle):
+        out, at = [], hay.find(needle)
+        while at != -1:
+            out.append(at)
+            at = hay.find(needle, at + 1)
+        return out
+
+    def oracle(contents, raw):
+        def ok(ci, prev_end):
+            if ci == len(contents):
+                return True
+            c = contents[ci]
+            needle = c.pattern
+            relative = c.distance is not None or c.within is not None
+            absolute = (
+                (c.offset is not None or c.depth is not None)
+                and not relative
+            )
+            if absolute:
+                start = c.offset or 0  # payload-anchored (Snort)
+            elif relative:
+                start = prev_end + (c.distance or 0)
+                if c.offset is not None:
+                    start = max(start, c.offset)
+            else:
+                start = prev_end
+            end_limit = prev_end + c.within if c.within is not None else None
+            if c.depth is not None:
+                dl = (c.offset or 0) + c.depth
+                end_limit = dl if end_limit is None else min(end_limit, dl)
+            start = max(start, 0)
+            windowed = (relative or c.offset is not None
+                        or c.depth is not None)
+            occ = [
+                a for a in occurrences(raw, needle)
+                if a >= start
+                and (end_limit is None or a + len(needle) <= end_limit)
+            ]
+            if c.negated:
+                # unwindowed negation is STREAM-WIDE absence (Snort
+                # semantics), independent of the ordered-walk cursor
+                bad = occurrences(raw, needle) if not windowed else occ
+                if bad:
+                    return False
+                return ok(ci + 1, prev_end)
+            return any(ok(ci + 1, a + len(needle)) for a in occ)
+
+        return ok(0, 0)
+
+    lits = [b"A", b"AB", b"BA", b"B"]
+    for trial in range(400):
+        ncont = rnd.randint(1, 3)
+        contents = []
+        for i in range(ncont):
+            kw = {}
+            if rnd.random() < 0.3:
+                kw["offset"] = rnd.randint(0, 6)
+            if rnd.random() < 0.3:
+                kw["depth"] = rnd.randint(1, 8)
+            if i > 0 and rnd.random() < 0.4:
+                kw["distance"] = rnd.randint(0, 3)
+            if i > 0 and rnd.random() < 0.4:
+                kw["within"] = rnd.randint(1, 6)
+            contents.append(SnortContent(
+                pattern=rnd.choice(lits),
+                negated=(rnd.random() < 0.2 and ncont > 1),
+                **kw,
+            ))
+        rule = SnortRule(
+            action="alert", proto="tcp", header="", msg="f", sid=1,
+            contents=tuple(contents), pcre=None, options=(),
+        )
+        m = SnortMatcher.__new__(SnortMatcher)
+        m.rules = [rule]
+        raw = bytes(rnd.choice(b"AB.") for _ in range(rnd.randint(0, 10)))
+        got = m._verify(0, raw, raw.lower())
+        want = oracle(tuple(contents), raw)
+        assert got == want, (contents, raw)
