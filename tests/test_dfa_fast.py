@@ -183,3 +183,25 @@ def test_split_state_kgram_exact(rng, monkeypatch):
     assert bool(res.converged)
     assert int(res.total) == int(np.asarray(ser.counts).sum())
     assert int(res.final_state) == int(ser.final_state)
+
+
+def test_split_state_multi_stream_exact(rng, monkeypatch):
+    """Byte-split encoding through the multi-stream batch engine (forced on)
+    == per-stream serial scans."""
+    import jax.numpy as jnp
+    import regex_fpga_tpu.ops.dfa_fast as df
+    from regex_fpga_tpu.ops import dfa_scan_serial
+
+    monkeypatch.setattr(df, "split_states", lambda s: s > 256)
+    table, accept = random_dfa_table(rng, 333, 9)
+    dt = build_dfa_tables(table, accept)
+    streams = rng.integers(0, 256, size=(3, 1024)).astype(np.uint8)
+    classes = jnp.asarray(np.asarray(dt.class_of)[streams])
+    res = df.dfa_scan_fast_multi(dt, classes, num_blocks=8, emit="counts")
+    assert bool(res.converged) and bool(res.domain_ok)
+    for i in range(3):
+        ser = dfa_scan_serial(dt, jnp.asarray(streams[i]))
+        assert int(res.final_states[i]) == int(ser.final_state)
+        np.testing.assert_array_equal(
+            np.asarray(res.counts[i]), np.asarray(ser.counts)
+        )
