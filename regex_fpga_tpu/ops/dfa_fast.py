@@ -338,28 +338,33 @@ def dfa_scan_fast(
             cond, body, (seed_entries, jnp.array(False), jnp.array(1, jnp.int32))
         )
 
+    def _run_pass(pass_fn):
+        """Speculation-first execution of an output pass whose first result
+        is the per-lane finals: if the speculated entries verify, the pass
+        already ran from true entries; otherwise iterate the Jacobi
+        fixpoint and re-run the pass once from the converged entries."""
+        out0 = pass_fn(entries0)
+        spec_ok = jnp.all(_shift_entries(out0[0], start) == entries0)
+
+        def _spec(_):
+            return (*out0, jnp.array(True), jnp.array(1, jnp.int32))
+
+        def _jac(_):
+            entries, converged, iters = _jacobi_entries(
+                _shift_entries(out0[0], start)
+            )
+            return (*pass_fn(entries), converged, iters)
+
+        return jax.lax.cond(spec_ok, _spec, _jac, None)
+
+    s_dim = tables.num_states
     if emit == "counts":
         # per-state accept-visit counts accumulated ON DEVICE inside the
         # scan carry (no per-position arrays, no scatter/bincount — those
         # measured ~20x slower than the scan itself)
-        pass_counts = lambda e: chain_pass_counts(tables, cls_seq, e)
-        finals0, counts0 = pass_counts(entries0)
-        spec_ok = jnp.all(_shift_entries(finals0, start) == entries0)
-
-        def _speculated_c(_):
-            return finals0, counts0, jnp.array(True), jnp.array(1, jnp.int32)
-
-        def _jacobi_c(_):
-            entries, converged, iters = _jacobi_entries(
-                _shift_entries(finals0, start)
-            )
-            finals, counts = pass_counts(entries)
-            return finals, counts, converged, iters
-
-        finals, counts, converged, iters = jax.lax.cond(
-            spec_ok, _speculated_c, _jacobi_c, None
+        finals, counts, converged, iters = _run_pass(
+            lambda e: chain_pass_counts(tables, cls_seq, e)
         )
-        s_dim = tables.num_states
         return FastScanResult(
             final_state=finals[-1],
             match_mask=None,
@@ -379,22 +384,7 @@ def dfa_scan_fast(
             pass_mask = lambda e: (lambda f, s, a: (f, a))(*pass_full(e))
         else:
             pass_mask = lambda e: chain_pass_mask(tables, cls_seq, e)
-        finals0, acc0 = pass_mask(entries0)
-        spec_ok = jnp.all(_shift_entries(finals0, start) == entries0)
-
-        def _spec_m(_):
-            return finals0, acc0, jnp.array(True), jnp.array(1, jnp.int32)
-
-        def _jac_m(_):
-            entries, converged, iters = _jacobi_entries(
-                _shift_entries(finals0, start)
-            )
-            finals, acc = pass_mask(entries)
-            return finals, acc, converged, iters
-
-        finals, acc, converged, iters = jax.lax.cond(
-            spec_ok, _spec_m, _jac_m, None
-        )
+        finals, acc, converged, iters = _run_pass(pass_mask)
         return FastScanResult(
             final_state=finals[-1],
             match_mask=acc.T.reshape(-1),
@@ -402,28 +392,11 @@ def dfa_scan_fast(
             converged=converged,
             iterations=iters,
             domain_ok=jnp.logical_and(
-                table_domain_ok(tables),
-                _finals_domain_ok(finals, tables.num_states),
+                table_domain_ok(tables), _finals_domain_ok(finals, s_dim)
             ),
         )
 
-    finals0, states0, acc0 = pass_full(entries0)
-    spec_ok = jnp.all(_shift_entries(finals0, start) == entries0)
-
-    def _speculated(_):
-        return finals0, states0, acc0, jnp.array(True), jnp.array(1, jnp.int32)
-
-    def _jacobi(_):
-        entries, converged, iters = _jacobi_entries(
-            _shift_entries(finals0, start)
-        )
-        finals, states, acc = pass_full(entries)
-        return finals, states, acc, converged, iters
-
-    finals, states, acc, converged, iters = jax.lax.cond(
-        spec_ok, _speculated, _jacobi, None
-    )
-    s_dim = tables.num_states
+    finals, states, acc, converged, iters = _run_pass(pass_full)
     # (B, NB) -> stream order (NB, B) -> (L,)
     return FastScanResult(
         final_state=finals[-1],
