@@ -414,9 +414,10 @@ class DfaMatcher:
     def num_states(self) -> int:
         return self.tables.num_states
 
-    #: class-level default: subclasses that bypass ``__init__`` (e.g.
-    #: TokenizerMatcher) still get a working ``_make_match``
+    #: class-level defaults: subclasses that bypass ``__init__`` (e.g.
+    #: TokenizerMatcher) still get working ``_make_match`` / mask engines
     _capture_prog = None
+    _mask2 = None
 
     #: include a match whose accept state is entered by the very last byte.
     #: The reference timing drops it (SURVEY.md SS3.3 item 4: the harness
@@ -1161,13 +1162,11 @@ class TokenizerMatcher(DfaMatcher):
         stream = _as_streams(text)[0]
         if len(stream) == 0:
             return np.zeros(0, dtype=np.int64)
-        states, mask, _, _ = self._scan_stream(stream)
-        # final flag: accept of state after last byte
-        t = np.asarray(self.tables.table)
-        cls = np.asarray(self.tables.class_of)
-        final = int(t[cls[int(stream[-1])], states[-1]])
+        # mask-only scan (pair-mask engine when available): presplit needs
+        # just the accept bits + the state after the last byte
+        mask = self._scan_mask(stream)
         acc = np.asarray(self.tables.accept)
-        return boundaries_from_flags(mask, bool(acc[final]))
+        return boundaries_from_flags(mask, bool(acc[self._last_final]))
 
     def pieces(self, text: bytes) -> list[bytes]:
         starts = self.presplit(text).tolist()
