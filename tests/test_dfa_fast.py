@@ -205,3 +205,20 @@ def test_split_state_multi_stream_exact(rng, monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(res.counts[i]), np.asarray(ser.counts)
         )
+
+
+def test_mask_positions_unit(rng):
+    """Direct contract check of the device compaction kernel: positions ==
+    nonzero(mask), count == popcount, overflow drops silently (caller's
+    density cutoff handles it), empty and full masks behave."""
+    import jax.numpy as jnp
+    from regex_fpga_tpu.ops.dfa_fast import mask_positions
+
+    for n, p in ((1, 0.5), (256, 0.0), (256, 1.0), (1024, 0.03), (4096, 0.2)):
+        mask = rng.random(n) < p
+        cap = max(8, n // 2)
+        pos, count = mask_positions(jnp.asarray(mask), cap)
+        want = np.nonzero(mask)[0]
+        assert int(count) == len(want)
+        take = min(len(want), cap)
+        np.testing.assert_array_equal(np.asarray(pos)[:take], want[:take])
