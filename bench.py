@@ -290,11 +290,15 @@ def _measure(state: dict) -> None:
                     point["kgram"] = "composed-class blowup (> 16384)"
                 else:
                     point["kgram_classes_per_level"] = kgs.level_classes
-                    # MAC-optimal level: cost/byte ~ C_L * 2S / 2^L; the
-                    # optimum DECREASES as S grows (C_L growth catches up)
+                    # level chooser: padded-MXU-tile cost per byte —
+                    # (ceil(C_L/128) * ceil(2S/128) + 1 select) / 2^L.
+                    # This model reproduces the tokenizer's measured
+                    # optimum (L2 best, L3 worse) where raw MACs do not:
+                    # the MXU pads every op to 128x128 tiles
                     s_d = dts.num_states
                     costs = [
-                        kgs.level_classes[lv] * 2 * s_d / (1 << lv)
+                        (-(-kgs.level_classes[lv] // 128)
+                         * -(-2 * s_d // 128) + 1) / (1 << lv)
                         for lv in range(len(kgs.level_classes))
                     ]
                     best = int(np.argmin(costs[1:])) + 1
