@@ -123,6 +123,22 @@ def split_states(num_states: int) -> bool:
     )
 
 
+#: experimental: run the one-hot lookups as s8 x s8 -> s32 matmuls (the
+#: int8 MXU path executes at ~2x the bf16 MAC rate on v5e) whenever every
+#: table value fits int8.  Integer operands, integer accumulate — exact by
+#: construction.  Default OFF until measured on silicon
+#: (scripts/tpu_int8_probe.py); flip here once the probe shows a win.
+INT8_ONEHOT = False
+
+
+def use_int8(max_value: int) -> bool:
+    """True when the experimental int8 MXU path applies (see INT8_ONEHOT)."""
+    return (
+        INT8_ONEHOT and 0 <= max_value < 128
+        and jax.default_backend() == "tpu"
+    )
+
+
 def mm_precision(dtype):
     """Dot precision matching ``mm_dtype``'s exactness contract: f32
     tables need HIGHEST on TPU (see mm_dtype docstring); bf16 tables are
@@ -143,6 +159,8 @@ def _step_tables(tables: DfaTables):
         t = jnp.concatenate(
             [tables.table % 256, tables.table // 256], axis=1
         ).astype(jnp.bfloat16)
+    elif use_int8(s - 1):
+        t = tables.table.astype(jnp.int8)
     else:
         t = tables.table.astype(_mm_dtype(s))
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
@@ -170,8 +188,13 @@ def _finals_domain_ok(finals: jnp.ndarray, s: int) -> jnp.ndarray:
 
 def _mm_step(t_mm, iota_c, iota_s, state, cls_t):
     """One byte for NB chains: state (NB,), cls_t (NB,) -> next state (NB,).
-    ``t_mm`` is (C, S) plain or (C, 2S) byte-split (``_step_tables``)."""
+    ``t_mm`` is (C, S) plain (bf16/f32/int8) or (C, 2S) byte-split
+    (``_step_tables``)."""
     oh_c = (cls_t[:, None] == iota_c).astype(t_mm.dtype)
+    if t_mm.dtype == jnp.int8:  # s8 x s8 -> s32 MXU path (use_int8)
+        rows = jnp.dot(oh_c, t_mm, preferred_element_type=jnp.int32)
+        oh_xi = (state[:, None] == iota_s).astype(jnp.int32)
+        return jnp.sum(rows * oh_xi, axis=-1)
     rows = jnp.dot(
         oh_c, t_mm,
         preferred_element_type=jnp.float32,

@@ -254,7 +254,7 @@ def make_kgram_step(
     tables are used instead: their entries (state ids and per-step accept
     counts) stay individually small, or ride f32 with HIGHEST precision.
     """
-    from .dfa_fast import mm_dtype, mm_precision, split_states
+    from .dfa_fast import mm_dtype, mm_precision, split_states, use_int8
 
     c, s = table.shape
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
@@ -291,8 +291,20 @@ def make_kgram_step(
             mult = 0  # beyond the exact range: use the split tables
     if mult:
         packed_max = (s - 1) * mult + acc_bound
+        pk_i = table * mult + acc_table  # (C, S)
+        if use_int8(packed_max):  # experimental s8 MXU path (dfa_fast)
+            pk8 = pk_i.astype(jnp.int8)
+
+            def step(state, cls_t):
+                oh_c = (cls_t[:, None] == iota_c).astype(jnp.int8)
+                rows = jnp.dot(oh_c, pk8, preferred_element_type=jnp.int32)
+                oh_x = (state[:, None] == iota_s).astype(jnp.int32)
+                v = jnp.sum(rows * oh_x, axis=-1)
+                return v // mult, v % mult
+
+            return step
         mmdt = mm_dtype(packed_max)
-        pk = (table * mult + acc_table).astype(mmdt)  # (C, S)
+        pk = pk_i.astype(mmdt)
 
         def step(state, cls_t):
             oh_c = (cls_t[:, None] == iota_c).astype(mmdt)
@@ -304,8 +316,21 @@ def make_kgram_step(
     else:
         # exactness rule shared with the other engines; accept counts per
         # step are bounded by k (build_kgram caps levels well below 256)
+        ta_i = jnp.concatenate([table, acc_table], axis=1)
+        if acc_bound is not None and use_int8(max(s - 1, acc_bound)):
+            ta8 = ta_i.astype(jnp.int8)
+
+            def step(state, cls_t):
+                oh_c = (cls_t[:, None] == iota_c).astype(jnp.int8)
+                rows = jnp.dot(oh_c, ta8, preferred_element_type=jnp.int32)
+                oh_x = (state[:, None] == iota_s).astype(jnp.int32)
+                nxt = jnp.sum(rows[:, :s] * oh_x, axis=-1)
+                acc = jnp.sum(rows[:, s:] * oh_x, axis=-1)
+                return nxt, acc
+
+            return step
         mmdt = mm_dtype(s)
-        ta = jnp.concatenate([table, acc_table], axis=1).astype(mmdt)
+        ta = ta_i.astype(mmdt)
 
         def step(state, cls_t):
             oh_c = (cls_t[:, None] == iota_c).astype(mmdt)
@@ -394,7 +419,9 @@ def dfa_scan_mask2(
     blocks = classes2.astype(jnp.int32).reshape(num_blocks, b)
     cls_seq = blocks.T  # (B, NB)
     start = jnp.asarray(start, jnp.int32)
-    step = make_kgram_step(table, mask_table)
+    # mask values are <= 3, so acc_bound=3 lets the step PACK state and
+    # mask into one select (make_kgram_step's mult path) when S is small
+    step = make_kgram_step(table, mask_table, acc_bound=3)
     entries0 = _speculative_entries(blocks, step, start, overlap)
 
     def pass_mask(entries):

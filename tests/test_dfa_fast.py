@@ -222,3 +222,47 @@ def test_mask_positions_unit(rng):
         assert int(count) == len(want)
         take = min(len(want), cap)
         np.testing.assert_array_equal(np.asarray(pos)[:take], want[:take])
+
+
+def test_int8_onehot_path_exact(rng, monkeypatch):
+    """Experimental int8 MXU path (forced on) == serial scan, for the fast
+    engine, k-gram counting, and the pair-mask engine."""
+    import jax.numpy as jnp
+    import regex_fpga_tpu.ops.dfa_fast as df
+    from regex_fpga_tpu.ops import dfa_scan_serial
+    from regex_fpga_tpu.ops.kgram import (
+        build_kgram, build_mask2, dfa_scan_kgram, dfa_scan_mask2,
+        map_kgram_classes,
+    )
+
+    monkeypatch.setattr(df, "use_int8", lambda v: 0 <= v < 128)
+    table, accept = random_dfa_table(rng, 90, 7)
+    table = table[np.arange(256) % 6]
+    dt = build_dfa_tables(table, accept)
+    stream = rng.integers(0, 256, size=16 * 128).astype(np.uint8)
+    classes = jnp.asarray(np.asarray(dt.class_of)[stream])
+    ser = dfa_scan_serial(dt, jnp.asarray(stream))
+
+    res = df.dfa_scan_fast(dt, classes, num_blocks=16)
+    assert int(res.final_state) == int(ser.final_state)
+    np.testing.assert_array_equal(
+        np.asarray(res.match_mask), np.asarray(ser.match_mask)
+    )
+
+    kg = build_kgram(dt, levels=1, max_classes=1 << 14)
+    ck = map_kgram_classes(kg, stream)
+    rk = dfa_scan_kgram(
+        jnp.asarray(kg.table), jnp.asarray(kg.acc_table), jnp.asarray(ck),
+        num_blocks=16, acc_bound=kg.k,
+    )
+    assert int(rk.total) == int(np.asarray(ser.counts).sum())
+
+    m2 = build_mask2(dt, max_classes=1 << 14)
+    cm = map_kgram_classes(m2, stream)
+    rm = dfa_scan_mask2(
+        jnp.asarray(m2.table), jnp.asarray(m2.acc_table), jnp.asarray(cm),
+        num_blocks=16,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rm.match_mask), np.asarray(ser.match_mask)
+    )
