@@ -126,8 +126,13 @@ def split_states(num_states: int) -> bool:
 #: experimental: run the one-hot lookups as s8 x s8 -> s32 matmuls (the
 #: int8 MXU path executes at ~2x the bf16 MAC rate on v5e) whenever every
 #: table value fits int8.  Integer operands, integer accumulate — exact by
-#: construction.  Default OFF until measured on silicon
-#: (scripts/tpu_int8_probe.py); flip here once the probe shows a win.
+#: construction.  MEASURED on v5e (scripts/tpu_int8_probe.py, 2026-08-20,
+#: tokenizer k-gram C=221 S=23, 64 MiB, nb=16384): bf16 2.27 GB/s vs int8
+#: 2.24 GB/s vs mixed 2.02 GB/s, all exact — NO win.  At these shapes the
+#: one-hot GEMMs pad to a handful of 128x128 tiles and the chain step is
+#: op-issue-bound, not MAC-rate-bound, so doubling the MAC rate does not
+#: move the bottleneck.  Kept OFF; the code path stays for future chips /
+#: larger C*S where the MXU actually saturates.
 INT8_ONEHOT = False
 
 
