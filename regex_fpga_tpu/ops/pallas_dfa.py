@@ -38,13 +38,40 @@ Roofline model (v5e, ~98.5 T bf16 MAC/s): every step issues 2 MXU ops that
 pad to (TILE, 128) @ (128, 128) regardless of the real C/S (row lookup +
 select-reduce; emit mode adds the accept column dot), i.e. ~32.8 K padded
 MACs per byte -> ~3.0 GB/s pad-limited ceiling for the k=1 chain on ANY
-lane count.  XLA's 65536-lane plan measures 2.07-2.15 GB/s full output
-(~70% of that ceiling); the per-step MAC count is lane-width-independent,
-so the Pallas kernel's deficit is per-op overhead (fori_loop + roll + issue
-latency) amortized over TILE lanes — the r3 uint8 window buffers and packed
-staging exist to push TILE toward the XLA plan's width within the ~16 MB
-VMEM budget.  (The 6+ GB/s headline lives in the k-gram engine, which packs
+lane count.  (The 6+ GB/s headline lives in the k-gram engine, which packs
 4 bytes into the same padded step — ops/kgram.py.)
+
+MEASURED VERDICT (r2 item 7 closure; v5e, 64 MiB tokenizer stream,
+2026-08-20, scripts/tpu_pallas_sweep{,2}.py + tpu_xla_anchor.py, all
+medians of 3 with spread <6%):
+
+    lanes   XLA-jit finals/full   Pallas finals/full
+    2048         0.75 / 0.46          1.00 / 0.68    GB/s
+    4096              -               0.92 / compile-fail
+    8192         1.96 / 1.16          compile-fail
+    65536        1.42 / 1.22               -
+
+* At MATCHED lane counts the explicit-DMA Pallas kernel BEATS the XLA
+  plan by 1.3-1.5x (VMEM-resident chain state + fused window pipeline vs
+  XLA's per-step HBM round trips).  The r2 hypothesis "widening lanes
+  closes the gap" is REFUTED: uint8 windows + packed staging let tile
+  4096 compile and it runs SLOWER than 2048 (0.92 vs 1.00) — lane-width
+  amortization is exhausted by ~2048 and the kernel is bound by the
+  serial per-step dependency chain (VPU compare/select traffic ~2.5 KB
+  VMEM per byte + back-to-back dependent MXU issues), not by VMEM
+  capacity.
+* XLA's overall win comes ONLY from plan widths Mosaic cannot reach:
+  finals at tile>=8192 and emit mode at tile>=4096 fail the remote
+  compile (tpu_compile_helper exit 1 — Mosaic program size), and XLA's
+  own sweet spot is 8192 lanes (1.96 GB/s finals, 65% of the padded
+  ceiling), where it overlaps steps across lanes through HBM at a depth
+  an explicit VMEM-resident pipeline cannot express in this program
+  shape.
+* Conclusion: the XLA plan is unreachable from explicit-DMA Pallas for
+  the k=1 chain on this chip — kept as the measured design point; the
+  production fast path stays on XLA (dfa_scan_fast), and Pallas remains
+  the right tool where it wins (matched-width fixpoint inner passes,
+  k-gram window kernels).
 """
 
 from __future__ import annotations
