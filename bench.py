@@ -520,6 +520,15 @@ def _measure(state: dict) -> None:
                 round(walker["bytes_per_sec"] / 37e3, 1) if walker else None
             ),
             "device": str(dev),
+            # the tunneled chip's absolute rate swings ACROSS DAYS with the
+            # code held constant: 2026-08-20 A/B re-ran the r2-tagged
+            # commit (5aa5169) and HEAD back-to-back on the same chip —
+            # kgram 2.37 vs 2.36 GB/s, full 1.30 vs 1.32 — i.e. identical,
+            # while BENCH_r02 recorded 6.16/2.07 on the same code path.
+            # Compare rounds via same-day A/Bs, not across artifacts.
+            "rig_note": "shared/tunneled v5e: absolute rates vary "
+                        "day-to-day (measured 2.6x swing, code held "
+                        "constant via r2-commit A/B on 2026-08-20)",
         },
     }
     state["json"] = json.dumps(out)
