@@ -290,18 +290,14 @@ def _measure(state: dict) -> None:
                     point["kgram"] = "composed-class blowup (> 16384)"
                 else:
                     point["kgram_classes_per_level"] = kgs.level_classes
-                    # level chooser: padded-MXU-tile cost per byte —
-                    # (ceil(C_L/128) * ceil(2S/128) + 1 select) / 2^L.
-                    # This model reproduces the tokenizer's measured
-                    # optimum (L2 best, L3 worse) where raw MACs do not:
-                    # the MXU pads every op to 128x128 tiles
-                    s_d = dts.num_states
-                    costs = [
-                        (-(-kgs.level_classes[lv] // 128)
-                         * -(-2 * s_d // 128) + 1) / (1 << lv)
-                        for lv in range(len(kgs.level_classes))
-                    ]
-                    best = int(np.argmin(costs[1:])) + 1
+                    # level chooser: padded-MXU-tile cost per byte with
+                    # the per-route table widths (packed S / unpacked 2S /
+                    # byte-split 3S) — shared with the API layer
+                    from regex_fpga_tpu.ops.kgram import choose_kgram_level
+
+                    best = choose_kgram_level(
+                        dts.num_states, kgs.level_classes
+                    )
                     if best != 2:
                         kgs = build_kgram(dts, levels=best,
                                           max_classes=1 << 14)

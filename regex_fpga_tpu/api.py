@@ -498,10 +498,24 @@ class DfaMatcher:
         return max(nb, 1)
 
     def _kgram(self):
-        """Cached k-gram tables (4 bytes/engine step), or None on blowup."""
+        """Cached k-gram tables (4 bytes/engine step), or None when the
+        k=1 counts engine is the faster choice.
+
+        Engine crossover (measured, v5e size sweep 2026-08-20, BENCH_r03
+        size_sweep): k-gram counting beats k=1 counts 1.1-2.6x up to
+        S~107 (the win is largest when the packed single-select applies,
+        S <= 32 for k=4) but LOSES above — 0.36 vs 0.48 GB/s @ S=213,
+        0.21 vs 0.27 @ S=440, 0.06 vs 0.16 @ S=836 — because the unpacked
+        (C_k, 2S) / byte-split (C_k, 3S) tables pad to multiples of 128
+        MXU lanes per level while C_k grows with composition.  The
+        crossover sits at the first extra S tile, so k-gram is used only
+        for S <= 128."""
         if not hasattr(self, "_kgram_cache"):
             from .ops.kgram import build_kgram
 
+            if self.tables.num_states > 128:
+                self._kgram_cache = None
+                return None
             kg = build_kgram(self.tables, levels=2)
             if kg is None:
                 self._kgram_cache = None

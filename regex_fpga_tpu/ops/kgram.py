@@ -40,7 +40,53 @@ __all__ = [
     "kgram_pass_full",
     "dfa_scan_kgram",
     "dfa_scan_mask2",
+    "kgram_step_cost",
+    "choose_kgram_level",
 ]
+
+
+def kgram_step_cost(s: int, c_l: int, lv: int) -> float:
+    """Padded-MXU-tile cost per BYTE of one engine step at level ``lv``.
+
+    Models what ``make_kgram_step`` actually emits: every MXU op pads to
+    128x128 tiles, so cost/step = ceil(C_l/128) * ceil(W/128) + selects,
+    where the table width W and select count depend on the route —
+    byte-split (S > 256) rides a 3S-wide GEMM, the packed single-select
+    route (``(S-1)*mult + k <= 256``) an S-wide one, and the unpacked
+    route a 2S-wide GEMM with two selects.  Level 0 is the k=1 counts
+    engine (2S-wide when split, else S-wide, one select).  Divided by
+    k = 2^lv bytes per step.
+
+    The model picks the right LEVEL within the k-gram engine; the
+    engine-vs-engine choice (k-gram vs k=1) additionally shifts with
+    unmodeled per-step costs (int16 class-stream gathers, prescan), so
+    ``api.DfaMatcher._kgram`` uses the MEASURED S <= 128 crossover
+    (BENCH_r03 size_sweep) rather than comparing cost(0) to cost(best).
+    """
+    k = 1 << lv
+    split = 256 < s <= (1 << 16)
+    if lv == 0:
+        width, selects = (2 * s if split else s), 1
+    elif split:
+        width, selects = 3 * s, 3
+    else:
+        mult = 1
+        while mult <= k:
+            mult *= 2
+        if (s - 1) * mult + k <= 256:
+            width, selects = s, 1
+        else:
+            width, selects = 2 * s, 2
+    tiles = -(-c_l // 128) * -(-width // 128) + selects
+    return tiles / k
+
+
+def choose_kgram_level(s: int, level_classes: list[int]) -> int:
+    """Cheapest level >= 1 under ``kgram_step_cost`` (bench + callers that
+    already committed to the k-gram engine)."""
+    costs = [kgram_step_cost(s, c_l, lv)
+             for lv, c_l in enumerate(level_classes)]
+    return int(np.argmin(costs[1:])) + 1
 
 
 @dataclasses.dataclass(frozen=True)

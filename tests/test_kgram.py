@@ -174,3 +174,39 @@ def test_mask2_random_dfa_and_jacobi_fallback(rng):
     np.testing.assert_array_equal(
         np.asarray(pres.match_mask), np.asarray(pser.match_mask)
     )
+
+
+def test_step_cost_routes_and_level_choice():
+    """kgram_step_cost models the per-route table widths; the level chooser
+    reproduces the measured optima (tokenizer L2; S=836-style split L1)."""
+    from regex_fpga_tpu.ops.kgram import choose_kgram_level, kgram_step_cost
+
+    # packed route (S=23, k=4: (22*8+4)=180 <= 256): S-wide, one select
+    assert kgram_step_cost(23, 221, 2) == (2 * 1 + 1) / 4
+    # unpacked route (S=213, k=4: 212*8+4 > 256): 2S-wide, two selects
+    assert kgram_step_cost(213, 335, 2) == (3 * 4 + 2) / 4
+    # byte-split route (S=836 > 256): 3S-wide, three selects
+    assert kgram_step_cost(836, 175, 1) == (2 * 20 + 3) / 2
+    # level 0 = the k=1 counts engine
+    assert kgram_step_cost(836, 36, 0) == 1 * 14 + 1
+    assert kgram_step_cost(23, 10, 0) == 1 * 1 + 1
+
+    # tokenizer (measured optimum L2: BENCH_r02/r03)
+    assert choose_kgram_level(23, [10, 41, 221]) == 2
+    # S=836 AC automaton (split: composed classes can't pay 6x20 tiles)
+    assert choose_kgram_level(836, [36, 175, 753]) == 1
+
+
+def test_count_falls_back_to_k1_above_crossover():
+    """DfaMatcher.count must use the k=1 counts engine for S > 128 (the
+    measured engine crossover) and still equal scan().total."""
+    from regex_fpga_tpu import api
+    from regex_fpga_tpu.models import build_aho_corasick
+
+    words = [b"error%04d" % i for i in range(40)]
+    words += [b"w%darn" % i for i in range(40)] + [b"GET /x"]
+    m = api.compile_literals(words)
+    assert m.num_states > 128, "fixture must sit above the crossover"
+    assert m._kgram() is None
+    data = (b"xerror0031yerror0007 GET /x warn " * 97)[:2048]
+    assert m.count(data) == m.scan([np.frombuffer(data, np.uint8)]).total
