@@ -235,14 +235,21 @@ def cmd_corpus(args) -> int:
     # finish the non-aligned tail (and count the reference-timing EOF drop
     # exactly) with the serial engine from the carried state
     total = int(carry["counts"][0])
+    final = int(carry["states"][0])
     if main_len < size:
         from .ops import dfa_scan_serial
         import jax.numpy as jnp
 
         tail = np.fromfile(args.file, dtype=np.uint8, offset=main_len)
         ser = dfa_scan_serial(m.tables, jnp.asarray(tail),
-                              start=int(carry["states"][0]))
+                              start=final)
         total += int(np.asarray(ser.counts).sum())
+        final = int(np.asarray(ser.final_state))
+    # a match completed by the file's very last byte is only visible via
+    # the EOF accept of the final state (same rule as DfaMatcher.scan /
+    # grep -c; the reference harness drops it, a general API reports it)
+    if size and m.include_final_match and bool(m._accept_eof[final]):
+        total += 1
     wall = time.perf_counter() - t0
     print(json.dumps({
         "file": args.file, "bytes": size, "matches": total,

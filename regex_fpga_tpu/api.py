@@ -629,10 +629,16 @@ class DfaMatcher:
         """Lazy pair-composed mask tables (``ops.kgram.build_mask2``): the
         backward/mask scans run 2 bytes per step with per-position accept
         bits preserved.  False when the pair classes blow up (engine falls
-        back to the k=1 mask scan)."""
+        back to the k=1 mask scan) or above the engine crossover — the
+        same measured S > 128 cutoff as ``_kgram`` (pair tables share the
+        k-gram cost shape: wider padded tables + composed classes lose to
+        the k=1 engine past the first extra 128-lane S tile)."""
         if self._mask2 is None:
             from .ops.kgram import build_mask2
 
+            if self.tables.num_states > 128:
+                self._mask2 = False
+                return False
             m2 = build_mask2(self.tables)
             self._mask2 = (
                 (m2, jnp.asarray(m2.table), jnp.asarray(m2.acc_table))
@@ -640,15 +646,17 @@ class DfaMatcher:
             )
         return self._mask2
 
-    def _mask_chunk_device(self, chunk_cls: np.ndarray, raw_chunk, cur: int):
+    def _mask_chunk_device(self, raw_chunk, cur: int):
         """One chunk's (match_mask device/host array, final_state, converged)
         via the fastest applicable engine: the 2-byte mask2 scan when its
         tables exist and the chunk is even-length, else the k=1 mask scan.
+        Byte classes are mapped lazily — the mask2 path maps raw bytes to
+        pair classes itself, so the k=1 class LUT pass is skipped there.
         Non-convergence falls back to the exact path (host mask)."""
         from .ops.kgram import dfa_scan_mask2, map_kgram_classes
 
         m2 = self._ensure_mask2()
-        n = len(chunk_cls)
+        n = len(raw_chunk)
         if m2 is not False and n >= 2 and n % 2 == 0:
             kg2, tj, mj = m2
             ck = map_kgram_classes(kg2, np.asarray(raw_chunk))
@@ -657,8 +665,17 @@ class DfaMatcher:
                 tj, mj, jnp.asarray(ck), num_blocks=nb, start=cur,
                 max_iters=self.config.max_iters,
             )
+            fs = int(res.final_state)
+            if not 0 <= fs < self.num_states:
+                # SS5.2 guard parity with the k=1 path's domain_ok: a
+                # corrupt/inexact table must raise, not seed the next chunk
+                raise RuntimeError(
+                    "device mask2 pass produced an out-of-domain state id "
+                    "(SURVEY.md SS5.2 guard)"
+                )
             if bool(res.converged):
-                return res.match_mask, int(res.final_state), True
+                return res.match_mask, fs, True
+        chunk_cls = self._class_lut[raw_chunk]
         nb = self._pick_blocks(n)
         res = dfa_scan_fast(
             self.tables, jnp.asarray(chunk_cls), num_blocks=nb,
@@ -688,15 +705,12 @@ class DfaMatcher:
         from .ops.dfa_fast import mask_positions
 
         start = self.start if start is None else start
-        classes = self._class_lut[stream]
         out = [np.empty(0, np.int64)]
         off, cur = 0, start
         cb = self.config.chunk_bytes
         while off < len(stream):
-            chunk = classes[off : off + cb]
-            mask_dev, cur_next, dev_ok = self._mask_chunk_device(
-                chunk, stream[off : off + cb], cur
-            )
+            chunk = stream[off : off + cb]
+            mask_dev, cur_next, dev_ok = self._mask_chunk_device(chunk, cur)
             if not dev_ok:  # exact fallback already host-side
                 pos = np.nonzero(mask_dev)[0]
             else:
@@ -1910,20 +1924,24 @@ class SnortMatcher:
                     return False
                 # a negated content matches "nothing": cursor stays put
                 return ok_from(ci + 1, prev_end)
-            at = hay.find(needle, start)
+            # bound the search by end_limit so find() never scans past the
+            # window: an occurrence must END by end_limit, which is exactly
+            # bytes.find's slice-end semantics.  Without the bound, each
+            # backtracking retry of an earlier content re-scans to payload
+            # end (measured quadratic again: 4 s on a 160 KB crafted
+            # b"A"*n + b"BB" packet against `content:"AA"; content:"BB";
+            # within:4;`)
+            bound = n if end_limit is None else min(end_limit, n)
+            at = hay.find(needle, start, bound)
             if not later_relative[ci + 1]:
                 # greedy: earliest occurrence is optimal (see docstring)
-                if at == -1 or (
-                    end_limit is not None and at + len(needle) > end_limit
-                ):
+                if at == -1:
                     return False
                 return ok_from(ci + 1, at + len(needle))
             while at != -1:
-                if end_limit is not None and at + len(needle) > end_limit:
-                    return False  # later occurrences only end later
                 if ok_from(ci + 1, at + len(needle)):
                     return True
-                at = hay.find(needle, at + 1)
+                at = hay.find(needle, at + 1, bound)
             return False
 
         return ok_from(0, 0)

@@ -117,11 +117,11 @@ def _intern_rows(both: np.ndarray, max_classes: int):
         j = seen.get(key)
         if j is None:
             j = len(seen)
+            if j >= max_classes:  # blowup: bail before hashing the rest
+                return None
             seen[key] = j
             keep.append(i)
         remap[i] = j
-    if len(seen) > max_classes:
-        return None
     return both[keep], remap
 
 
@@ -137,7 +137,9 @@ def build_kgram(
     level_classes = [t.shape[0]]
     for _ in range(levels):
         c, s = t.shape
-        if c * c > (1 << 22):
+        # same transient-allocation gate as build_mask2: ~4 * C^2 * S
+        # int32 materialize per level before interning can reject
+        if c * c > (1 << 22) or c * c * s > (1 << 26):
             return None
         t2 = t[:, t]                       # [c2, c1, s] = t[c2, t[c1, s]]
         t2 = t2.transpose(1, 0, 2)         # [c1, c2, s]
@@ -183,7 +185,10 @@ def build_mask2(
     t = np.asarray(tables.table).astype(np.int32)       # (C, S)
     a = np.asarray(tables.accept).astype(np.int32)      # (S,)
     c, s = t.shape
-    if c * c > (1 << 22):
+    # gate the TRANSIENT host allocation, not just the class count: t2/m2
+    # and their concatenation materialize ~3 * C^2 * S int32 before the
+    # interning can reject — 2^26 elements caps that at ~1 GB
+    if c * c > (1 << 22) or c * c * s > (1 << 26):
         return None
     t2 = t[:, t].transpose(1, 0, 2).reshape(c * c, s)   # [(c1,c2), s]
     # mask bits depend only on (c1, s): bit0 = accept at the pair's first

@@ -262,3 +262,24 @@ def test_cli_corpus_host_pattern_refused(capsys, tmp_path):
     f = tmp_path / "x.bin"
     f.write_bytes(b"data")
     assert cli_main(["corpus", r"\bword\b", str(f)]) == 2
+
+
+def test_cli_corpus_counts_eof_match(tmp_path, capsys):
+    """A match completed by the file's last byte must be counted (same
+    include_final_match rule as grep -c; review r3-2 found corpus dropped
+    it on both the dist path and the serial tail)."""
+    import json
+
+    from regex_fpga_tpu.__main__ import main as cli_main
+    from regex_fpga_tpu import api
+
+    data = b"x" * 4099 + b"price 12.5"
+    f = tmp_path / "eof.bin"
+    f.write_bytes(data)
+    rc = cli_main(["corpus", r"[0-9]+\.[0-9]+", str(f), "--chunk-mb", "1"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    m = api.compile_regex(rb"[0-9]+\.[0-9]+")
+    n = m.count(data)
+    assert n > 0  # only visible via the EOF accept of the final state
+    assert out["matches"] == n

@@ -210,3 +210,23 @@ def test_count_falls_back_to_k1_above_crossover():
     assert m._kgram() is None
     data = (b"xerror0031yerror0007 GET /x warn " * 97)[:2048]
     assert m.count(data) == m.scan([np.frombuffer(data, np.uint8)]).total
+
+
+def test_mask2_gated_above_crossover_spans_still_exact():
+    """_ensure_mask2 must not build pair tables above the S~128 crossover
+    (review r3-2: O(C^2*S) transient allocation); span extraction falls
+    back to the k=1 mask engine and stays exact."""
+    from regex_fpga_tpu import api
+
+    words = [b"error%04d" % i for i in range(40)] + [b"w%darn" % i
+                                                    for i in range(40)]
+    m = api.compile_literals(words)
+    assert m.num_states > 128
+    assert m._ensure_mask2() is False
+    data = b"..error0007..w3arn..error0031.."
+    spans = m.finditer(data)
+    got = {(s, e) for s, e, _ in spans} if spans and len(spans[0]) == 3 \
+        else {tuple(sp[:2]) for sp in spans}
+    for w in (b"error0007", b"w3arn", b"error0031"):
+        i = data.find(w)
+        assert (i, i + len(w)) in got

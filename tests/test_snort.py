@@ -445,3 +445,21 @@ def test_verify_fuzz_vs_bruteforce_oracle():
         got = m._verify(0, raw, raw.lower())
         want = oracle(tuple(contents), raw)
         assert got == want, (contents, raw)
+
+
+def test_verify_linear_with_window_backtracking():
+    """The within-window backtracking path must also be linear: each retry's
+    find() is bounded by the window end (review r3-2: unbounded find measured
+    4 s / O(n^2) on a 160 KB b'A'*n + b'BB' packet)."""
+    import time
+
+    m = compile_snort(
+        'alert tcp any any -> any any (msg:"w"; content:"AA"; '
+        'content:"BB"; within:4; sid:3;)'
+    )
+    payload = b"A" * 320_000 + b"CCCCBB"  # BB ends past every AA window
+    t0 = time.perf_counter()
+    assert m.scan(payload).sids() == []  # no AA has BB within its window
+    assert time.perf_counter() - t0 < 2.5  # quadratic measured ~16 s here
+    # window satisfied at the very end still alerts
+    assert m.scan(b"A" * 1000 + b"AABB").sids() == [3]
