@@ -52,6 +52,7 @@ __all__ = [
     "compile_ruleset",
     "compile_regex",
     "HostRegexMatcher",
+    "HostBacktrackMatcher",
     "compile_regex_set",
     "compile_regex_set_prefiltered",
     "PrefilteredRuleSet",
@@ -1396,6 +1397,86 @@ class HostRegexMatcher(DfaMatcher):
         return None
 
 
+class HostBacktrackMatcher(HostRegexMatcher):
+    """Matcher for patterns with backreferences or lookaround.
+
+    Neither is expressible in the device engines (backrefs are not a
+    regular language; lookaround consults bytes past the position) NOR in
+    the tagged Pike VM, whose thread merge assumes the future depends only
+    on (state, position).  These patterns run the host backtracking engine
+    (``models/backtrack.py``) with end-to-end Python ``re`` semantics:
+    leftmost-FIRST spans, greedy/lazy backtracking order, fixed-width
+    lookbehind, capture persistence out of positive lookahead.  The
+    device-throughput APIs raise, same contract as ``HostRegexMatcher``."""
+
+    def __init__(self, pattern: str | bytes,
+                 config: EngineConfig = DEFAULT_CONFIG):
+        from .models.backtrack import BacktrackProgram
+        from .models.regex import parse_pattern
+
+        dummy = CompiledDfa(
+            table=np.ones((256, 2), dtype=np.int32),
+            accept=np.zeros(2, dtype=bool), start=0, dead=1,
+        )
+        DfaMatcher.__init__(self, dummy, config)
+        self._bt = BacktrackProgram(parse_pattern(pattern))
+        self._pattern_src = pattern
+        self._finditer_source = (pattern, 0, config)
+        self._envelope = None   # no device prefilter (see _ensure_envelope)
+        self._capture_prog = False  # groups come from the engine itself
+
+    @property
+    def num_groups(self) -> int:
+        return self._bt.num_groups
+
+    def _make_match(self, raw: bytes, a: int, b: int) -> "Match":
+        m = self._bt.match_at(raw, a)
+        if m is None or m[0] != b:  # defensive: engine is deterministic
+            return Match(raw, a, b)
+        _, groups, lastindex = m
+        return Match(raw, a, b, groups[1:], self._bt.group_names, lastindex)
+
+    def finditer(self, data, limit: int | None = None) -> list[tuple[int, int]]:
+        raw = bytes(_as_streams(data)[0])
+        spans: list[tuple[int, int]] = []
+        pos, n = 0, len(raw)
+        while pos <= n:
+            m = self._bt.search_spans(raw, pos)
+            if m is None:
+                break
+            s, e = m[0], m[1]
+            spans.append((s, e))
+            if limit is not None and len(spans) >= limit:
+                break
+            pos = e + 1 if e == s else e
+            if self._bt.pp.start_anchored:
+                break
+        return spans
+
+    def finditer_arrays(self, data) -> np.ndarray:
+        return np.asarray(self.finditer(data), dtype=np.int64).reshape(-1, 2)
+
+    def match(self, data) -> "Match | None":
+        raw = bytes(_as_streams(data)[0])
+        m = self._bt.match_at(raw, 0)
+        if m is None:
+            return None
+        end, groups, lastindex = m
+        return Match(raw, 0, end, groups[1:], self._bt.group_names, lastindex)
+
+    def fullmatch(self, data) -> "Match | None":
+        raw = bytes(_as_streams(data)[0])
+        m = self._bt.match_at(raw, 0, full=True)
+        if m is None:
+            return None
+        end, groups, lastindex = m
+        return Match(raw, 0, end, groups[1:], self._bt.group_names, lastindex)
+
+    def _anchored_longest_end(self, stream, s0: int) -> int:
+        m = self._bt.match_at(bytes(stream), s0)
+        return -1 if m is None else m[0]
+
+
 def compile_regex(pattern: str | bytes, anchored: bool = False,
                   max_states: int = 100_000,
                   config: EngineConfig = DEFAULT_CONFIG) -> DfaMatcher:
@@ -1405,10 +1486,17 @@ def compile_regex(pattern: str | bytes, anchored: bool = False,
     spans) via a reversed-pattern backward scan.  Patterns with ``\\b``/
     ``\\B``, ``(?m)`` anchors, or non-greedy quantifiers return a
     ``HostRegexMatcher`` (host Pike VM: POSIX-longest spans for assertions,
-    leftmost-first for lazy quantifiers — Python ``re`` semantics)."""
-    from .models.regex import contains_bound, contains_lazy, parse_pattern
+    leftmost-first for lazy quantifiers — Python ``re`` semantics);
+    patterns with backreferences or lookaround return a
+    ``HostBacktrackMatcher`` (host backtracking engine, Python ``re``
+    semantics end to end)."""
+    from .models.regex import (
+        contains_backtrack, contains_bound, contains_lazy, parse_pattern,
+    )
 
     node = parse_pattern(pattern).node
+    if contains_backtrack(node):
+        return HostBacktrackMatcher(pattern, config)
     if contains_bound(node) or contains_lazy(node):
         return HostRegexMatcher(pattern, config)
     dfa = compile_pattern(pattern, max_states=max_states, anchored=anchored)

@@ -40,7 +40,10 @@ __all__ = [
     "ParsedPattern",
     "Group",
     "Bound",
+    "Backref",
+    "Look",
     "contains_bound",
+    "contains_backtrack",
     "strip_assertions",
     "nullable",
     "compile_nfa",
@@ -137,6 +140,33 @@ class Group:
     node: object
     index: int  # 1-based, textual order of '('
     name: str | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Backref:
+    """Backreference ``\\1``-``\\9`` / ``(?P=name)`` — matches the exact
+    bytes its group captured.  Not a regular language (classically: the
+    copy language), so patterns containing one route to the host
+    backtracking engine (``models/backtrack.py``,
+    ``api.HostBacktrackMatcher``) with Python ``re`` leftmost-first
+    semantics; the DFA/NFA compilers refuse the node."""
+
+    index: int
+    name: str | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Look:
+    """Zero-width lookaround ``(?=...)``/``(?!...)``/``(?<=...)``/
+    ``(?<!...)``.  Lookbehind requires a fixed-width sub-pattern (same
+    rule as Python ``re``; validated at matcher build).  Like ``Backref``,
+    routes the pattern to the host backtracking engine — a streaming DFA's
+    accept is a pure function of the state at a position and cannot
+    consult bytes past it (same argument as ``Bound``)."""
+
+    node: object
+    behind: bool
+    negate: bool
 
 
 def _casefold(chars: frozenset) -> frozenset:
@@ -270,12 +300,34 @@ class _Parser:
                     self.ngroups += 1
                     capture = self.ngroups
                     self.group_names[name] = capture
+                elif (self.p[self.i : self.i + 2] in (b"?=", b"?!")
+                      or self.p[self.i : self.i + 3] in (b"?<=", b"?<!")):
+                    behind = self.p[self.i + 1 : self.i + 2] == b"<"
+                    off = 3 if behind else 2
+                    negate = self.p[self.i + off - 1] == ord("!")
+                    self.i += off
+                    sub = self.parse_alt()
+                    if self.peek() != ord(")"):
+                        raise self.error("unbalanced (")
+                    self.eat()
+                    return Look(sub, behind, negate)
+                elif self.p[self.i : self.i + 3] == b"?P=":
+                    self.i += 3
+                    j = self.p.find(b")", self.i)
+                    if j < 0:
+                        raise self.error("unterminated (?P=name)")
+                    name = self.p[self.i : j].decode("ascii", "replace")
+                    if name not in self.group_names:
+                        raise self.error(f"unknown group name {name!r}")
+                    self.i = j + 1
+                    return Backref(self.group_names[name], name)
                 else:
-                    # (?=, (?!, (?<=, (?<!, (?P=, inline flags, ... — not
-                    # expressible in a byte-DFA; never silently literal
+                    # (?#..., conditionals, inline mid-pattern flags, ... —
+                    # not implemented; never silently literal
                     raise self.error(
-                        "unsupported (?...) construct (only (?:...) and "
-                        "(?P<name>...) are implemented)"
+                        "unsupported (?...) construct (implemented: (?:...) "
+                        "(?P<name>...) (?P=name) (?=...) (?!...) (?<=...) "
+                        "(?<!...))"
                     )
             else:
                 self.ngroups += 1
@@ -294,6 +346,16 @@ class _Parser:
             if self.p[self.i + 1 : self.i + 2] in (b"b", b"B"):
                 self.i += 2
                 return Bound(negate=self.p[self.i - 1] == ord("B"))
+            nc = self.p[self.i + 1 : self.i + 2]
+            if nc.isdigit() and nc != b"0":
+                # \1-\9 backreference (atom context only; inside [...] the
+                # class parser still rejects it).  Python semantics: the
+                # group must already be open/closed to the LEFT
+                self.i += 2
+                idx = int(nc)
+                if idx > self.ngroups:
+                    raise self.error(f"invalid group reference {idx}")
+                return Backref(idx)
             self.eat()
             return self.lit(self.parse_escape())
         if c in b"*+?":
@@ -573,6 +635,13 @@ def _build(nfa: EpsNfa, node) -> tuple[int, int]:
             "on the next byte); such patterns run on the host-verified "
             "path: search/match/fullmatch/finditer"
         )
+    if isinstance(node, (Backref, Look)):
+        raise RegexError(
+            "backreferences and lookaround are not regular languages and "
+            "cannot compile to the device DFA/NFA engines; such patterns "
+            "run on the host backtracking engine: search/match/fullmatch/"
+            "finditer (api.compile_regex routes them automatically)"
+        )
     raise TypeError(node)
 
 
@@ -720,6 +789,21 @@ def contains_bound(node) -> bool:
         return any(contains_bound(o) for o in node.options)
     if isinstance(node, (Rep, Group)):
         return contains_bound(node.node)
+    return False
+
+
+def contains_backtrack(node) -> bool:
+    """True if the AST contains a backreference or lookaround — features
+    outside the regular languages (or outside streaming-DFA expressibility),
+    routed to the host backtracking engine (``api.HostBacktrackMatcher``)."""
+    if isinstance(node, (Backref, Look)):
+        return True
+    if isinstance(node, Cat):
+        return any(contains_backtrack(p) for p in node.parts)
+    if isinstance(node, Alt):
+        return any(contains_backtrack(o) for o in node.options)
+    if isinstance(node, (Rep, Group)):
+        return contains_backtrack(node.node)
     return False
 
 

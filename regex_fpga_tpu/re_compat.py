@@ -13,9 +13,13 @@ Semantics differences vs ``re`` (inherent to DFA matching):
   * capture groups ARE tracked (``(...)``, ``(?P<name>...)``; group spans
     recovered host-side per match — ``models/captures.py``); WITHIN the
     fixed leftmost-longest span, group assignment is greedy like ``re``, so
-    results agree whenever ``re`` picks the same span.  Backreferences and
-    lookaround in PATTERNS stay unsupported (not regular); ``\\1``/
-    ``\\g<name>`` in ``sub`` REPLACEMENT templates are supported;
+    results agree whenever ``re`` picks the same span.  Backreferences
+    (``\\1``-``\\9``, ``(?P=name)``) and lookaround (``(?=)`` ``(?!)``
+    ``(?<=)`` ``(?<!)``) ARE supported — such patterns run the host
+    backtracking engine (``api.HostBacktrackMatcher``) with exact Python
+    ``re`` semantics (leftmost-first, fixed-width lookbehind), and their
+    device-throughput extras raise; ``\\1``/``\\g<name>`` in ``sub``
+    REPLACEMENT templates are supported everywhere;
   * ``\\b``/``\\B`` word boundaries ARE supported — such patterns run on the
     host Pike VM (``api.HostRegexMatcher``; same leftmost-longest spans);
     their device-throughput extras (``Pattern.scan``/``count``) raise;
@@ -157,6 +161,9 @@ class Pattern:
 
     @property
     def groupindex(self) -> dict:
+        bt = getattr(self._m, "_bt", None)  # backtracking engine patterns
+        if bt is not None:
+            return dict(bt.group_names)
         self._m._make_match(b"", 0, 0)  # force lazy capture-program build
         prog = self._m._capture_prog
         return {} if prog is False else dict(prog.group_names)

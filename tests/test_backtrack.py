@@ -1,0 +1,162 @@
+"""Backreference + lookaround patterns: host backtracking engine vs
+Python ``re`` (the semantics contract is exact re-equivalence)."""
+
+import re
+
+import numpy as np
+import pytest
+
+from regex_fpga_tpu import api
+from regex_fpga_tpu.models.regex import RegexError, contains_backtrack, parse_pattern
+
+
+DIRECTED = [
+    (r"(a+)b\1", "aabaax aabaa abab aaabaaa"),
+    (r"(\w+) \1", "hello hello world world word words"),
+    (r"(a)\1{2,3}", "aaaa aaa aa aaaaa"),
+    (r"foo(?=bar)", "foobar foobaz barfoo foobarbar"),
+    (r"foo(?!bar)", "foobar foobaz foo"),
+    (r"(?<=a)b", "ab cb aab b"),
+    (r"(?<!a)b", "ab cb b abb"),
+    (r"(a)(?=(b))", "ab ac abb"),
+    (r"(a|b)\1", "aa bb ab ba"),
+    (r"(?P<x>cat|dog)s? and (?P=x)s?", "cats and cat dog and dogs"),
+    (r"([abc]+)x\1", "abcxabc aaxaa bxb abxba"),
+    (r"(a*)b\1", "aabaa b ba aabaaa"),
+    (r"x(?=y)(?=.z)", "xyz xy xzy"),
+    (r"(?<=ab)c(?=de)", "abcde abce bcde"),
+    (r"(a?)b\1", "bab ab b aba"),
+    (r"(x+)(?!x)\1", "xxxx xxx xx"),
+    (r"(?i)(CaT)\s+\1", "cat CAT Cat cat"),
+    (r"^(a+)\1$", "aaaa"),
+    (r"^(a+)\1$", "aaa"),
+    (r"(ab|a)(?=b)", "abb ab"),
+]
+
+
+@pytest.mark.parametrize("pat,text", DIRECTED)
+def test_directed_vs_re(pat, text):
+    m = api.compile_regex(pat)
+    assert isinstance(m, api.HostBacktrackMatcher)
+    data = text.encode()
+    assert m.finditer(data) == [mm.span() for mm in re.finditer(pat, text)]
+    gm, wm = m.search(data), re.search(pat, text)
+    assert (gm is None) == (wm is None)
+    if wm:
+        assert gm.span() == wm.span()
+        assert gm.groups() == tuple(
+            None if g is None else g.encode() for g in wm.groups()
+        )
+        assert gm.lastindex == wm.lastindex
+    gf, wf = m.fullmatch(data), re.fullmatch(pat, text)
+    assert (gf is None) == (wf is None)
+    if wf:
+        assert gf.groups() == tuple(
+            None if g is None else g.encode() for g in wf.groups()
+        )
+    gm0, wm0 = m.match(data), re.match(pat, text)
+    assert (gm0 is None) == (wm0 is None)
+    if wm0:
+        assert gm0.span() == wm0.span()
+
+
+def test_fuzz_vs_re():
+    """Random pattern/subject fuzz over an alphabet small enough to hit
+    backrefs and lookarounds constantly."""
+    rnd = np.random.default_rng(7)
+    atoms = ["a", "b", "c", "(a)", "(b|a)", "(ab)", "[ab]", "a+", "b*",
+             "(a+)", "(b+?)", "(?:ab)+"]
+    tails = ["", r"\1", r"(?=a)", r"(?=b)", r"(?!a)", r"(?<=a)", r"(?<!b)"]
+    checked = 0
+    for _ in range(400):
+        n = int(rnd.integers(2, 5))
+        pat = "".join(atoms[int(i)] for i in rnd.integers(0, len(atoms), n))
+        pat += tails[int(rnd.integers(0, len(tails)))]
+        if r"\1" in pat and "(" not in pat.split("\\1")[0]:
+            continue
+        try:
+            rx = re.compile(pat)
+        except re.error:
+            continue
+        if not contains_backtrack(parse_pattern(pat).node):
+            continue
+        try:
+            m = api.compile_regex(pat)
+        except RegexError:
+            continue
+        text = "".join("ab c"[int(i)] for i in rnd.integers(0, 4, 24))
+        want = [mm.span() for mm in rx.finditer(text)]
+        got = m.finditer(text.encode())
+        assert got == want, (pat, text, got, want)
+        wm = rx.search(text)
+        if wm:
+            gm = m.search(text.encode())
+            assert gm.groups() == tuple(
+                None if g is None else g.encode() for g in wm.groups()
+            ), (pat, text)
+        checked += 1
+    assert checked > 150, checked
+
+
+def test_re_compat_layer_routes_backtrack():
+    from regex_fpga_tpu import re_compat as re2
+
+    p = re2.compile(r"(\w+)=\1")
+    assert p.findall("a=a b=c xx=xx") == ["a", "xx"]  # group semantics
+    assert p.sub("DUP", "a=a b=c") == "DUP b=c"
+    q = re2.compile(r"\d+(?= dollars)")
+    # re_compat is byte-oriented by contract (module docstring): Match
+    # contents are bytes even for str patterns
+    assert q.search("pay 42 dollars").group() == b"42"
+    assert q.groupindex == {}
+    assert re2.compile(r"(?P<q>.)(?P=q)").groupindex == {"q": 1}
+    # named backref + groupdict through the compat Match
+    r_ = re2.compile(r"(?P<q>['\"]).*?(?P=q)")
+    mm = r_.search("say \"hi\" ok")
+    assert mm.group() == b'"hi"'
+
+
+def test_sub_templates_and_split_with_backrefs():
+    m = api.compile_regex(rb"(a+)b\1")
+    assert m.sub(b"<X>", b"aabaa c aba") == b"<X> c <X>"
+    assert m.split(b"zaabaaz") == [b"z", b"z"]
+    mm = m.search(b"xxaabaax")
+    assert mm.expand(rb"[\1]") == b"[aa]"
+
+
+def test_errors_match_re_rules():
+    with pytest.raises(RegexError):
+        api.compile_regex(r"(a)\2")  # invalid group reference
+    with pytest.raises(RegexError):
+        api.compile_regex(r"(?P=nope)a")  # unknown name
+    with pytest.raises(RegexError):
+        api.compile_regex(r"(?<=a+)b")  # variable-width lookbehind
+    # fixed-width alternation lookbehind is fine (as in re)
+    assert api.compile_regex(r"(?<=ab|cd)e").finditer(b"abe cde xe") == [
+        (2, 3), (6, 7)
+    ]
+
+
+def test_device_apis_raise():
+    m = api.compile_regex(r"(a)\1")
+    with pytest.raises(NotImplementedError):
+        m.scan(b"aa")
+    with pytest.raises(NotImplementedError):
+        m.count(b"aa")
+
+
+def test_lookahead_capture_persists():
+    # as in Python: groups captured inside a positive lookahead are visible
+    m = api.compile_regex(r"(a)(?=(b))").search(b"ab")
+    w = re.search(r"(a)(?=(b))", "ab")
+    assert m.groups() == (b"a", b"b") and w.groups() == ("a", "b")
+    assert m.lastindex == w.lastindex == 2
+
+
+def test_empty_match_iteration_rules():
+    for pat, text in [(r"(?=a)", "aa b a"), (r"(a?)\1", "aab"),
+                      (r"(?<=a)", "baab")]:
+        m = api.compile_regex(pat)
+        assert m.finditer(text.encode()) == [
+            mm.span() for mm in re.finditer(pat, text)
+        ], (pat, text)

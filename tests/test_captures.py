@@ -82,7 +82,17 @@ def test_match_finditer_and_repeats():
 
 
 def test_parser_rejects_unsupported_constructs():
-    for pat in [r"(?=a)b", r"(?!a)b", r"(?<=a)b", r"(?P=name)", r"a\1"]:
+    # r3: lookaround and backreferences now PARSE (they route to the host
+    # backtracking engine — tests/test_backtrack.py); the DFA compiler
+    # still refuses them, and genuinely unsupported (?...) forms, invalid
+    # group refs, and bad names still raise at parse
+    from regex_fpga_tpu.models.regex import compile_pattern
+
+    for pat in [r"(?=a)b", r"(?<=a)b", r"(a)\1"]:
+        parse_pattern(pat)  # parses...
+        with pytest.raises(RegexError):
+            compile_pattern(pat)  # ...but never compiles to the device
+    for pat in [r"(?#comment)a", r"(?P=name)", r"a\1"]:
         with pytest.raises(RegexError):
             parse_pattern(pat)
     with pytest.raises(RegexError):
