@@ -1384,6 +1384,12 @@ class HostRegexMatcher(DfaMatcher):
                 p = max(end, s0 + 1)
         return spans
 
+    def finditer_arrays(self, data) -> np.ndarray:
+        # the base implementation compiles reversed/anchored device tables,
+        # which these host-routed patterns cannot (it raised RegexError
+        # before this override); span content is identical to finditer
+        return np.asarray(self.finditer(data), dtype=np.int64).reshape(-1, 2)
+
     def match(self, data) -> "Match | None":
         raw = bytes(_as_streams(data)[0])
         end = (self._prog.first_end_at(raw, 0) if self._first_mode

@@ -160,3 +160,14 @@ def test_empty_match_iteration_rules():
         assert m.finditer(text.encode()) == [
             mm.span() for mm in re.finditer(pat, text)
         ], (pat, text)
+
+
+def test_finditer_arrays_on_host_matchers():
+    """finditer_arrays must work on every host-routed matcher family (the
+    base implementation used to raise RegexError for \\b patterns)."""
+    for pat, text, n in [(r"\bcat\b", b"a cat sat cat", 2),
+                         (r"(a)\1", b"aa b aa", 2)]:
+        m = api.compile_regex(pat)
+        arr = m.finditer_arrays(text)
+        assert arr.shape == (n, 2)
+        assert arr.tolist() == [list(s) for s in m.finditer(text)]
