@@ -228,8 +228,12 @@ class BacktrackProgram:
             def f(d, p, k, kind=kind):
                 if kind == "^":
                     ok = p == 0 or d[p - 1] == 0x0A
-                else:
+                elif kind == "$":
                     ok = p == len(d) or d[p] == 0x0A
+                elif kind == "A":
+                    ok = p == 0
+                else:  # "Z": absolute end, no trailing-newline allowance
+                    ok = p == len(d)
                 return k(p) if ok else None
 
             return f

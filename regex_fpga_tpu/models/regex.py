@@ -13,7 +13,10 @@ Supported syntax (byte-oriented):
   ``models/captures.py``) / non-capturing ``(?:...)``, quantifiers
   ``* + ? {m} {m,} {m,n}``, the pattern-prefix flags ``(?i)`` (ASCII case
   folding) and ``(?s)`` (DOTALL: ``.`` matches ``\\n``), word boundaries
-  ``\\b``/``\\B`` (host Pike-VM path — see ``Bound``), and whole-pattern
+  ``\\b``/``\\B`` (host Pike-VM path — see ``Bound``), absolute anchors
+  ``\\A``/``\\Z`` (host path — ``Anchor``), backreferences ``\\1``-``\\9``/
+  ``(?P=name)`` and lookaround ``(?=) (?!) (?<=) (?<!)`` (host backtracking
+  path — ``Backref``/``Look``, ``models/backtrack.py``), and whole-pattern
   anchors: a leading ``^`` pins
   the match to the start of the stream, a trailing ``$`` to its end (EOF
   acceptance is carried in ``CompiledDfa.accept_eof``).  Anchors apply to
@@ -125,9 +128,11 @@ class Anchor:
     needs the NEXT byte to be ``\\n`` or end-of-buffer), so patterns
     containing it route to the host Pike-VM path.  ``kind`` is ``"^"``
     (start of buffer or right after ``\\n``) or ``"$"`` (end of buffer or
-    right before ``\\n``) — Python ``re.MULTILINE`` semantics."""
+    right before ``\\n``) — Python ``re.MULTILINE`` semantics — or the
+    absolute forms ``"A"``/``"Z"`` (``\\A``/``\\Z``: buffer start/end
+    only, no newline allowance)."""
 
-    kind: str  # "^" | "$"
+    kind: str  # "^" | "$" | "A" | "Z"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -346,6 +351,13 @@ class _Parser:
             if self.p[self.i + 1 : self.i + 2] in (b"b", b"B"):
                 self.i += 2
                 return Bound(negate=self.p[self.i - 1] == ord("B"))
+            if self.p[self.i + 1 : self.i + 2] in (b"A", b"Z"):
+                # \A = absolute buffer start, \Z = absolute buffer end (no
+                # trailing-newline allowance, exactly Python re).  The Pike
+                # VM already speaks these assertion kinds (whole-pattern
+                # anchors lower to them); inside [...] they still raise.
+                self.i += 2
+                return Anchor(chr(self.p[self.i - 1]))
             nc = self.p[self.i + 1 : self.i + 2]
             if nc.isdigit() and nc != b"0":
                 # \1-\9 backreference (atom context only; inside [...] the

@@ -171,3 +171,24 @@ def test_finditer_arrays_on_host_matchers():
         arr = m.finditer_arrays(text)
         assert arr.shape == (n, 2)
         assert arr.tolist() == [list(s) for s in m.finditer(text)]
+
+
+def test_absolute_anchors_A_Z_vs_re():
+    """\\A and \\Z escapes (absolute buffer start/end, Python re
+    semantics) — on the Pike-VM path alone and combined with backtrack
+    features."""
+    cases = [
+        (r"\Afoo", "foo bar foo"),
+        (r"foo\Z", "foo bar foo"),
+        (r"foo\Z", "foofoo"),
+        (r"\Aab*\Z", "abbb"),
+        (r"(?m)^x$|\Ay", "y\nx\ny"),
+        (r"\A(a+)\1\Z", "aaaa"),
+        (r"\A(a+)\1\Z", "aaa"),
+        (r"a\Z", "a\n"),  # \Z does NOT allow a trailing newline (unlike $)
+    ]
+    for pat, text in cases:
+        m = api.compile_regex(pat)
+        got = m.finditer(text.encode())
+        want = [mm.span() for mm in re.finditer(pat, text)]
+        assert got == want, (pat, text, got, want)
