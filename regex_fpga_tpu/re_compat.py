@@ -27,7 +27,8 @@ Semantics differences vs ``re`` (inherent to DFA matching):
     and spans are byte offsets.
 
 Supported flags: ``IGNORECASE`` (ASCII folding, as ``(?i)``), ``DOTALL``
-(``(?s)``), and ``MULTILINE`` (``(?m)`` — line anchors are zero-width
+(``(?s)``), ``VERBOSE``/``X`` (whitespace + ``#`` comments stripped
+outside classes), and ``MULTILINE`` (``(?m)`` — line anchors are zero-width
 assertions, so multiline patterns run on the host Pike-VM path like
 ``\\b``).
 """
@@ -57,6 +58,8 @@ __all__ = [
     "S",
     "MULTILINE",
     "M",
+    "VERBOSE",
+    "X",
     "Pattern",
     "Match",
     "error",
@@ -65,6 +68,43 @@ __all__ = [
 IGNORECASE = I = 2  # values mirror re's flag constants for interchangeability
 MULTILINE = M = 8
 DOTALL = S = 16
+VERBOSE = X = 64
+
+
+def _strip_verbose(pat: bytes) -> bytes:
+    """``re.X`` preprocessing: drop unescaped whitespace and ``#``-to-EOL
+    comments outside character classes (inside ``[...]`` and after ``\\``
+    everything is literal, as in ``re``)."""
+    out = bytearray()
+    i, n = 0, len(pat)
+    in_class = False
+    while i < n:
+        c = pat[i]
+        if c == 0x5C and i + 1 < n:  # backslash: escape copied verbatim
+            out += pat[i : i + 2]
+            i += 2
+            continue
+        if in_class:
+            out.append(c)
+            if c == 0x5D:
+                in_class = False
+            i += 1
+            continue
+        if c == 0x5B:
+            in_class = True
+            out.append(c)
+            i += 1
+            continue
+        if c in b" \t\n\r\f\v":
+            i += 1
+            continue
+        if c == 0x23:  # '#': comment to end of line
+            while i < n and pat[i] != 0x0A:
+                i += 1
+            continue
+        out.append(c)
+        i += 1
+    return bytes(out)
 
 
 def escape(pattern):
@@ -138,13 +178,15 @@ class Pattern:
     """Compiled pattern wrapper; see module docstring for semantics."""
 
     def __init__(self, pattern: str | bytes, flags: int = 0):
-        if flags & ~(IGNORECASE | DOTALL | MULTILINE):
+        if flags & ~(IGNORECASE | DOTALL | MULTILINE | VERBOSE):
             raise ValueError(
-                f"unsupported flags {flags:#x}: only IGNORECASE, DOTALL and "
-                "MULTILINE are implemented"
+                f"unsupported flags {flags:#x}: only IGNORECASE, DOTALL, "
+                "MULTILINE and VERBOSE are implemented"
             )
         self._text_mode = isinstance(pattern, str)
         pat = pattern.encode("utf-8") if self._text_mode else bytes(pattern)
+        if flags & VERBOSE:
+            pat = _strip_verbose(pat)
         if flags & MULTILINE:
             pat = b"(?m)" + pat
         if flags & DOTALL:

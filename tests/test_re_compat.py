@@ -144,7 +144,7 @@ def test_compile_cache_and_purge():
 
 def test_unsupported_flags_raise():
     with pytest.raises(ValueError):
-        tre.compile(rb"a", flags=64)  # re.VERBOSE
+        tre.compile(rb"a", flags=256)  # re.ASCII stays unsupported
 
 
 def test_error_is_regexerror():
@@ -194,3 +194,23 @@ def test_multiline_prefix_flag_group():
 
     with _pytest.raises(RegexError):
         compile_regex(rb"a^b")
+
+
+def test_verbose_flag():
+    import re
+
+    from regex_fpga_tpu import re_compat as re2
+
+    pat = r"""
+        \d+      # the integer part
+        \.       # the dot
+        \d+      # the fraction
+        [ ]      # literal space stays (class context)
+    """
+    assert re2.compile(pat, re2.X).findall("pi 3.14  e 2.71 x") == \
+        re.compile(pat, re.X).findall("pi 3.14  e 2.71 x")
+    # escaped whitespace/hash survive stripping
+    assert re2.compile(r"a\ b", re2.X).search(b"a b") is not None
+    assert re2.compile(r"a\#b", re2.X).search(b"a#b") is not None
+    with pytest.raises(ValueError):
+        re2.compile("a", 4)  # re.L remains unsupported
