@@ -1,4 +1,5 @@
-"""Benchmark entry point — prints ONE JSON line with the headline metric.
+"""Benchmark entry point — prints a full-detail JSON line, then a FINAL
+COMPACT headline JSON line (<=1,500 chars) for the driver's tail capture.
 
 Headline: single-chip DFA scan throughput (bytes/s) of the block-parallel
 speculative engine (Jacobi fixpoint + gather-free MXU inner loop) on a
@@ -87,7 +88,18 @@ def main() -> None:
                        "progress": state.get("progress")},
         }))
     else:
-        print(state["json"])
+        # FULL detail first, COMPACT headline LAST: the driver records the
+        # last ~2,000 chars of stdout and parses the final line as the
+        # round's metric — r3's single fat line outgrew that window and
+        # the round recorded `parsed: null` (r3 verdict weak #1).  The
+        # compact line is capped well under the window; the detail line
+        # above it survives in full in the repo-side BENCH log.
+        print(state["json_detail"])
+        compact = state["json"]
+        if len(compact) > 1500:  # hard cap, belt-and-braces
+            print(f"# compact line {len(compact)} chars > 1500 — check "
+                  "_compact_line()", file=sys.stderr)
+        print(compact)
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(0)
@@ -292,9 +304,18 @@ def _measure(state: dict) -> None:
                     point["kgram_classes_per_level"] = kgs.level_classes
                     # level chooser: padded-MXU-tile cost per byte with
                     # the per-route table widths (packed S / unpacked 2S /
-                    # byte-split 3S) — shared with the API layer
-                    from regex_fpga_tpu.ops.kgram import choose_kgram_level
+                    # byte-split 3S) — shared with the API layer.  The
+                    # REAL engine choice (choose_scan_level: measured
+                    # S-gate folded in) is recorded per point and checked
+                    # against the measured winner below; the k-gram curve
+                    # itself is still measured for the record.
+                    from regex_fpga_tpu.ops.kgram import (
+                        choose_kgram_level, choose_scan_level,
+                    )
 
+                    point["model_level"] = choose_scan_level(
+                        dts.num_states, kgs.level_classes
+                    )
                     best = choose_kgram_level(
                         dts.num_states, kgs.level_classes
                     )
@@ -323,6 +344,17 @@ def _measure(state: dict) -> None:
                         k1_total is not None
                         and int(rks.total) == k1_total
                     )
+                    # the model-chosen ENGINE must be the measured winner
+                    # (within 5% noise) — the r3 verdict #9 regression on
+                    # silicon: choose_scan_level's gate vs the measured
+                    # k1/kgram rates at this size
+                    if "k1_counts" in point:
+                        k1b = point["k1_counts"]["bytes_per_sec"]
+                        kgb = point["kgram_counts"]["bytes_per_sec"]
+                        chosen = kgb if point["model_level"] else k1b
+                        point["model_engine_ok"] = bool(
+                            chosen >= 0.95 * max(k1b, kgb)
+                        )
                 sweep.append(point)
                 print(f"# sweep point S={point['S']} done "
                       f"t={time.perf_counter()-_T0:.0f}s", file=sys.stderr)
@@ -527,9 +559,70 @@ def _measure(state: dict) -> None:
                         "constant via r2-commit A/B on 2026-08-20)",
         },
     }
-    state["json"] = json.dumps(out)
-    # main() prints the line and then os._exit()s — a daemon worker may
+    state["json_detail"] = json.dumps(out)
+    state["json"] = _compact_line(bps, target, full, ext, conf, walker)
+    # main() prints the lines and then os._exit()s — a daemon worker may
     # still hold a hung tunnel call and must not outlive the budget
+
+
+def _r3(x):
+    """GB/s with 3 significant digits — compact-line real estate."""
+    return round(x / 1e9, 3)
+
+
+def _compact_line(bps, target, full, ext, conf, walker) -> str:
+    """The FINAL stdout line: every load-bearing number in <=1,500 chars so
+    the driver's tail capture parses it (r3 verdict item 1).  Rates are
+    GB/s [min,max] spreads; the size sweep is collapsed to its endpoints
+    plus the largest-S point's engine rates."""
+    kg = ext.get("kgram")
+    dk = ext.get("dist_kgram")
+    sweep = ext.get("size_sweep") or []
+    sw = {}
+    for p in sweep:
+        rate = (p.get("kgram_counts") or p.get("k1_counts")
+                or p.get("k1_full"))
+        if rate:
+            sw[f"S{p['S']}"] = _r3(rate["bytes_per_sec"])
+    ing = ext.get("ingest_overlap") or {}
+    fi = ext.get("finditer_32mib") or {}
+    hp = ext.get("host_prefilter") or {}
+    pl = ext.get("pallas")
+    detail = {
+        "full_gbps": [_r3(full["bytes_per_sec"]), _r3(full["bps_min"]),
+                      _r3(full["bps_max"])],
+        "kgram_gbps": ([_r3(kg["bytes_per_sec"]), _r3(kg["bps_min"]),
+                        _r3(kg["bps_max"])] if kg else None),
+        "dist_kgram_gbps": _r3(dk["bytes_per_sec"]) if dk else None,
+        "dist_vs_single": dk.get("vs_single_device") if dk else None,
+        "pallas_gbps": _r3(pl["bytes_per_sec"]) if pl else None,
+        "sweep_counts_gbps": sw,
+        "ingest_overlap_speedup": ing.get("speedup"),
+        "finditer_vs_scan": fi.get("finditer_vs_scan"),
+        "host_prefilter_speedup": hp.get("speedup"),
+        "model_engine_ok": (lambda meo: all(meo) if meo else None)(
+            [p["model_engine_ok"] for p in sweep if "model_engine_ok" in p]
+        ),
+        "conformance_exact": conf.get("conf_ok"),
+        "snort16_walker_gbps": _r3(walker["bytes_per_sec"]) if walker else None,
+        "vs_reference_fpga": round(bps / 129e3, 1),
+        "rig_note": "tunneled v5e, 2.6x day-to-day swing — same-day A/B only",
+    }
+    line = json.dumps({
+        "metric": "dfa_scan_bytes_per_sec_per_chip",
+        "value": round(bps, 1),
+        "unit": "B/s",
+        "vs_baseline": round(bps / target, 4),
+        "detail": detail,
+    })
+    if len(line) > 1500:  # drop the sweep first, then spreads
+        detail["sweep_counts_gbps"] = "see detail line above"
+        line = json.dumps({
+            "metric": "dfa_scan_bytes_per_sec_per_chip",
+            "value": round(bps, 1), "unit": "B/s",
+            "vs_baseline": round(bps / target, 4), "detail": detail,
+        })
+    return line
 
 
 if __name__ == "__main__":

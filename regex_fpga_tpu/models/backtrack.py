@@ -1,4 +1,4 @@
-"""Host backtracking regex engine: backreferences + lookaround.
+"""Host backtracking regex engine: backreferences, lookaround, conditionals.
 
 Backreferences make a pattern non-regular (the copy language), and
 lookaround needs to consult bytes past the current position — neither fits
@@ -13,7 +13,11 @@ itself, ``tests/test_backtrack.py``).
 
 This is deliberately the one engine family with super-linear worst cases
 (catastrophic backtracking exists in every backtracking engine, including
-``re``); everything device-routed stays linear.  The reference has no
+``re``); everything device-routed stays linear.  The opt-in ``max_steps``
+budget (default None = unlimited, strict ``re`` parity) bounds a hostile
+pattern x input pair to a prompt ``BacktrackLimitExceeded`` instead of an
+indefinite hang — exposed through ``api.HostBacktrackMatcher`` and
+``re_compat.compile(..., max_steps=)``.  The reference has no
 regex front-end at all (SURVEY.md §0 — pure RTL), so this layer is part of
 the "usable framework" surface built on top of its semantics, like the
 rest of the ``re``-compat stack.
@@ -27,11 +31,22 @@ backtracking.
 from __future__ import annotations
 
 from .regex import (
-    Alt, Anchor, Backref, Bound, Cat, Group, Lit, Look, ParsedPattern,
+    Alt, Anchor, Backref, Bound, Cat, Cond, Group, Lit, Look, ParsedPattern,
     RegexError, Rep, parse_pattern,
 )
 
-__all__ = ["BacktrackProgram"]
+__all__ = ["BacktrackProgram", "BacktrackLimitExceeded"]
+
+
+class BacktrackLimitExceeded(RegexError):
+    """The engine exceeded its opt-in ``max_steps`` budget.
+
+    Raised only when a budget was requested (``max_steps=None``, the
+    default, is unlimited — strict ``re`` parity).  A bounded budget turns
+    catastrophic backtracking (hostile pattern x input pairs like
+    ``(a+)+b`` on ``'a'*n``) from an indefinite hang into a prompt,
+    catchable failure — the mitigation an IDS-facing deployment should
+    enable."""
 
 _WORD = frozenset(
     list(range(ord("a"), ord("z") + 1))
@@ -65,13 +80,55 @@ def _width(node) -> tuple[int, int | None]:
         return _width(node.node)
     if isinstance(node, Backref):
         return 0, None  # depends on what the group captured
+    if isinstance(node, Cond):
+        ys = _width(node.yes)
+        ns = _width(node.no) if node.no is not None else (0, 0)
+        lo = min(ys[0], ns[0])
+        hi = None if (ys[1] is None or ns[1] is None) else max(ys[1], ns[1])
+        return lo, hi
     return 0, 0  # Bound / Anchor / Look are zero-width
+
+
+def _det_width(node) -> int | None:
+    """Fixed byte width ``w`` if the node matches DETERMINISTICALLY: at any
+    position it either fails or succeeds with the unique end ``pos + w``
+    and no observable side effects (no captures, no backrefs, no
+    lookaround).  Such a node inside a quantifier needs no per-iteration
+    continuation — the iterative Rep path uses this to avoid the
+    one-stack-frame-per-iteration recursion that overflows on long inputs
+    (e.g. ``(?:ab)+`` over kilobytes).  Returns None when the node is not
+    provably deterministic."""
+    if isinstance(node, Lit):
+        return 1
+    if isinstance(node, Cat):
+        total = 0
+        for p in node.parts:
+            w = _det_width(p)
+            if w is None:
+                return None
+            total += w
+        return total
+    if isinstance(node, Alt):
+        # equal-width capture-free branches: first-match-wins cannot change
+        # the end position, so the node is observably deterministic
+        ws = [_det_width(o) for o in node.options]
+        if any(w is None for w in ws) or len(set(ws)) != 1:
+            return None
+        return ws[0]
+    if isinstance(node, Rep):
+        if node.hi is None or node.hi != node.lo:
+            return None
+        w = _det_width(node.node)
+        return None if w is None else w * node.lo
+    if isinstance(node, (Bound, Anchor)):
+        return 0  # zero-width deterministic predicates
+    return None  # Group / Backref / Look / Cond
 
 
 class BacktrackProgram:
     """Compiled backtracking matcher for one parsed pattern."""
 
-    def __init__(self, pattern_or_parsed):
+    def __init__(self, pattern_or_parsed, max_steps: int | None = None):
         pp = (pattern_or_parsed
               if isinstance(pattern_or_parsed, ParsedPattern)
               else parse_pattern(pattern_or_parsed))
@@ -84,7 +141,25 @@ class BacktrackProgram:
         self._groups: list = [None] * (pp.num_groups + 1)
         self._seq = 0
         self._data = b""
+        #: opt-in backtracking budget: None (default) = unlimited, exact
+        #: ``re`` parity.  A bounded value counts engine steps (byte tests,
+        #: quantifier continuation tries, backref compares) per
+        #: ``search_spans``/``match_at`` call and raises
+        #: ``BacktrackLimitExceeded`` when exhausted — bounded-time defense
+        #: against catastrophic backtracking.
+        self.max_steps = max_steps
+        self._steps = 0
         self._body = self._compile(pp.node)
+
+    def _tick(self):
+        if self.max_steps is not None:
+            self._steps += 1
+            if self._steps > self.max_steps:
+                raise BacktrackLimitExceeded(
+                    f"backtracking exceeded max_steps={self.max_steps} "
+                    f"(catastrophic backtracking guard; raise or disable "
+                    f"the budget for exhaustive search)"
+                )
 
     # -- node lowering ---------------------------------------------------
 
@@ -93,6 +168,8 @@ class BacktrackProgram:
             chars = node.chars
 
             def f(d, p, k, chars=chars):
+                if self.max_steps is not None:
+                    self._tick()
                 return k(p + 1) if p < len(d) and d[p] in chars else None
 
             return f
@@ -136,7 +213,43 @@ class BacktrackProgram:
                     return None
                 counts = range(lo, m + 1) if lazy else range(m, lo - 1, -1)
                 for cnt in counts:
+                    if self.max_steps is not None:
+                        self._tick()
                     r = k(p + cnt)
+                    if r is not None:
+                        return r
+                return None
+
+            return f
+        if isinstance(node, Rep) and (_det_width(node.node) or 0) > 0:
+            # iterative path for deterministic fixed-width sub-patterns
+            # (e.g. ``(?:ab)+``, ``(?:foo|bar)+``): each iteration has a
+            # unique end and no observable state, so the choice point is
+            # ONLY the repeat count — match greedily with an identity
+            # continuation, then offer counts to the continuation in
+            # greedy/lazy order.  Avoids the general path's one recursion
+            # level per iteration (RecursionError on kilobyte repeats).
+            sub = self._compile(node.node)
+            lo, hi, lazy = node.lo, node.hi, node.lazy
+
+            def f(d, p, k, sub=sub, lo=lo, hi=hi, lazy=lazy):
+                ident = lambda p2: p2  # noqa: E731
+                ends = [p]
+                cur = p
+                while hi is None or len(ends) - 1 < hi:
+                    r = sub(d, cur, ident)
+                    if r is None:
+                        break
+                    cur = r
+                    ends.append(cur)
+                m = len(ends) - 1
+                if m < lo:
+                    return None
+                counts = range(lo, m + 1) if lazy else range(m, lo - 1, -1)
+                for cnt in counts:
+                    if self.max_steps is not None:
+                        self._tick()
+                    r = k(ends[cnt])
                     if r is not None:
                         return r
                 return None
@@ -148,6 +261,8 @@ class BacktrackProgram:
 
             def f(d, p, k, sub=sub, lo=lo, hi=hi, lazy=lazy):
                 def rep(count, p2):
+                    if self.max_steps is not None:
+                        self._tick()
                     can_more = hi is None or count < hi
                     done_ok = count >= lo
 
@@ -199,6 +314,8 @@ class BacktrackProgram:
             fold = self._fold
 
             def f(d, p, k, idx=idx, fold=fold):
+                if self.max_steps is not None:
+                    self._tick()
                 g = self._groups[idx]
                 if g is None:
                     return None  # unmatched group: backref fails (as in re)
@@ -258,7 +375,14 @@ class BacktrackProgram:
                         return None
                     if neg:  # captures inside a failed branch don't leak
                         self._groups[:] = snap
-                    return k(p)
+                    r = k(p)
+                    if r is None:
+                        # captures made inside a SUCCESSFUL positive look
+                        # persist only while this path is alive; when the
+                        # continuation fails they must not leak into
+                        # sibling alternatives (re parity — advisor r3)
+                        self._groups[:] = snap
+                    return r
 
                 return f
 
@@ -270,28 +394,59 @@ class BacktrackProgram:
                     return None
                 if neg:
                     self._groups[:] = snap
-                return k(p)
+                r = k(p)
+                if r is None:
+                    self._groups[:] = snap  # see lookbehind note above
+                return r
+
+            return f
+        if isinstance(node, Cond):
+            yes = self._compile(node.yes)
+            no = self._compile(node.no) if node.no is not None else None
+            idx = node.index
+
+            def f(d, p, k, yes=yes, no=no, idx=idx):
+                # (?(id)yes|no): branch on whether the group has matched so
+                # far; absent no-branch = epsilon (re semantics).  No
+                # backtracking BETWEEN branches — the condition picks one.
+                if self._groups[idx] is not None:
+                    return yes(d, p, k)
+                return no(d, p, k) if no is not None else k(p)
 
             return f
         raise TypeError(node)
 
     # -- matching --------------------------------------------------------
 
-    def match_at(self, data: bytes, pos: int, full: bool = False):
+    def match_at(self, data: bytes, pos: int, full: bool = False,
+                 _fresh_budget: bool = True):
         """Leftmost-first anchored match at ``pos``: returns
         ``(end, groups, lastindex)`` with ``groups[i] = (start, end) |
         None`` and ``groups[0]`` the whole span, or None.  Honors the
         pattern's whole-pattern ``$``; ``full=True`` additionally requires
         the match to consume the whole buffer (``re.fullmatch`` — the
         engine backtracks into shorter-preferred alternatives to reach
-        end-of-buffer)."""
+        end-of-buffer).  Each call gets a fresh ``max_steps`` budget
+        (``search_spans`` shares ONE budget across its start positions)."""
+        if _fresh_budget:
+            self._steps = 0
         self._groups = [None] * (self.num_groups + 1)
         self._seq = 0
         if full or self.pp.end_anchored:
             k = lambda p2: p2 if p2 == len(data) else None  # noqa: E731
         else:
             k = lambda p2: p2  # noqa: E731
-        end = self._body(data, pos, k)
+        try:
+            end = self._body(data, pos, k)
+        except RecursionError:
+            raise RegexError(
+                "backtracking recursion depth exceeded: a quantifier over "
+                "a capturing/backreferencing sub-pattern recurses once per "
+                "iteration (deterministic fixed-width bodies run "
+                "iteratively and are unaffected); shorten the input, "
+                "simplify the repeated body, or raise "
+                "sys.setrecursionlimit"
+            ) from None
         if end is None:
             return None
         groups = [(pos, end)] + [
@@ -303,11 +458,15 @@ class BacktrackProgram:
         return end, groups, lastindex
 
     def search_spans(self, data: bytes, start_at: int = 0):
-        """Leftmost match at/after ``start_at`` (None if none)."""
+        """Leftmost match at/after ``start_at`` (None if none).  One
+        ``max_steps`` budget covers the WHOLE search (all start
+        positions), so a bounded budget bounds total work, not
+        per-position work."""
+        self._steps = 0
         n = len(data)
         last = 0 if self.pp.start_anchored else n
         for s in range(start_at, min(last, n) + 1):
-            m = self.match_at(data, s)
+            m = self.match_at(data, s, _fresh_budget=False)
             if m is not None:
                 return (s,) + m
         return None

@@ -14,9 +14,10 @@ Supported syntax (byte-oriented):
   ``* + ? {m} {m,} {m,n}``, the pattern-prefix flags ``(?i)`` (ASCII case
   folding) and ``(?s)`` (DOTALL: ``.`` matches ``\\n``), word boundaries
   ``\\b``/``\\B`` (host Pike-VM path — see ``Bound``), absolute anchors
-  ``\\A``/``\\Z`` (host path — ``Anchor``), backreferences ``\\1``-``\\9``/
-  ``(?P=name)`` and lookaround ``(?=) (?!) (?<=) (?<!)`` (host backtracking
-  path — ``Backref``/``Look``, ``models/backtrack.py``), and whole-pattern
+  ``\\A``/``\\Z`` (host path — ``Anchor``), backreferences ``\\1``-``\\99``/
+  ``(?P=name)``, lookaround ``(?=) (?!) (?<=) (?<!)``, and conditionals
+  ``(?(id)yes|no)`` (host backtracking path — ``Backref``/``Look``/
+  ``Cond``, ``models/backtrack.py``), and whole-pattern
   anchors: a leading ``^`` pins
   the match to the start of the stream, a trailing ``$`` to its end (EOF
   acceptance is carried in ``CompiledDfa.accept_eof``).  Anchors apply to
@@ -45,6 +46,7 @@ __all__ = [
     "Bound",
     "Backref",
     "Look",
+    "Cond",
     "contains_bound",
     "contains_backtrack",
     "strip_assertions",
@@ -149,7 +151,7 @@ class Group:
 
 @dataclasses.dataclass(frozen=True)
 class Backref:
-    """Backreference ``\\1``-``\\9`` / ``(?P=name)`` — matches the exact
+    """Backreference ``\\1``-``\\99`` / ``(?P=name)`` — matches the exact
     bytes its group captured.  Not a regular language (classically: the
     copy language), so patterns containing one route to the host
     backtracking engine (``models/backtrack.py``,
@@ -157,6 +159,23 @@ class Backref:
     semantics; the DFA/NFA compilers refuse the node."""
 
     index: int
+    name: str | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Cond:
+    """Conditional ``(?(id)yes|no)`` / ``(?(name)yes|no)`` — matches the
+    ``yes`` branch if the referenced group has participated in the match so
+    far, the ``no`` branch (epsilon when absent) otherwise.  The branch
+    choice depends on runtime group state, so like ``Backref`` the pattern
+    routes to the host backtracking engine (``models/backtrack.py``) with
+    Python ``re`` semantics.  Numeric ids are validated against the FINAL
+    group count after the whole pattern parses (``(?(1)a|b)(x)`` is legal
+    in ``re`` — the condition is simply false at that point)."""
+
+    index: int
+    yes: object
+    no: object | None = None
     name: str | None = None
 
 
@@ -195,6 +214,10 @@ class _Parser:
         self.multiline = multiline
         self.ngroups = 0
         self.group_names: dict[str, int] = {}
+        #: numeric ``(?(N)...)`` references: (index, offset) pairs, checked
+        #: against the FINAL group count once the whole pattern has parsed
+        #: (``re`` allows a conditional to reference a later group)
+        self.cond_refs: list[tuple[int, int]] = []
 
     def lit(self, chars: frozenset) -> Lit:
         return Lit(_casefold(chars) if self.fold else chars)
@@ -316,6 +339,44 @@ class _Parser:
                         raise self.error("unbalanced (")
                     self.eat()
                     return Look(sub, behind, negate)
+                elif self.p[self.i : self.i + 2] == b"?(":
+                    # conditional (?(id)yes|no) — re semantics: at most one
+                    # top-level '|' (two branches), no-branch optional
+                    self.i += 2
+                    j = self.p.find(b")", self.i)
+                    if j < 0:
+                        raise self.error("unterminated conditional (?(id)")
+                    raw = self.p[self.i : j]
+                    name: str | None = None
+                    if raw.isdigit():
+                        idx = int(raw)
+                        if idx == 0:
+                            raise self.error("bad group number 0")
+                        # deferred: re validates numeric conditional refs
+                        # against the FINAL group count ((?(1)a|b)(x) is
+                        # legal; the condition is just false there)
+                        self.cond_refs.append((idx, self.i))
+                    elif not raw:
+                        raise self.error("missing group id in (?(id)")
+                    else:
+                        name = raw.decode("ascii", "replace")
+                        if name not in self.group_names:
+                            raise self.error(f"unknown group name {name!r}")
+                        idx = self.group_names[name]
+                    self.i = j + 1
+                    yes = self.parse_cat()
+                    no = None
+                    if self.peek() == ord("|"):
+                        self.eat()
+                        no = self.parse_cat()
+                    if self.peek() == ord("|"):
+                        raise self.error(
+                            "conditional backref with more than two branches"
+                        )
+                    if self.peek() != ord(")"):
+                        raise self.error("unbalanced (")
+                    self.eat()
+                    return Cond(idx, yes, no, name)
                 elif self.p[self.i : self.i + 3] == b"?P=":
                     self.i += 3
                     j = self.p.find(b")", self.i)
@@ -360,11 +421,28 @@ class _Parser:
                 return Anchor(chr(self.p[self.i - 1]))
             nc = self.p[self.i + 1 : self.i + 2]
             if nc.isdigit() and nc != b"0":
-                # \1-\9 backreference (atom context only; inside [...] the
-                # class parser still rejects it).  Python semantics: the
-                # group must already be open/closed to the LEFT
-                self.i += 2
-                idx = int(nc)
+                # \N / \NN backreference (atom context only; inside [...]
+                # the class parser still rejects it).  Exactly re's digit
+                # rule (sre_parse._escape): at most TWO digits form a group
+                # number, except when the escape is three octal digits —
+                # re reads that as an octal character escape, which this
+                # byte-oriented parser does not support (use \xNN); it
+                # raises rather than silently changing meaning.  The group
+                # must already be open/closed to the LEFT (re rejects
+                # forward plain backrefs too).
+                self.i += 1  # consume backslash; now at the first digit
+                digits = bytearray([self.eat()])
+                if self.peek() is not None and self.peek() in _DIGITS:
+                    digits.append(self.eat())
+                    _oct = frozenset(b"01234567")
+                    if (digits[0] in _oct and digits[1] in _oct
+                            and self.peek() is not None
+                            and self.peek() in _oct):
+                        raise self.error(
+                            "octal escapes (\\NNN) are not supported — "
+                            "use \\xNN"
+                        )
+                idx = int(bytes(digits))
                 if idx > self.ngroups:
                     raise self.error(f"invalid group reference {idx}")
                 return Backref(idx)
@@ -547,6 +625,11 @@ def parse_pattern(pattern: str | bytes) -> ParsedPattern:
     node = p.parse_alt()
     if p.i != len(data):
         raise p.error("unexpected )")
+    for idx, off in p.cond_refs:
+        if idx > p.ngroups:
+            raise RegexError(
+                f"invalid group reference {idx} at offset {off} in {data!r}"
+            )
     return ParsedPattern(
         node=node,
         start_anchored=start_anchored,
@@ -647,11 +730,12 @@ def _build(nfa: EpsNfa, node) -> tuple[int, int]:
             "on the next byte); such patterns run on the host-verified "
             "path: search/match/fullmatch/finditer"
         )
-    if isinstance(node, (Backref, Look)):
+    if isinstance(node, (Backref, Look, Cond)):
         raise RegexError(
-            "backreferences and lookaround are not regular languages and "
-            "cannot compile to the device DFA/NFA engines; such patterns "
-            "run on the host backtracking engine: search/match/fullmatch/"
+            "backreferences, lookaround, and conditionals are not regular "
+            "languages (or depend on runtime group state) and cannot "
+            "compile to the device DFA/NFA engines; such patterns run on "
+            "the host backtracking engine: search/match/fullmatch/"
             "finditer (api.compile_regex routes them automatically)"
         )
     raise TypeError(node)
@@ -801,14 +885,19 @@ def contains_bound(node) -> bool:
         return any(contains_bound(o) for o in node.options)
     if isinstance(node, (Rep, Group)):
         return contains_bound(node.node)
+    if isinstance(node, Cond):
+        return contains_bound(node.yes) or (
+            node.no is not None and contains_bound(node.no)
+        )
     return False
 
 
 def contains_backtrack(node) -> bool:
-    """True if the AST contains a backreference or lookaround — features
-    outside the regular languages (or outside streaming-DFA expressibility),
-    routed to the host backtracking engine (``api.HostBacktrackMatcher``)."""
-    if isinstance(node, (Backref, Look)):
+    """True if the AST contains a backreference, lookaround, or conditional
+    — features outside the regular languages (or outside streaming-DFA
+    expressibility), routed to the host backtracking engine
+    (``api.HostBacktrackMatcher``)."""
+    if isinstance(node, (Backref, Look, Cond)):
         return True
     if isinstance(node, Cat):
         return any(contains_backtrack(p) for p in node.parts)
@@ -833,6 +922,12 @@ def strip_assertions(node):
         return Alt(tuple(strip_assertions(o) for o in node.options))
     if isinstance(node, (Rep, Group)):
         return dataclasses.replace(node, node=strip_assertions(node.node))
+    if isinstance(node, Cond):
+        return dataclasses.replace(
+            node,
+            yes=strip_assertions(node.yes),
+            no=None if node.no is None else strip_assertions(node.no),
+        )
     return node
 
 
@@ -850,6 +945,10 @@ def nullable(node) -> bool:
         return node.lo == 0 or nullable(node.node)
     if isinstance(node, Group):
         return nullable(node.node)
+    if isinstance(node, Cond):
+        # conservative: nullable if EITHER branch is (branch choice depends
+        # on runtime group state the static analysis cannot see)
+        return nullable(node.yes) or node.no is None or nullable(node.no)
     return True  # Bound / Anchor
 
 
@@ -865,6 +964,10 @@ def contains_lazy(node) -> bool:
         return any(contains_lazy(o) for o in node.options)
     if isinstance(node, Group):
         return contains_lazy(node.node)
+    if isinstance(node, Cond):
+        return contains_lazy(node.yes) or (
+            node.no is not None and contains_lazy(node.no)
+        )
     return False
 
 
@@ -928,6 +1031,8 @@ def _req_lit(node) -> tuple[bytes | None, bytes | None]:
         if len(node.options) == 1:
             return _req_lit(node.options[0])
         return None, None  # no guarantee common to all branches (MVP)
+    if isinstance(node, Cond):
+        return None, None  # branch depends on runtime group state
     if isinstance(node, Rep):
         b, e = _req_lit(node.node)
         if node.lo == 0:

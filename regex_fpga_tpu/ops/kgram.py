@@ -42,7 +42,21 @@ __all__ = [
     "dfa_scan_mask2",
     "kgram_step_cost",
     "choose_kgram_level",
+    "choose_scan_level",
+    "KGRAM_MAX_STATES",
 ]
+
+#: Measured k-gram vs k=1 engine crossover (v5e size sweep, BENCH_r03):
+#: k-gram counting wins 1.1-2.6x up to S~107 but loses at every measured
+#: point above (0.36 vs 0.48 GB/s @ S=213, 0.21 vs 0.27 @ S=440, 0.06 vs
+#: 0.16 @ S=836) — the padded table widths (packed S / unpacked 2S /
+#: byte-split 3S) cross their first extra 128-lane tile while the composed
+#: class count C_k grows per level, and the unmodeled per-step costs
+#: (int16 class-stream gather, host prescan) scale the same way.  Shared
+#: by ``api.DfaMatcher._kgram``/``_ensure_mask2`` and
+#: ``choose_scan_level`` so the model and the gate cannot disagree
+#: (r3 verdict weak #6).
+KGRAM_MAX_STATES = 128
 
 
 def kgram_step_cost(s: int, c_l: int, lv: int) -> float:
@@ -82,11 +96,33 @@ def kgram_step_cost(s: int, c_l: int, lv: int) -> float:
 
 
 def choose_kgram_level(s: int, level_classes: list[int]) -> int:
-    """Cheapest level >= 1 under ``kgram_step_cost`` (bench + callers that
-    already committed to the k-gram engine)."""
+    """Cheapest level >= 1 under ``kgram_step_cost`` — ONLY for callers
+    that already committed to the k-gram engine (e.g. the bench sweep
+    measuring the k-gram curve for the record).  For the real engine
+    choice use ``choose_scan_level``, which includes the measured k=1
+    crossover gate."""
     costs = [kgram_step_cost(s, c_l, lv)
              for lv, c_l in enumerate(level_classes)]
     return int(np.argmin(costs[1:])) + 1
+
+
+def choose_scan_level(s: int, level_classes: list[int] | None = None) -> int:
+    """Engine choice for a COUNTING scan: 0 = the k=1 counts engine,
+    ``lv >= 1`` = the k-gram engine at that level.
+
+    Folds the MEASURED gate on top of the padded-tile model: above
+    ``KGRAM_MAX_STATES`` the k-gram engine loses at every benched size
+    even where raw tile arithmetic narrowly favors it (the model's
+    admitted blind spots — int16 class-stream gather, host prescan — all
+    scale against k-gram), so the answer is 0 regardless of
+    ``level_classes``.  At or below the gate the cheapest level under
+    ``kgram_step_cost`` wins, INCLUDING level 0 when the model says the
+    k=1 engine is already cheapest (degenerate class structures)."""
+    if s > KGRAM_MAX_STATES or not level_classes:
+        return 0
+    costs = [kgram_step_cost(s, c_l, lv)
+             for lv, c_l in enumerate(level_classes)]
+    return int(np.argmin(costs))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,12 +14,14 @@ Semantics differences vs ``re`` (inherent to DFA matching):
     recovered host-side per match — ``models/captures.py``); WITHIN the
     fixed leftmost-longest span, group assignment is greedy like ``re``, so
     results agree whenever ``re`` picks the same span.  Backreferences
-    (``\\1``-``\\9``, ``(?P=name)``) and lookaround (``(?=)`` ``(?!)``
-    ``(?<=)`` ``(?<!)``) ARE supported — such patterns run the host
-    backtracking engine (``api.HostBacktrackMatcher``) with exact Python
-    ``re`` semantics (leftmost-first, fixed-width lookbehind), and their
-    device-throughput extras raise; ``\\1``/``\\g<name>`` in ``sub``
-    REPLACEMENT templates are supported everywhere;
+    (``\\1``-``\\99``, ``(?P=name)``), lookaround (``(?=)`` ``(?!)``
+    ``(?<=)`` ``(?<!)``), and conditionals (``(?(id)yes|no)``) ARE
+    supported — such patterns run the host backtracking engine
+    (``api.HostBacktrackMatcher``) with exact Python ``re`` semantics
+    (leftmost-first, fixed-width lookbehind), and their device-throughput
+    extras raise; ``compile(..., max_steps=N)`` opts into a
+    catastrophic-backtracking budget for them; ``\\1``/``\\g<name>`` in
+    ``sub`` REPLACEMENT templates are supported everywhere;
   * ``\\b``/``\\B`` word boundaries ARE supported — such patterns run on the
     host Pike VM (``api.HostRegexMatcher``; same leftmost-longest spans);
     their device-throughput extras (``Pattern.scan``/``count``) raise;
@@ -177,7 +179,8 @@ def _expand(template: bytes, m: Match) -> bytes:
 class Pattern:
     """Compiled pattern wrapper; see module docstring for semantics."""
 
-    def __init__(self, pattern: str | bytes, flags: int = 0):
+    def __init__(self, pattern: str | bytes, flags: int = 0,
+                 max_steps: int | None = None):
         if flags & ~(IGNORECASE | DOTALL | MULTILINE | VERBOSE):
             raise ValueError(
                 f"unsupported flags {flags:#x}: only IGNORECASE, DOTALL, "
@@ -195,7 +198,11 @@ class Pattern:
             pat = b"(?i)" + pat
         self.pattern = pattern
         self.flags = flags
-        self._m: DfaMatcher = compile_regex(pat)
+        #: ``max_steps`` (engine extra, keyword-only via compile): bounds
+        #: the BACKTRACKING engine's per-search work; exceeding it raises
+        #: ``models.backtrack.BacktrackLimitExceeded`` (a subclass of
+        #: ``error``).  No effect on the linear-time DFA/Pike-VM routes.
+        self._m: DfaMatcher = compile_regex(pat, max_steps=max_steps)
 
     @property
     def groups(self) -> int:
@@ -300,12 +307,16 @@ class Pattern:
 
 
 @functools.lru_cache(maxsize=512)
-def _compile_cached(pattern, flags: int) -> Pattern:
-    return Pattern(pattern, flags)
+def _compile_cached(pattern, flags: int, max_steps: int | None) -> Pattern:
+    return Pattern(pattern, flags, max_steps=max_steps)
 
 
-def compile(pattern, flags: int = 0) -> Pattern:  # noqa: A001 (re parity)
-    return _compile_cached(pattern, flags)
+def compile(pattern, flags: int = 0,  # noqa: A001 (re parity)
+            max_steps: int | None = None) -> Pattern:
+    """``re.compile`` equivalent.  ``max_steps`` (engine extra): opt-in
+    catastrophic-backtracking budget for backreference/lookaround/
+    conditional patterns — see ``Pattern``."""
+    return _compile_cached(pattern, flags, max_steps)
 
 
 def purge() -> None:

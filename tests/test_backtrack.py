@@ -31,6 +31,14 @@ DIRECTED = [
     (r"^(a+)\1$", "aaaa"),
     (r"^(a+)\1$", "aaa"),
     (r"(ab|a)(?=b)", "abb ab"),
+    # conditionals (?(id)yes|no) — branch on group participation
+    (r"(a)?(?(1)b|c)", "ab c abc ac"),
+    (r"(a)?(?(1)b)", "ab x b"),
+    (r"(?P<g>x)?(?(g)y|z)", "xy z xz y"),
+    (r"(?(1)a|b)(x)", "bx ax abx"),
+    (r"(<)?\w+(?(1)>)", "<tag> word <open"),
+    (r"(a)?(?(1)|c)x", "ax cx x"),
+    (r"(a)(b)?(?(2)c|d)", "abc ad abd ac"),
 ]
 
 
@@ -171,6 +179,135 @@ def test_finditer_arrays_on_host_matchers():
         arr = m.finditer_arrays(text)
         assert arr.shape == (n, 2)
         assert arr.tolist() == [list(s) for s in m.finditer(text)]
+
+
+def test_conditional_fuzz_vs_re():
+    """Fuzz (?(id)yes|no) against re: random optional-group prefixes and
+    conditional bodies over a tiny alphabet."""
+    rnd = np.random.default_rng(11)
+    prefixes = ["(a)?", "(b)?", "(?P<n>a)?", "(a|b)?", "(ab)?"]
+    conds = ["(?(1)b|c)", "(?(1)b)", "(?(1)|c)", "(?(1)a+|c?)",
+             "(?(1)(?:b|c)|a)"]
+    named_conds = ["(?(n)b|c)", "(?(n)b)"]
+    checked = 0
+    for _ in range(200):
+        pre = prefixes[int(rnd.integers(0, len(prefixes)))]
+        cond = (named_conds[int(rnd.integers(0, 2))] if "?P<n>" in pre
+                else conds[int(rnd.integers(0, len(conds)))])
+        mid = "".join("abc"[int(i)] for i in rnd.integers(0, 3, int(rnd.integers(0, 3))))
+        pat = pre + mid + cond
+        rx = re.compile(pat)
+        m = api.compile_regex(pat)
+        assert isinstance(m, api.HostBacktrackMatcher)
+        text = "".join("ab c"[int(i)] for i in rnd.integers(0, 4, 24))
+        got = m.finditer(text.encode())
+        want = [mm.span() for mm in rx.finditer(text)]
+        assert got == want, (pat, text, got, want)
+        wm = rx.search(text)
+        if wm:
+            gm = m.search(text.encode())
+            assert gm.groups() == tuple(
+                None if g is None else g.encode() for g in wm.groups()
+            ), (pat, text)
+        checked += 1
+    assert checked == 200
+
+
+def test_conditional_errors_match_re():
+    # validated against the FINAL group count: later groups are fine,
+    # out-of-range numbers / unknown names / >2 branches are errors
+    assert api.compile_regex(r"(?(1)a|b)(x)").finditer(b"bx") == [(0, 2)]
+    with pytest.raises(RegexError):
+        api.compile_regex(r"(?(2)a|b)(x)")
+    with pytest.raises(RegexError):
+        api.compile_regex(r"(?(1)y|n)")  # no groups at all
+    with pytest.raises(RegexError):
+        api.compile_regex(r"(?(1)a|b|c)(x)")  # three branches
+    with pytest.raises(RegexError):
+        api.compile_regex(r"(?(name)a|b)")  # unknown group name
+
+
+def test_multidigit_backrefs_vs_re():
+    # \10 and up: two digits form the group number, exactly as re
+    pat = "".join(f"({c})" for c in "abcdefghijk") + r"\11"
+    assert api.compile_regex(pat).finditer(b"abcdefghijkk") == [
+        mm.span() for mm in re.finditer(pat, "abcdefghijkk")
+    ]
+    with pytest.raises(RegexError):
+        api.compile_regex(r"(a)\12")  # invalid group reference 12 (as re)
+    with pytest.raises(RegexError):
+        api.compile_regex(r"(a)\19")  # 9 not octal -> group 19 -> invalid
+    with pytest.raises(RegexError):
+        # re reads \123 as an OCTAL escape; this byte parser refuses octal
+        # escapes (never silently literal) instead of matching chr(0o123)
+        api.compile_regex(r"(a)\123")
+
+
+def test_lookaround_capture_no_leak_into_siblings():
+    """r3 advisor: captures from a successful positive lookaround must be
+    rolled back when the enclosing branch later fails (re parity)."""
+    for pat, text in [
+        (r"(?=(a))b|(.)", "a"),
+        (r"(?=(a))ax|(a)y", "ay"),
+        (r"((?<=(a))x|.)", "bx"),
+        (r"(?=(a+))\1b|(a)", "aa"),
+    ]:
+        gm = api.compile_regex(pat).search(text.encode())
+        wm = re.search(pat, text)
+        assert (gm is None) == (wm is None), (pat, text)
+        if wm:
+            assert gm.groups() == tuple(
+                None if g is None else g.encode() for g in wm.groups()
+            ), (pat, text)
+
+
+def test_repeated_complex_body_is_iterative():
+    """r3 advisor: Rep over a deterministic fixed-width body must not
+    recurse per iteration (RecursionError on kilobyte inputs)."""
+    text = "ab" * 600 + "x"
+    m = api.compile_regex(r"((?:ab)+)\1")
+    w = re.search(r"((?:ab)+)\1", text)
+    g = m.search(text.encode())
+    assert g.span() == w.span() == (0, 1200)
+    # equal-width alternation bodies take the iterative path too
+    text2 = "foobarfoo" * 300 + "!"
+    m2 = api.compile_regex(r"((?:foo|bar)+)!\Z")
+    w2 = re.search(r"((?:foo|bar)+)!\Z", text2)
+    assert m2.search(text2.encode()).span() == w2.span()
+    # a truly non-deterministic body still backtracks correctly (small n)
+    m3 = api.compile_regex(r"((a+)b)+\2")
+    w3 = re.search(r"((a+)b)+\2", "aabab a")
+    g3 = m3.search(b"aabab a")
+    assert (g3 is None) == (w3 is None)
+    if w3:
+        assert g3.span() == w3.span()
+
+
+def test_max_steps_bounds_redos():
+    """Opt-in step budget turns catastrophic backtracking into a prompt
+    BacktrackLimitExceeded; default (None) stays unlimited."""
+    import time
+
+    from regex_fpga_tpu.models.backtrack import BacktrackLimitExceeded
+
+    m = api.compile_regex(r"(a+)+b(?=x)", max_steps=200_000)
+    t0 = time.monotonic()
+    with pytest.raises(BacktrackLimitExceeded):
+        m.search(b"a" * 64)
+    assert time.monotonic() - t0 < 10.0
+    # benign inputs under the same budget still match
+    assert m.search(b"aaabx").span() == (0, 4)
+    # the budget is per-search: a second search gets a fresh allowance
+    assert m.search(b"aabx aaabx").span() == (0, 3)
+    # BacktrackLimitExceeded is a RegexError (catchable as engine error)
+    assert issubclass(BacktrackLimitExceeded, RegexError)
+    # re_compat passthrough
+    from regex_fpga_tpu import re_compat as re2
+
+    p = re2.compile(r"(a+)+b(?=x)", max_steps=100_000)
+    with pytest.raises(BacktrackLimitExceeded):
+        p.search("a" * 64)
+    assert p.search("aabx").group() == b"aab"
 
 
 def test_absolute_anchors_A_Z_vs_re():

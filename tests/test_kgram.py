@@ -197,6 +197,34 @@ def test_step_cost_routes_and_level_choice():
     assert choose_kgram_level(836, [36, 175, 753]) == 1
 
 
+def test_choose_scan_level_agrees_with_measured_gate():
+    """r3 verdict #9: the ENGINE chooser and the API's S-gate are one
+    constant — the model must never pick a k-gram level at a size where
+    the measured sweep shows k=1 winning (S=213/440/836 all lost in
+    BENCH_r03), and must keep the measured k-gram wins below the gate."""
+    from regex_fpga_tpu.ops.kgram import (
+        KGRAM_MAX_STATES, choose_scan_level,
+    )
+
+    assert KGRAM_MAX_STATES == 128
+    # measured k-gram WINNER (tokenizer, S=23) stays k-gram at level 2
+    assert choose_scan_level(23, [10, 41, 221]) == 2
+    # every measured k-gram LOSER routes to the k=1 engine
+    assert choose_scan_level(213, [31, 120, 335]) == 0
+    assert choose_scan_level(440, [34, 150, 500]) == 0
+    assert choose_scan_level(836, [36, 175, 753]) == 0
+    # degenerate inputs: no level info -> k=1
+    assert choose_scan_level(23, None) == 0
+    assert choose_scan_level(23, []) == 0
+    # the api gate and the model share the constant (no drift possible)
+    import inspect
+
+    from regex_fpga_tpu import api
+
+    src = inspect.getsource(api.DfaMatcher._kgram)
+    assert "KGRAM_MAX_STATES" in src
+
+
 def test_count_falls_back_to_k1_above_crossover():
     """DfaMatcher.count must use the k=1 counts engine for S > 128 (the
     measured engine crossover) and still equal scan().total."""
