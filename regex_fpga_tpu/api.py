@@ -1845,6 +1845,75 @@ class SnortReport:
         return [a.sid for a in self.alerts[stream] if a.sid is not None]
 
 
+#: byte_test comparison operators (Snort: ``&``/``^`` are true when the
+#: bitwise result is non-zero)
+_BYTE_OPS = {
+    "<": lambda v, x: v < x,
+    ">": lambda v, x: v > x,
+    "=": lambda v, x: v == x,
+    "<=": lambda v, x: v <= x,
+    ">=": lambda v, x: v >= x,
+    "&": lambda v, x: (v & x) != 0,
+    "^": lambda v, x: (v ^ x) != 0,
+}
+
+
+def _byte_convert(raw: bytes, pos: int, op) -> tuple[int, int] | None:
+    """Read + convert ``op.count`` bytes at ``pos`` per byte_test/byte_jump
+    conversion rules: binary big/little endian, or ``string`` (ASCII
+    digits in ``op.base``, ``strtoul``-style — leading spaces and an
+    optional sign, stop at the first non-digit; no digits = fail).
+    Returns (value, read_end) or None when the read falls outside the
+    payload."""
+    n = len(raw)
+    if op.string:
+        if pos < 0 or pos >= n:
+            return None
+        end = min(pos + op.count, n)
+        i = pos
+        while i < end and raw[i] in b" \t":
+            i += 1
+        sign = 1
+        if i < end and raw[i] in b"+-":
+            sign = -1 if raw[i] == 0x2D else 1
+            i += 1
+        v, start_digits = 0, i
+        while i < end:
+            try:
+                d = int(chr(raw[i]), op.base)
+            except ValueError:
+                break
+            v = v * op.base + d
+            i += 1
+        if i == start_digits:
+            return None
+        return sign * v, end
+    if pos < 0 or pos + op.count > n:
+        return None
+    return int.from_bytes(raw[pos : pos + op.count], op.endian), pos + op.count
+
+
+def _apply_bitmask(v: int, mask: int) -> int:
+    """AND with ``mask`` then right-shift by its trailing zero count
+    (Snort bitmask semantics)."""
+    v &= mask
+    return v >> ((mask & -mask).bit_length() - 1)
+
+
+#: rule options the pipeline ENFORCES (affect matching and are applied)
+_MATCH_ENFORCED_OPTS = frozenset({
+    "content", "nocase", "offset", "depth", "distance", "within", "pcre",
+    "byte_test", "byte_jump",
+})
+#: options that do not constrain MATCHING on a payload stream (labels,
+#: bookkeeping) — a rule carrying only these + enforced options is fully
+#: enforced
+_METADATA_OPTS = frozenset({
+    "msg", "sid", "rev", "gid", "classtype", "reference", "metadata",
+    "priority", "service", "rem", "target",
+})
+
+
 class SnortMatcher:
     """Snort-rules scanner: device AC prefilter + host per-rule verify.
 
@@ -1855,9 +1924,13 @@ class SnortMatcher:
     Snort uses — reach stage 2, which checks ordered occurrence WITH the
     positional modifiers ``offset``/``depth``/``distance``/``within``
     enforced (backtracking across occurrences), negated-content absence
-    (stream-wide, or window-scoped when positionally constrained), and the
-    rule's ``pcre`` via the framework's own DFA compiler
-    (``models/snort.py`` documents the supported subset)."""
+    (stream-wide, or window-scoped when positionally constrained),
+    ``byte_test``/``byte_jump`` span arithmetic (binary/string
+    conversion, relative anchoring, bitmask/multiplier/align — the
+    verify-program walk in ``_verify``), and the rule's ``pcre`` via the
+    framework's own DFA compiler (``models/snort.py`` documents the
+    supported subset).  ``enforcement_report()`` classifies every rule as
+    fully enforced vs partially (content/pcre-only) verified."""
 
     def __init__(self, rules, config: EngineConfig = DEFAULT_CONFIG):
         from .models.snort import SnortRule  # noqa: F401 (typing only)
@@ -1956,44 +2029,89 @@ class SnortMatcher:
         return bool(accept[s] or eof[s])
 
     def _verify(self, idx: int, raw: bytes, low: bytes) -> bool:
-        """Ordered-occurrence check with the positional content modifiers
-        ENFORCED (``models/snort.py``): ``offset``/``depth`` window the
+        """Ordered-occurrence check over the rule's VERIFY PROGRAM
+        (``SnortRule.verify_ops``: contents + byte_test/byte_jump in rule
+        order) with the positional content modifiers ENFORCED
+        (``models/snort.py``): ``offset``/``depth`` window the
         search absolutely — anchored to PAYLOAD START, independent of the
         ordered-walk cursor, depth measured from offset (Snort semantics);
         ``distance``/``within`` window it relative to the previous content
         match's end (``within`` bounds the current match's END).  Negated
         contents assert absence — stream-wide by default, inside their
-        window when positionally constrained.  Fuzz-validated against a
-        brute-force all-assignments oracle
+        window when positionally constrained.  ``byte_test`` is a
+        zero-width predicate on converted payload bytes (cursor
+        unchanged); ``byte_jump`` converts, scales, aligns, and MOVES the
+        cursor — out-of-payload reads or jump targets fail the rule.
+        Fuzz-validated against a brute-force all-assignments oracle
         (``tests/test_snort.py::test_verify_fuzz_vs_bruteforce_oracle``).
 
         The walk BACKTRACKS over occurrences of content ``i`` ONLY when a
-        later content is positioned relative to it (``distance``/``within``
-        somewhere after ``i``): there the occurrence choice matters (greedy
-        first-occurrence would wrongly refuse e.g. ``content:"A";
-        content:"B"; within:3;`` on ``b"A....A..B"``), and the windows
-        bound the retry cost.  When no later content is relative, the
-        earliest occurrence is provably optimal (every later content
-        searches FROM the previous match end, so an earlier end only
-        widens its window) and the walk stays greedy — this also keeps the
-        verify stage LINEAR on attacker-controlled payloads (unbounded
-        backtracking measured quadratic: 5 s on a 160 KB crafted packet)."""
-        contents = self.rules[idx].contents
+        later op is positioned relative to it (``distance``/``within`` on
+        a content, ``relative`` on a byte op, somewhere after ``i``):
+        there the occurrence choice matters (greedy first-occurrence would
+        wrongly refuse e.g. ``content:"A"; content:"B"; within:3;`` on
+        ``b"A....A..B"``), and the windows bound the retry cost.  When no
+        later op is relative, the earliest occurrence is provably optimal
+        (every later content searches FROM the previous match end, so an
+        earlier end only widens its window) and the walk stays greedy —
+        this also keeps the verify stage LINEAR on attacker-controlled
+        payloads (unbounded backtracking measured quadratic: 5 s on a
+        160 KB crafted packet)."""
+        from .models.snort import ByteJump, ByteTest
+
+        rule = self.rules[idx]
+        contents = rule.verify_ops or rule.contents
         n = len(raw)
-        # later_relative[i]: some content at index >= i is distance/within-
-        # anchored; queried at [ci + 1] to ask "does any LATER content
-        # depend on where content ci matched?"
+        # later_relative[i]: some op at index >= i anchors to the cursor
+        # (distance/within content, or a relative byte op); queried at
+        # [ci + 1] to ask "does any LATER op depend on where op ci ended?"
         later_relative = [False] * (len(contents) + 1)
         for i in range(len(contents) - 1, -1, -1):
             c = contents[i]
-            later_relative[i] = later_relative[i + 1] or (
-                c.distance is not None or c.within is not None
-            )
+            rel = (c.relative if isinstance(c, (ByteTest, ByteJump))
+                   else (c.distance is not None or c.within is not None))
+            later_relative[i] = later_relative[i + 1] or rel
 
         def ok_from(ci: int, prev_end: int) -> bool:
             if ci == len(contents):
                 return True
             c = contents[ci]
+            if isinstance(c, ByteTest):
+                got = _byte_convert(raw, (prev_end if c.relative else 0)
+                                    + c.offset, c)
+                if got is None:
+                    return False
+                v, _ = got
+                if c.bitmask is not None:
+                    v = _apply_bitmask(v, c.bitmask)
+                res = _BYTE_OPS[c.op](v, c.value)
+                if c.negate:
+                    res = not res
+                return bool(res) and ok_from(ci + 1, prev_end)
+            if isinstance(c, ByteJump):
+                pos = (prev_end if c.relative else 0) + c.offset
+                if c.count == 0:
+                    v, read_end = 0, pos
+                else:
+                    got = _byte_convert(raw, pos, c)
+                    if got is None:
+                        return False
+                    v, read_end = got
+                if c.bitmask is not None:
+                    v = _apply_bitmask(v, c.bitmask)
+                v *= c.multiplier
+                if c.align:
+                    v = (v + 3) & ~3
+                if c.from_beginning:
+                    target = v
+                elif c.from_end:
+                    target = n + v
+                else:
+                    target = read_end + v
+                target += c.post_offset
+                if target < 0 or target > n:
+                    return False
+                return ok_from(ci + 1, target)
             hay = low if c.nocase else raw
             needle = c.pattern.lower() if c.nocase else c.pattern
             relative = c.distance is not None or c.within is not None
@@ -2048,6 +2166,60 @@ class SnortMatcher:
             return False
 
         return ok_from(0, 0)
+
+    def enforcement_report(self) -> dict:
+        """Per-rule enforcement coverage: which rules this pipeline fully
+        enforces vs verifies partially (content/pcre only), and why.
+
+        ``status`` per rule: ``"enforced"`` — every match-constraining
+        option is applied (byte ops parsed into the verify program, pcre
+        compiled into the engine subset); ``"partial"`` — some match
+        constraint is not applied (names in ``unenforced_options``,
+        byte ops whose modifiers fell outside the parsed subset in
+        ``byte_ops_unparsed``, or a pcre outside the compiler subset).
+        Metadata options (msg/sid/rev/classtype/reference/...) never
+        affect matching and don't count against a rule."""
+        from .models.snort import ByteJump, ByteTest
+
+        rows = []
+        for i, r in enumerate(self.rules):
+            unenforced = sorted({
+                nm for nm, _ in r.options
+                if nm not in _MATCH_ENFORCED_OPTS
+                and nm not in _METADATA_OPTS
+            })
+            n_byte_opts = sum(
+                1 for nm, _ in r.options if nm in ("byte_test", "byte_jump")
+            )
+            n_byte_ops = sum(
+                1 for o in (r.verify_ops or ())
+                if isinstance(o, (ByteTest, ByteJump))
+            )
+            byte_unparsed = n_byte_opts - n_byte_ops
+            pcre_state = "none"
+            if r.pcre is not None:
+                pcre_state = ("enforced" if self._pcre_tables(i) is not None
+                              else "outside-subset")
+            full = (not unenforced and byte_unparsed == 0
+                    and pcre_state != "outside-subset")
+            rows.append({
+                "rule": i,
+                "sid": r.sid,
+                "status": "enforced" if full else "partial",
+                "unenforced_options": unenforced,
+                "byte_ops_unparsed": byte_unparsed,
+                "pcre": pcre_state,
+            })
+        summary = {
+            "total": len(rows),
+            "enforced": sum(r["status"] == "enforced" for r in rows),
+            "partial": sum(r["status"] == "partial" for r in rows),
+            "pcre_outside_subset": sum(
+                r["pcre"] == "outside-subset" for r in rows
+            ),
+            "byte_ops_unparsed": sum(r["byte_ops_unparsed"] for r in rows),
+        }
+        return {"rules": rows, "summary": summary}
 
     def scan(self, data) -> SnortReport:
         streams = _as_streams(data)

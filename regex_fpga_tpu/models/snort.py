@@ -24,12 +24,18 @@ Supported + ENFORCED rule options: ``msg``, ``sid``, ``content`` (with
 ``|hex|`` escapes, ``!`` negation, the ``nocase`` modifier, and the
 positional modifiers ``offset``/``depth`` — absolute window from payload
 start — and ``distance``/``within`` — window relative to the previous
-content match's end), ``pcre``.  The verifier backtracks across content
-occurrences, so a rule matches whenever ANY assignment of occurrences
-satisfies every window (greedy-first would wrongly refuse some rules).
-Remaining options (byte_test, flow, http_* buffers, …) are preserved in
+content match's end), ``pcre``, and the byte-level options ``byte_test``
+and ``byte_jump`` (binary big/little-endian and ``string`` decimal/hex/oct
+conversion, ``relative``, ``bitmask``, and byte_jump's ``multiplier``/
+``align``/``from_beginning``/``from_end``/``post_offset`` — pure host span
+arithmetic in the ordered verify walk, ``api.SnortMatcher._verify``).  The
+verifier backtracks across content occurrences, so a rule matches whenever
+ANY assignment of occurrences satisfies every window (greedy-first would
+wrongly refuse some rules).  Remaining options (flow, http_* buffers,
+``dce`` byte ops, byte_extract variables, …) are preserved in
 ``SnortRule.options`` but not enforced — this is a stream scanner, not a
-full packet IDS.
+full packet IDS; ``api.SnortMatcher.enforcement_report()`` says per rule
+which category it landed in.
 """
 
 from __future__ import annotations
@@ -39,6 +45,8 @@ import re as _pyre
 
 __all__ = [
     "SnortContent",
+    "ByteTest",
+    "ByteJump",
     "SnortRule",
     "parse_snort_rules",
     "load_snort_rules",
@@ -63,6 +71,168 @@ class SnortContent:
 
 
 @dataclasses.dataclass(frozen=True)
+class ByteTest:
+    """``byte_test:<count>,<op>,<value>,<offset>[,mods]`` — read ``count``
+    bytes at ``offset`` (absolute, or relative to the previous content
+    match's end), convert (binary big/little endian, or ASCII ``string``
+    in ``base``), optionally AND+shift by ``bitmask``, and compare against
+    ``value``.  Zero-width: the verify cursor does not move.  A read past
+    either payload edge fails the rule (Snort semantics)."""
+
+    count: int
+    op: str               # '<' '>' '=' '<=' '>=' '&' '^'
+    negate: bool
+    value: int
+    offset: int
+    relative: bool = False
+    endian: str = "big"   # "big" | "little"
+    string: bool = False
+    base: int = 10        # 10 | 16 | 8 (string conversion)
+    bitmask: int | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class ByteJump:
+    """``byte_jump:<count>,<offset>[,mods]`` — read ``count`` bytes at
+    ``offset`` (absolute or ``relative``), convert like ``ByteTest``,
+    apply ``bitmask`` then ``multiplier`` then ``align`` (round up to a
+    4-byte boundary), and move the verify cursor to
+    ``read_end + value + post_offset`` (or payload start/end +
+    ``value + post_offset`` under ``from_beginning``/``from_end``).
+    A cursor landing outside the payload fails the rule."""
+
+    count: int
+    offset: int
+    relative: bool = False
+    multiplier: int = 1
+    endian: str = "big"
+    string: bool = False
+    base: int = 10
+    align: bool = False
+    from_beginning: bool = False
+    from_end: bool = False
+    post_offset: int = 0
+    bitmask: int | None = None
+
+
+def _int_tok(s: str) -> int:
+    s = s.strip()
+    neg = s.startswith("-")
+    t = s[1:] if neg else s
+    v = int(t, 16) if t.lower().startswith("0x") else int(t, 10)
+    return -v if neg else v
+
+
+def parse_byte_test(val: str) -> ByteTest | None:
+    """Parse a ``byte_test`` option value; None when outside the enforced
+    subset (``dce``, byte_extract variables, unknown modifiers) — the rule
+    then stays content/pcre-verified and ``enforcement_report`` flags it."""
+    parts = [p.strip() for p in val.split(",")]
+    if len(parts) < 4:
+        return None
+    try:
+        count = int(parts[0])
+        op = parts[1]
+        negate = op.startswith("!")
+        if negate:
+            op = op[1:] or "="
+        if op not in ("<", ">", "=", "<=", ">=", "&", "^"):
+            return None
+        value = _int_tok(parts[2])
+        offset = _int_tok(parts[3])
+    except ValueError:
+        return None
+    relative, endian, string, base, bitmask = False, "big", False, 10, None
+    for mraw in parts[4:]:
+        m = mraw.lower()
+        if m == "relative":
+            relative = True
+        elif m in ("big", "little"):
+            endian = m
+        elif m == "string":
+            string = True
+        elif m in ("hex", "dec", "oct"):
+            base = {"hex": 16, "dec": 10, "oct": 8}[m]
+        elif m.startswith("bitmask"):
+            toks = mraw.split()
+            if len(toks) != 2:
+                return None
+            try:
+                bitmask = _int_tok(toks[1])
+            except ValueError:
+                return None
+            if bitmask <= 0:
+                return None
+        else:
+            return None  # dce / byte_extract var / unknown: unenforced
+    if not (1 <= count <= (10 if string else 4)):
+        return None
+    return ByteTest(count=count, op=op, negate=negate, value=value,
+                    offset=offset, relative=relative, endian=endian,
+                    string=string, base=base, bitmask=bitmask)
+
+
+def parse_byte_jump(val: str) -> ByteJump | None:
+    """Parse a ``byte_jump`` option value; None when outside the enforced
+    subset (see ``parse_byte_test``)."""
+    parts = [p.strip() for p in val.split(",")]
+    if len(parts) < 2:
+        return None
+    try:
+        count = int(parts[0])
+        offset = _int_tok(parts[1])
+    except ValueError:
+        return None
+    relative = string = align = from_beginning = from_end = False
+    endian, base, multiplier, post_offset, bitmask = "big", 10, 1, 0, None
+    for mraw in parts[2:]:
+        m = mraw.lower()
+        if m == "relative":
+            relative = True
+        elif m in ("big", "little"):
+            endian = m
+        elif m == "string":
+            string = True
+        elif m in ("hex", "dec", "oct"):
+            base = {"hex": 16, "dec": 10, "oct": 8}[m]
+        elif m == "align":
+            align = True
+        elif m == "from_beginning":
+            from_beginning = True
+        elif m == "from_end":
+            from_end = True
+        elif m.startswith(("multiplier", "post_offset", "bitmask")):
+            toks = mraw.split()
+            if len(toks) != 2:
+                return None
+            try:
+                v = _int_tok(toks[1])
+            except ValueError:
+                return None
+            if toks[0].lower() == "multiplier":
+                if v <= 0:
+                    return None
+                multiplier = v
+            elif toks[0].lower() == "post_offset":
+                post_offset = v
+            else:
+                if v <= 0:
+                    return None
+                bitmask = v
+        else:
+            return None
+    if count == 0 and from_end:
+        pass  # byte_jump:0,...,from_end is legal (pure cursor move)
+    elif not (1 <= count <= (10 if string else 4)):
+        return None
+    return ByteJump(count=count, offset=offset, relative=relative,
+                    multiplier=multiplier, endian=endian, string=string,
+                    base=base, align=align, from_beginning=from_beginning,
+                    from_end=from_end, post_offset=post_offset,
+                    bitmask=bitmask)
+
+
+@dataclasses.dataclass(frozen=True)
 class SnortRule:
     action: str
     proto: str
@@ -72,6 +242,11 @@ class SnortRule:
     contents: tuple[SnortContent, ...]
     pcre: str | None                  # raw /pattern/flags text, or None
     options: tuple[tuple[str, str | None], ...]  # every option, in order
+    #: ordered verify program: SnortContent | ByteTest | ByteJump in rule
+    #: option order (byte ops are positional — ``relative`` anchors to the
+    #: op before them).  Empty for hand-built rules: the matcher falls
+    #: back to ``contents``.
+    verify_ops: tuple = ()
 
 
 _HEX_CHUNK = _pyre.compile(r"\|([0-9A-Fa-f\s]*)\|")
@@ -180,6 +355,13 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
         sid: int | None = None
         pcre: str | None = None
         contents: list[SnortContent] = []
+        ops: list = []  # SnortContent | ByteTest | ByteJump, rule order
+        last_content_op = -1  # index into ops of the latest content
+
+        def _update_last(new_content: SnortContent) -> None:
+            contents[-1] = new_content
+            ops[last_content_op] = new_content
+
         for name, val in opts:
             if name == "msg" and val is not None:
                 msg = _unquote(val)[0]
@@ -190,19 +372,29 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
                     pass
             elif name == "content" and val is not None:
                 s, neg = _unquote(val)
-                contents.append(
-                    SnortContent(pattern=_decode_content(s), negated=neg)
-                )
+                c = SnortContent(pattern=_decode_content(s), negated=neg)
+                contents.append(c)
+                ops.append(c)
+                last_content_op = len(ops) - 1
             elif name == "nocase" and contents:
-                contents[-1] = dataclasses.replace(contents[-1], nocase=True)
+                _update_last(dataclasses.replace(contents[-1], nocase=True))
             elif (name in ("offset", "depth", "distance", "within")
                   and contents and val is not None):
                 try:
-                    contents[-1] = dataclasses.replace(
+                    _update_last(dataclasses.replace(
                         contents[-1], **{name: int(val)}
-                    )
+                    ))
                 except ValueError:
                     pass  # byte_extract variable: left unenforced (None)
+            elif name == "byte_test" and val is not None:
+                bt = parse_byte_test(val)
+                if bt is not None:
+                    ops.append(bt)
+                # unparsed: stays in options; enforcement_report flags it
+            elif name == "byte_jump" and val is not None:
+                bj = parse_byte_jump(val)
+                if bj is not None:
+                    ops.append(bj)
             elif name == "pcre" and val is not None:
                 pcre = _unquote(val)[0]
         rules.append(
@@ -215,6 +407,7 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
                 contents=tuple(contents),
                 pcre=pcre,
                 options=tuple(opts),
+                verify_ops=tuple(ops),
             )
         )
     return rules

@@ -202,6 +202,139 @@ def test_unparsed_variable_modifier_unenforced(pos_matcher):
     assert 9006 in _sids(pos_matcher, b"......V")
 
 
+BYTE_RULES = r'''
+alert tcp any any -> any any (msg:"bt abs big"; content:"HDR"; byte_test:2,>,128,4; sid:9100;)
+alert tcp any any -> any any (msg:"bt rel little"; content:"LEN"; byte_test:2,=,0x0102,0,relative,little; sid:9101;)
+alert tcp any any -> any any (msg:"bt string dec"; content:"n="; byte_test:3,>=,500,0,relative,string,dec; sid:9102;)
+alert tcp any any -> any any (msg:"bt and"; content:"FLG"; byte_test:1,&,0x80,0,relative; sid:9103;)
+alert tcp any any -> any any (msg:"bt negate"; content:"NEG"; byte_test:1,!=,0,0,relative; sid:9104;)
+alert tcp any any -> any any (msg:"bt bitmask"; content:"BM"; byte_test:1,=,5,0,relative,bitmask 0xF0; sid:9105;)
+alert tcp any any -> any any (msg:"bj rel"; content:"JMP"; byte_jump:1,0,relative; content:"X"; within:1; sid:9200;)
+alert tcp any any -> any any (msg:"bj align mult"; content:"AL"; byte_jump:1,0,relative,multiplier 2,align; content:"Y"; within:1; sid:9201;)
+alert tcp any any -> any any (msg:"bj from_beginning"; content:"FB"; byte_jump:1,0,relative,from_beginning; content:"Z"; within:1; sid:9202;)
+alert tcp any any -> any any (msg:"bj string"; content:"S:"; byte_jump:2,0,relative,string,dec; content:"Q"; within:1; sid:9203;)
+alert tcp any any -> any any (msg:"bt dce unenforced"; content:"DCE"; byte_test:2,>,5,0,dce; sid:9300;)
+'''
+
+
+@pytest.fixture(scope="module")
+def byte_matcher():
+    return compile_snort(BYTE_RULES)
+
+
+def test_byte_test_absolute_big_endian(byte_matcher):
+    # u16 at payload offset 4 (absolute), big endian, > 128
+    assert 9100 in _sids(byte_matcher, b"HDR." + (200).to_bytes(2, "big"))
+    assert 9100 not in _sids(byte_matcher, b"HDR." + (100).to_bytes(2, "big"))
+    # read past payload end -> rule fails, no crash
+    assert 9100 not in _sids(byte_matcher, b"HDR.\x01")
+
+
+def test_byte_test_relative_little_endian(byte_matcher):
+    assert 9101 in _sids(byte_matcher, b"..LEN\x02\x01..")
+    assert 9101 not in _sids(byte_matcher, b"..LEN\x01\x02..")
+
+
+def test_byte_test_string_decimal(byte_matcher):
+    assert 9102 in _sids(byte_matcher, b"n=501;")
+    assert 9102 in _sids(byte_matcher, b"n=500")
+    assert 9102 not in _sids(byte_matcher, b"n=499;")
+    assert 9102 not in _sids(byte_matcher, b"n=xx;")  # no digits -> fail
+
+
+def test_byte_test_bitwise_and_negate(byte_matcher):
+    assert 9103 in _sids(byte_matcher, b"FLG\x81")
+    assert 9103 not in _sids(byte_matcher, b"FLG\x7f")
+    assert 9104 in _sids(byte_matcher, b"NEG\x01")
+    assert 9104 not in _sids(byte_matcher, b"NEG\x00")
+
+
+def test_byte_test_bitmask(byte_matcher):
+    # (0x5A & 0xF0) >> 4 == 5
+    assert 9105 in _sids(byte_matcher, b"BM\x5a")
+    assert 9105 not in _sids(byte_matcher, b"BM\x6a")
+
+
+def test_byte_jump_moves_cursor(byte_matcher):
+    # read 1 byte after JMP (=2), skip that many, then X must be adjacent
+    assert 9200 in _sids(byte_matcher, b"JMP\x02..X")
+    assert 9200 not in _sids(byte_matcher, b"JMP\x02.X.")
+    # jump target past payload end -> rule fails
+    assert 9200 not in _sids(byte_matcher, b"JMP\x63X")
+
+
+def test_byte_jump_multiplier_align(byte_matcher):
+    # value 3 * multiplier 2 = 6, aligned up to 8 -> Y at read_end+8
+    assert 9201 in _sids(byte_matcher, b"AL\x03" + b"." * 8 + b"Y")
+    assert 9201 not in _sids(byte_matcher, b"AL\x03" + b"." * 6 + b"Y..")
+
+
+def test_byte_jump_from_beginning(byte_matcher):
+    # value 4 -> cursor = payload start + 4 regardless of read position
+    assert 9202 in _sids(byte_matcher, b"FB\x04.Z..")
+    assert 9202 not in _sids(byte_matcher, b"FB\x04Z...")
+
+
+def test_byte_jump_string(byte_matcher):
+    # two ASCII digits "12" -> skip 12 bytes from read end
+    assert 9203 in _sids(byte_matcher, b"S:12" + b"." * 12 + b"Q")
+    assert 9203 not in _sids(byte_matcher, b"S:12" + b"." * 11 + b"Q.")
+
+
+def test_unparsed_dce_byte_test_stays_content_verified(byte_matcher):
+    # dce modifier is outside the subset: content alone decides
+    assert 9300 in _sids(byte_matcher, b"DCE\x00\x00")
+    rep = byte_matcher.enforcement_report()
+    row = next(r for r in rep["rules"] if r["sid"] == 9300)
+    assert row["status"] == "partial" and row["byte_ops_unparsed"] == 1
+
+
+def test_byte_op_alert_flips_vs_content_only():
+    """The r3-verdict acceptance case: rules whose alert decision CHANGES
+    now that byte ops are enforced (content alone would alert)."""
+    rules = r'''
+alert tcp any any -> any any (msg:"len guard"; content:"CMD"; byte_test:1,>,9,0,relative; sid:9400;)
+alert tcp any any -> any any (msg:"tlv walk"; content:"TLV"; byte_jump:1,0,relative; content:"END"; distance:0; within:3; sid:9401;)
+'''
+    m = compile_snort(rules)
+    # content "CMD" present both times; byte_test flips the decision
+    assert 9400 in _sids(m, b"CMD\x0a")
+    assert 9400 not in _sids(m, b"CMD\x05")
+    # TLV: length byte steers where END must sit
+    assert 9401 in _sids(m, b"TLV\x04....END")
+    assert 9401 not in _sids(m, b"TLV\x02....END")
+
+
+def test_byte_parser_units():
+    from regex_fpga_tpu.models.snort import (
+        ByteJump, ByteTest, parse_byte_jump, parse_byte_test,
+    )
+
+    bt = parse_byte_test("2,>,128,4")
+    assert bt == ByteTest(count=2, op=">", negate=False, value=128, offset=4)
+    bt = parse_byte_test("1,!&,0x80,0,relative,little")
+    assert bt.negate and bt.op == "&" and bt.endian == "little"
+    bt = parse_byte_test("4,!,5,0")  # bare '!' means != (Snort)
+    assert bt.negate and bt.op == "="
+    assert parse_byte_test("2,>,128,4,dce") is None       # outside subset
+    assert parse_byte_test("5,>,1,0") is None             # >4 binary bytes
+    assert parse_byte_test("8,>,1,0,string") is not None  # <=10 string ok
+    bj = parse_byte_jump("4,12,relative,align,multiplier 2,post_offset -4")
+    assert bj == ByteJump(count=4, offset=12, relative=True, multiplier=2,
+                          align=True, post_offset=-4)
+    assert parse_byte_jump("4,12,bogus") is None
+    assert parse_byte_jump("2,0,string,hex").base == 16
+
+
+def test_enforcement_report_summary(byte_matcher):
+    rep = byte_matcher.enforcement_report()
+    s = rep["summary"]
+    assert s["total"] == byte_matcher.num_rules
+    assert s["enforced"] + s["partial"] == s["total"]
+    # everything except the dce rule is fully enforced
+    assert s["partial"] == 1 and s["byte_ops_unparsed"] == 1
+
+
 def test_pcre_boundary_and_dotall_verification():
     """\\b and /s pcres verify via the host Pike VM / (?s) compile."""
     from regex_fpga_tpu.api import compile_snort
@@ -246,6 +379,12 @@ alert tcp $EXTERNAL_NET any -> $HOME_NET 80 (msg:"WEB-MISC wget agent"; content:
 alert tcp $EXTERNAL_NET any -> $HOME_NET 80 (msg:"WEB-MISC proxy CONNECT"; content:"CONNECT "; content:!"localhost"; sid:1002022;)
 alert tcp $HOME_NET any -> $EXTERNAL_NET 80 (msg:"SPYWARE beacon"; content:"/gateway.php?id="; sid:1002023;)
 alert tcp $EXTERNAL_NET any -> $HOME_NET 22 (msg:"SSH version scan"; content:"SSH-1.99"; sid:1002024;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 445 (msg:"NETBIOS SMB oversized NBSS length"; content:"|00|"; depth:1; byte_test:3,>,0x1FFFF,1; sid:1002025;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 443 (msg:"TLS heartbeat overread"; content:"|18 03|"; depth:2; byte_test:2,>,0x4000,3; sid:1002026;)
+alert udp $EXTERNAL_NET any -> $HOME_NET 53 (msg:"DNS TXT compressed answer"; content:"|00 10 00 01|"; byte_jump:1,0,relative; content:"|c0|"; within:8; sid:1002027;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 80 (msg:"WEB shellshock env"; flow:established,to_server; content:"() {"; http_uri; sid:1002028;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 21 (msg:"FTP PORT high port byte"; content:"PORT "; byte_test:3,>,230,0,relative,string,dec; sid:1002029;)
+alert tcp $EXTERNAL_NET any -> $HOME_NET 135 (msg:"DCERPC bind fragment"; content:"|05 00 0b|"; byte_test:2,>,512,8,dce; sid:1002030;)
 '''
 
 
@@ -255,7 +394,41 @@ def community():
 
 
 def test_community_sample_loads(community):
-    assert community.num_rules == 24
+    assert community.num_rules == 30
+
+
+def test_community_byte_op_rules(community):
+    # SMB NBSS length field (3 bytes big-endian at absolute offset 1)
+    assert 1002025 in _sids(
+        community, b"\x00" + (0x20000).to_bytes(3, "big") + b"SMB"
+    )
+    assert 1002025 not in _sids(
+        community, b"\x00" + (0x100).to_bytes(3, "big") + b"SMB"
+    )
+    # TLS heartbeat: u16 length at offset 3 must exceed 0x4000
+    assert 1002026 in _sids(
+        community, b"\x18\x03\x02" + (0x4001).to_bytes(2, "big") + b"\x01"
+    )
+    assert 1002026 not in _sids(
+        community, b"\x18\x03\x02" + (0x10).to_bytes(2, "big") + b"\x01"
+    )
+    # FTP PORT: ASCII digits after "PORT " parsed as a decimal string
+    assert 1002029 in _sids(community, b"PORT 231,0,0,1,8,1\r\n")
+    assert 1002029 not in _sids(community, b"PORT 192,0,0,1,8,1\r\n")
+
+
+def test_community_enforcement_coverage(community):
+    """The r3-verdict coverage table over the community-style corpus:
+    every rule classified, partial ones for exactly the documented
+    reasons (http_uri/flow buffers, dce byte ops)."""
+    rep = community.enforcement_report()
+    s = rep["summary"]
+    assert s["total"] == 30
+    partial = {r["sid"]: r for r in rep["rules"] if r["status"] == "partial"}
+    assert set(partial) == {1002028, 1002030}
+    assert partial[1002028]["unenforced_options"] == ["flow", "http_uri"]
+    assert partial[1002030]["byte_ops_unparsed"] == 1
+    assert s["enforced"] == 28
 
 
 def test_community_sample_hits(community):
