@@ -355,6 +355,48 @@ def _measure(state: dict) -> None:
                         point["model_engine_ok"] = bool(
                             chosen >= 0.95 * max(k1b, kgb)
                         )
+                # host-vs-device router verdict (r3 verdict item 3): the
+                # native walker's rate is rig-stable; chip idle here (the
+                # extras sections run sequentially on this one thread)
+                try:
+                    from regex_fpga_tpu.ops.router import (
+                        choose_scan_backend,
+                    )
+                    from regex_fpga_tpu.utils.native import (
+                        dfa_scan_multi_native, native_available,
+                    )
+
+                    if native_available():
+                        tabh = np.asarray(dts.table)
+                        clsh = np.asarray(dts.class_of)
+                        acch = np.asarray(dts.accept)
+                        parts = np.array_split(
+                            np.asarray(text_s[: 1 << 23]), 16
+                        )
+                        nb_h = sum(len(p) for p in parts)
+                        runh = lambda: dfa_scan_multi_native(
+                            tabh, clsh, acch, parts
+                        )
+                        runh()  # warm (thread pool, caches)
+                        ms = _med_spread(runh, 3, lambda _: None)
+                        point["host_multi"] = _rate(nb_h, ms)
+                        point["router_choice"] = choose_scan_backend(
+                            dts.num_states, dts.num_classes, 16
+                        )
+                        if "k1_counts" in point:
+                            devb = point["k1_counts"]["bytes_per_sec"]
+                            hostb = point["host_multi"]["bytes_per_sec"]
+                            chosen = (hostb
+                                      if point["router_choice"] == "host"
+                                      else devb)
+                            # 0.8: day-swing legitimately flips the
+                            # overlap region (S~400); the router must
+                            # never pick a >20% loser
+                            point["router_ok"] = bool(
+                                chosen >= 0.8 * max(devb, hostb)
+                            )
+                except Exception as e:
+                    print(f"# router point skipped: {e}", file=sys.stderr)
                 sweep.append(point)
                 print(f"# sweep point S={point['S']} done "
                       f"t={time.perf_counter()-_T0:.0f}s", file=sys.stderr)
@@ -602,6 +644,9 @@ def _compact_line(bps, target, full, ext, conf, walker) -> str:
         "host_prefilter_speedup": hp.get("speedup"),
         "model_engine_ok": (lambda meo: all(meo) if meo else None)(
             [p["model_engine_ok"] for p in sweep if "model_engine_ok" in p]
+        ),
+        "router_ok": (lambda ro: all(ro) if ro else None)(
+            [p["router_ok"] for p in sweep if "router_ok" in p]
         ),
         "conformance_exact": conf.get("conf_ok"),
         "snort16_walker_gbps": _r3(walker["bytes_per_sec"]) if walker else None,

@@ -91,6 +91,77 @@ int32_t dfa_scan(const int32_t* table, const int32_t* class_of,
   return s;
 }
 
+// Multi-stream dense-DFA walk with INTERLEAVED cursors — the host half of
+// the api-level host-vs-device engine router (ops/router.py).  The
+// single-cursor dfa_scan above is bound by its load->index dependency
+// chain (~0.15 GB/s); walking W streams round-robin puts W independent
+// chains in flight so the core's load-level parallelism hides the table
+// latency, the same trick (and measured 2-3.5x) as walk_multi_impl below
+// for the lazy engine.  Tables stay class-major like dfa_scan; (C,S)
+// int32 for realistic S (S=836, C=36 -> 120 KB) sits in L2.
+//   table: (C, S) int32; class_of: (256,) int32; accept: (S,) uint8
+//   stream:  all payloads concatenated; offsets: (n_streams+1,) int64
+//   starts:  (n_streams,) int32 per-stream start state
+//   counts:  (n_streams, S) int64 out (one-char-late accept timing,
+//            final-state accept NOT counted — identical to dfa_scan)
+//   finals:  (n_streams,) int32 out
+void dfa_scan_multi(const int32_t* __restrict table,
+                    const int32_t* __restrict class_of,
+                    const uint8_t* __restrict accept, int64_t S,
+                    const uint8_t* __restrict stream,
+                    const int64_t* __restrict offsets, int64_t n_streams,
+                    const int32_t* __restrict starts,
+                    int64_t* __restrict counts, int32_t* __restrict finals) {
+  constexpr int64_t W = 16;
+  for (int64_t g = 0; g < n_streams; g += W) {
+    const int64_t w = (n_streams - g) < W ? (n_streams - g) : W;
+    int64_t p[W], e[W];
+    int32_t s[W], idx[W];
+    int64_t na = 0;
+    for (int64_t c = 0; c < w; ++c) {
+      p[c] = offsets[g + c];
+      e[c] = offsets[g + c + 1];
+      s[c] = starts[g + c];
+      if (p[c] < e[c]) idx[na++] = (int32_t)c;
+    }
+    // lockstep rounds: gather the live cursors, advance ALL of them for
+    // the minimum remaining length in a branch-free inner loop (a
+    // per-byte ring-membership test measured away most of the
+    // interleaving win), re-gather, repeat.  Each round retires at least
+    // one cursor, so rounds <= w.
+    while (true) {
+      na = 0;
+      for (int64_t c = 0; c < w; ++c)
+        if (p[c] < e[c]) idx[na++] = (int32_t)c;
+      if (na == 0) break;
+      if (na == 1) {  // last straggler: plain single-cursor walk
+        const int32_t c = idx[0];
+        int32_t st = s[c];
+        int64_t* row = counts + (int64_t)(g + c) * S;
+        for (int64_t i = p[c]; i < e[c]; ++i) {
+          row[st] += accept[st];
+          st = table[(int64_t)class_of[stream[i]] * S + st];
+        }
+        s[c] = st;
+        p[c] = e[c];
+        break;
+      }
+      int64_t common = INT64_MAX;
+      for (int64_t j = 0; j < na; ++j)
+        if (e[idx[j]] - p[idx[j]] < common) common = e[idx[j]] - p[idx[j]];
+      for (int64_t i = 0; i < common; ++i) {
+        for (int64_t j = 0; j < na; ++j) {
+          const int32_t c = idx[j];
+          const int32_t st = s[c];
+          counts[(int64_t)(g + c) * S + st] += accept[st];
+          s[c] = table[(int64_t)class_of[stream[p[c]++]] * S + st];
+        }
+      }
+    }
+    for (int64_t c = 0; c < w; ++c) finals[g + c] = s[c];
+  }
+}
+
 // Lazy-DFA table walk: follow an incrementally-built subset-DFA table until
 // the stream ends or an un-expanded state is reached (the Python side then
 // expands and resumes).  Counts per-subset-state visits.

@@ -426,12 +426,80 @@ class DfaMatcher:
     #: report it.  NfaMatcher keeps strict reference semantics.
     include_final_match: bool = True
 
+    def _host_backend(self, n_streams: int) -> bool:
+        """True when the engine router sends this counting/histogram scan
+        to the native multi-cursor walker instead of the device (measured
+        large-S crossover, ``ops/router.py``; the same discipline as the
+        k-gram S-gate one level down)."""
+        from .ops.router import choose_scan_backend
+        from .utils.native import native_available
+
+        mode = getattr(self.config, "scan_backend", "auto")
+        if mode == "device":
+            return False
+        choice = choose_scan_backend(
+            self.tables.num_states, self.tables.num_classes, n_streams, mode
+        )
+        return choice == "host" and native_available()
+
+    def _host_scan_counts(self, streams):
+        """(per-stream per-state counts, final states) via the native
+        interleaved walker — bit-identical histograms to the device scan
+        (one-char-late accept timing, final accept not counted; the
+        include_final_match EOF adjustment is applied by the caller)."""
+        from .utils.native import dfa_scan_multi_native
+
+        return dfa_scan_multi_native(
+            np.asarray(self.tables.table),
+            np.asarray(self.tables.class_of),
+            np.asarray(self.tables.accept),
+            streams, starts=self.start,
+        )
+
     def scan(self, data, collect_positions: bool = False) -> ScanReport:
         streams = _as_streams(data)
         counts = np.zeros((len(streams), self.num_states), dtype=np.int64)
         positions: list = []
         iters = 0
         converged = True
+        if len(streams) and self._host_backend(len(streams)):
+            from .utils.native import dfa_scan_native
+
+            with Timer() as t:
+                if collect_positions:
+                    finals = np.zeros(len(streams), dtype=np.int64)
+                    for i, stream in enumerate(streams):
+                        c, mask, fin = dfa_scan_native(
+                            np.asarray(self.tables.table),
+                            np.asarray(self.tables.class_of),
+                            np.asarray(self.tables.accept),
+                            stream, start=self.start,
+                        )
+                        counts[i] = c
+                        finals[i] = fin
+                        positions.append(np.nonzero(mask)[0])
+                else:
+                    counts[:], finals = self._host_scan_counts(streams)
+                for i, stream in enumerate(streams):
+                    if (self.include_final_match and len(stream)
+                            and self._accept_eof[finals[i]]):
+                        counts[i, finals[i]] += 1
+                        if collect_positions:
+                            positions[i] = np.concatenate(
+                                [positions[i], [len(stream)]]
+                            )
+            m = RunMetrics(
+                engine="dfa-host-native",
+                bytes_scanned=sum(len(s_) for s_ in streams),
+                streams=len(streams),
+                matches=int(counts.sum()),
+                wall_seconds=t.seconds,
+            )
+            return ScanReport(
+                counts=counts, total=int(counts.sum()),
+                match_positions=positions if collect_positions else None,
+                metrics=m,
+            )
         if (not collect_positions and len(streams) > 1
                 and len({len(s_) for s_ in streams}) == 1
                 and len(streams[0]) > 0):
@@ -543,8 +611,22 @@ class DfaMatcher:
         """
         from .ops.kgram import dfa_scan_kgram, map_kgram_classes
 
+        streams = _as_streams(data)
+        # engine router: realistic-S DFAs (k-gram gated off, padded-tile
+        # device rate below the native walker) count on the host — same
+        # measured-crossover discipline as the kgram gate, one level up
+        # (ops/router.py; r3 verdict item 3)
+        if streams and self._kgram() is None and self._host_backend(
+                len(streams)):
+            counts, finals = self._host_scan_counts(streams)
+            total = int(counts.sum())
+            if self.include_final_match:
+                for i, stream in enumerate(streams):
+                    if len(stream) and self._accept_eof[finals[i]]:
+                        total += 1
+            return total
         total = 0
-        for stream in _as_streams(data):
+        for stream in streams:
             if len(stream) == 0:
                 continue
             kgc = self._kgram()

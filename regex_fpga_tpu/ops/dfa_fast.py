@@ -46,6 +46,7 @@ __all__ = [
     "mm_dtype",
     "mm_precision",
     "table_domain_ok",
+    "use_int8_split",
 ]
 
 
@@ -144,6 +145,39 @@ def use_int8(max_value: int) -> bool:
     )
 
 
+#: OFFSET-CORRECTED int8 byte-split route for S in (256, 65536] — the r3
+#: verdict's one identified lever on the large-S padded-tile wall, where
+#: the step IS MAC-bound (S=836 measured 0.16 GB/s ~= the bf16 padded
+#: ceiling, kgram_step_cost).  The split halves T%256 / T//256 hold values
+#: 0..255, one past s8's range — but a one-hot row sums to EXACTLY 1, so
+#: storing ``T_split - 128`` (range -128..127, exact s8) shifts every
+#: select-reduce result by a known scalar:
+#:
+#:     lo_raw + 256*hi_raw + (128 + 256*128) == lo + 256*hi == T[c, s]
+#:
+#: one constant add per step, exact integer arithmetic end to end (s8 x s8
+#: -> s32 MXU GEMM at 2x the bf16 MAC rate on v5e, s32 select-reduce).
+#: Values: False = off, "auto" = on when the backend is TPU, "always" =
+#: every backend (CPU exactness tests).  Measured A/B vs the bf16 split:
+#: scripts/tpu_int8_split_probe.py at S=440/836 — default set from that
+#: probe's verdict (pending a chip run this flag stays off).
+INT8_SPLIT = False
+
+
+def use_int8_split(num_states: int) -> bool:
+    """True when the offset-corrected int8 byte-split route applies (see
+    INT8_SPLIT above): S needs the split encoding AND the backend runs
+    s8 GEMMs natively (or the test override forces it)."""
+    if not INT8_SPLIT or not (256 < num_states <= (1 << 16)):
+        return False
+    return INT8_SPLIT == "always" or jax.default_backend() == "tpu"
+
+
+#: the scalar the offset-corrected select-reduce adds back:
+#: lo(+128) + 256 * hi(+128)
+_I8_SPLIT_BIAS = 128 + 256 * 128
+
+
 def mm_precision(dtype):
     """Dot precision matching ``mm_dtype``'s exactness contract: f32
     tables need HIGHEST on TPU (see mm_dtype docstring); bf16 tables are
@@ -159,7 +193,14 @@ _mm_dtype = mm_dtype  # internal alias
 def _step_tables(tables: DfaTables):
     c, s = tables.table.shape
     assert s < (1 << 24), "state ids must stay exactly representable in f32"
-    if split_states(s):
+    if use_int8_split(s):
+        # offset-corrected int8 byte-split (INT8_SPLIT docstring):
+        # [Tl - 128 | Th - 128] columns, exact s8; _mm_step adds the
+        # scalar bias back after the select-reduce
+        t = (jnp.concatenate(
+            [tables.table % 256, tables.table // 256], axis=1
+        ) - 128).astype(jnp.int8)
+    elif split_states(s):
         # byte-split bf16 encoding (mm_dtype docstring): [Tl | Th] columns
         t = jnp.concatenate(
             [tables.table % 256, tables.table // 256], axis=1
@@ -196,9 +237,17 @@ def _mm_step(t_mm, iota_c, iota_s, state, cls_t):
     ``t_mm`` is (C, S) plain (bf16/f32/int8) or (C, 2S) byte-split
     (``_step_tables``)."""
     oh_c = (cls_t[:, None] == iota_c).astype(t_mm.dtype)
-    if t_mm.dtype == jnp.int8:  # s8 x s8 -> s32 MXU path (use_int8)
+    if t_mm.dtype == jnp.int8:  # s8 x s8 -> s32 MXU paths
         rows = jnp.dot(oh_c, t_mm, preferred_element_type=jnp.int32)
         oh_xi = (state[:, None] == iota_s).astype(jnp.int32)
+        s = iota_s.shape[1]
+        if t_mm.shape[1] == 2 * s:
+            # offset-corrected byte-split (use_int8_split): the one-hot
+            # select sums exactly one shifted value per half, so one
+            # scalar bias restores lo + 256*hi exactly
+            lo = jnp.sum(rows[:, :s] * oh_xi, axis=-1)
+            hi = jnp.sum(rows[:, s:] * oh_xi, axis=-1)
+            return lo + 256 * hi + _I8_SPLIT_BIAS
         return jnp.sum(rows * oh_xi, axis=-1)
     rows = jnp.dot(
         oh_c, t_mm,

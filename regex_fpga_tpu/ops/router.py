@@ -1,0 +1,96 @@
+"""Host-vs-device engine router for counting/histogram scans.
+
+The framework has TWO viable engines for a plain count/histogram pass over
+a dense DFA (reference behavior: ``Design/FPGA.v`` per-state hit counting):
+
+* **device** (``ops.dfa_fast``): block-parallel Jacobi + one-hot MXU GEMMs.
+  Per-step cost is padded 128x128 MXU tiles — ``ceil(C/128) *
+  ceil(W/128) + 1`` with table width ``W = S`` (<= 256) or ``2S``
+  (byte-split) — so the per-byte rate FALLS as S grows (measured cliff in
+  ``ops/kgram.py``/PARITY.md).
+* **host** (``native/golden_scan.cpp::dfa_scan_multi``): interleaved
+  multi-cursor table walk, both cores via a GIL-released thread split.
+  Rate is independent of S while the table stays cache-resident, and
+  RIG-STABLE (the 2.6x day swing is the tunneled chip, not the host).
+
+This module extends the measured-crossover discipline that already routes
+k-gram vs k=1 (``ops.kgram.choose_scan_level``, gate
+``KGRAM_MAX_STATES``) one level up: k=1 device vs native host (r3 verdict
+item 3).
+
+Measured calibration (2026-08-20, shared v5e + 2-core host;
+constants below):
+
+=========  =====  ==========  ==============  ===========================
+point      tiles  device GB/s  device tile*GB  host GB/s (this host)
+=========  =====  ==========  ==============  ===========================
+S=213 C=31   3      0.48         1.44          0.30-0.39 single cursor
+S=440 C=34   8      0.27         2.16          0.45-0.75 multi aggregate
+S=836 C=36  15      0.16         2.40          (same — S-independent)
+=========  =====  ==========  ==============  ===========================
+
+Device rates above are the SLOW-day scale; the same code measured 2.6x
+faster on the BENCH_r02 day.  ``DEVICE_TILE_BPS`` therefore uses the
+geometric mid-scale (3.2e9): a router that calibrates to either extreme
+would systematically mis-route on the other kind of day, and at the
+resulting thresholds (host from S≈640 single-stream / S≈385 multi-stream)
+the two engines' measured ranges overlap anyway — the host side is also
+the rig-stable, chip-free choice.  NOTE the model compares COMPUTE rates
+(production TPU hosts feed the chip at DMA speed); on this rig's tunnel
+(~6 MB/s upload) API-level device scans are transfer-bound and the host
+engine wins end-to-end almost everywhere, which is measured and reported
+separately in the bench (``router`` section).
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "DEVICE_TILE_BPS",
+    "HOST_SINGLE_BPS",
+    "HOST_MULTI_BPS",
+    "device_count_bps",
+    "host_count_bps",
+    "choose_scan_backend",
+]
+
+#: device per-step cost normalization: measured bytes/s * padded MXU tiles
+#: per step (1.44-2.4e9 slow-day across the sweep, x2.6 good-day);
+#: geometric mid-scale — see module docstring for why
+DEVICE_TILE_BPS = 3.2e9
+#: native single-cursor walk (dependency-chain bound; measured 0.31-0.39
+#: GB/s on this host at S=836/C=36)
+HOST_SINGLE_BPS = 0.30e9
+#: native multi-cursor walk, >= 4 streams, both cores (measured 0.45-0.75
+#: GB/s aggregate)
+HOST_MULTI_BPS = 0.45e9
+
+
+def device_count_bps(num_states: int, num_classes: int) -> float:
+    """Modeled k=1 counting rate of the fast device engine: padded-tile
+    cost per step (one class-selected GEMM + one select), table width S
+    packed or 2S byte-split — the same width rules as
+    ``ops.kgram.kgram_step_cost`` level 0."""
+    width = num_states if num_states <= 256 else 2 * num_states
+    tiles = -(-num_classes // 128) * -(-width // 128) + 1
+    return DEVICE_TILE_BPS / tiles
+
+
+def host_count_bps(n_streams: int) -> float:
+    """Modeled native-walker rate: multi-cursor aggregate once there are
+    enough streams to interleave + thread-split, else single-cursor."""
+    return HOST_MULTI_BPS if n_streams >= 4 else HOST_SINGLE_BPS
+
+
+def choose_scan_backend(num_states: int, num_classes: int,
+                        n_streams: int = 1, mode: str = "auto") -> str:
+    """``"device"`` or ``"host"`` for a counting/histogram scan.
+
+    ``mode`` is ``EngineConfig.scan_backend``: "auto" applies the
+    measured-crossover model above; "device"/"host" force.  The host
+    side additionally requires the native library (the caller falls back
+    to device when it is unavailable)."""
+    if mode in ("device", "host"):
+        return mode
+    if device_count_bps(num_states, num_classes) >= host_count_bps(n_streams):
+        return "device"
+    return "host"

@@ -22,6 +22,10 @@ class EngineConfig:
     chunk_bytes: int = 1 << 26       # 64 MiB device chunks
     # distribution
     blocks_per_shard: int = 8192
+    #: host-vs-device engine routing for counting/histogram scans
+    #: (``ops/router.py``): "auto" = measured-crossover cost model,
+    #: "device"/"host" force one side (tests, rigs without the native lib)
+    scan_backend: str = "auto"
 
 
 DEFAULT_CONFIG = EngineConfig()

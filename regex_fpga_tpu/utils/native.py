@@ -17,6 +17,7 @@ __all__ = [
     "native_available",
     "nfa_scan_native",
     "dfa_scan_native",
+    "dfa_scan_multi_native",
     "anchored_spans_native",
     "nfa_match_positions_native",
 ]
@@ -53,6 +54,11 @@ def _load():
     lib.dfa_scan.argtypes = [
         i32p, i32p, u8p, ctypes.c_int64,
         u8p, ctypes.c_int64, ctypes.c_int32, i64p, u8p,
+    ]
+    lib.dfa_scan_multi.restype = None
+    lib.dfa_scan_multi.argtypes = [
+        i32p, i32p, u8p, ctypes.c_int64,
+        u8p, i64p, ctypes.c_int64, i32p, i64p, i32p,
     ]
     lib.lazy_walk.restype = ctypes.c_int64
     lib.lazy_walk.argtypes = [
@@ -160,6 +166,78 @@ def dfa_scan_native(
         _ptr(mask, ctypes.c_uint8) if want_mask else None,
     )
     return counts, (mask.astype(bool) if want_mask else None), int(final)
+
+
+def dfa_scan_multi_native(
+    table: np.ndarray,      # (C, S) int32
+    class_of: np.ndarray,   # (256,) int32
+    accept: np.ndarray,     # (S,) bool/uint8
+    streams: list,          # list of uint8 arrays / bytes
+    starts: np.ndarray | int = 0,
+):
+    """Interleaved multi-cursor dense-DFA walk (host half of the engine
+    router, ``ops/router.py``): per-stream per-state counts + final states
+    in ONE native call.  Single-cursor ``dfa_scan_native`` is dependency-
+    chain bound; 16-way interleaving hides the table-load latency.
+    Returns (counts (n, S) int64, finals (n,) int32)."""
+    lib = _load()
+    c, s = table.shape
+    table = np.ascontiguousarray(table, dtype=np.int32)
+    class_of = np.ascontiguousarray(class_of, dtype=np.int32)
+    accept8 = np.ascontiguousarray(accept, dtype=np.uint8)
+    bufs = [np.ascontiguousarray(
+        np.frombuffer(st, dtype=np.uint8) if isinstance(st, (bytes, bytearray))
+        else st, dtype=np.uint8) for st in streams]
+    n = len(bufs)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in bufs], out=offsets[1:])
+    concat = (np.concatenate(bufs) if n else np.zeros(0, np.uint8))
+    concat = np.ascontiguousarray(concat, dtype=np.uint8)
+    if np.isscalar(starts) or getattr(starts, "ndim", 1) == 0:
+        starts = np.full(n, int(starts), dtype=np.int32)
+    starts = np.ascontiguousarray(starts, dtype=np.int32)
+    counts = np.zeros((n, s), dtype=np.int64)
+    finals = np.zeros(n, dtype=np.int32)
+
+    def _run(lo: int, hi: int) -> None:
+        # ctypes releases the GIL for the call's duration, so stream-range
+        # slices run truly concurrently (different output rows: no races)
+        off = offsets[lo : hi + 1].copy()
+        base = int(off[0])
+        off -= base
+        sub = np.ascontiguousarray(concat[base : base + int(off[-1])])
+        st_slice = np.ascontiguousarray(starts[lo:hi])
+        c_slice = np.zeros((hi - lo, s), dtype=np.int64)
+        f_slice = np.zeros(hi - lo, dtype=np.int32)
+        lib.dfa_scan_multi(
+            _ptr(table, ctypes.c_int32), _ptr(class_of, ctypes.c_int32),
+            _ptr(accept8, ctypes.c_uint8), s,
+            _ptr(sub, ctypes.c_uint8), _ptr(off, ctypes.c_int64), hi - lo,
+            _ptr(st_slice, ctypes.c_int32),
+            _ptr(c_slice, ctypes.c_int64), _ptr(f_slice, ctypes.c_int32),
+        )
+        counts[lo:hi] = c_slice
+        finals[lo:hi] = f_slice
+
+    nthreads = min(os.cpu_count() or 1, n)
+    if n == 0:
+        pass
+    elif nthreads <= 1 or int(offsets[-1]) < (1 << 21):
+        _run(0, n)  # threading overhead beats the win on small inputs
+    else:
+        # balance by BYTES, not stream count (uneven stream lengths)
+        from concurrent.futures import ThreadPoolExecutor
+
+        target = int(offsets[-1]) / nthreads
+        cuts = [0]
+        for t_i in range(1, nthreads):
+            cut = int(np.searchsorted(offsets, t_i * target))
+            cuts.append(max(cuts[-1], min(cut, n)))
+        cuts.append(n)
+        with ThreadPoolExecutor(max_workers=nthreads) as ex:
+            list(ex.map(lambda ab: _run(*ab),
+                        [(a, b) for a, b in zip(cuts, cuts[1:]) if b > a]))
+    return counts, finals
 
 
 def anchored_spans_native(

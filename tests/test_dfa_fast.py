@@ -266,3 +266,67 @@ def test_int8_onehot_path_exact(rng, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(rm.match_mask), np.asarray(ser.match_mask)
     )
+
+
+def test_int8_split_offset_corrected_exact(rng, monkeypatch):
+    """Offset-corrected int8 byte-split route (r4: the large-S MAC-rate
+    lever, forced on for any backend here) == serial scan, all emit
+    modes.  T_split - 128 stored as s8, one scalar bias restores
+    lo + 256*hi exactly."""
+    import jax.numpy as jnp
+    import regex_fpga_tpu.ops.dfa_fast as df
+    from regex_fpga_tpu.ops import dfa_scan_serial
+
+    monkeypatch.setattr(df, "INT8_SPLIT", "always")
+    assert df.use_int8_split(501) and not df.use_int8_split(256)
+    table, accept = random_dfa_table(rng, 501, 12)
+    dt = build_dfa_tables(table, accept)
+    t_mm, _, _ = df._step_tables(dt)
+    assert t_mm.dtype == jnp.int8 and t_mm.shape[1] == 2 * 501
+    stream = rng.integers(0, 256, size=64 * 32).astype(np.uint8)
+    classes = jnp.asarray(np.asarray(dt.class_of)[stream])
+    ser = dfa_scan_serial(dt, jnp.asarray(stream))
+    res = df.dfa_scan_fast(dt, classes, num_blocks=32)
+    assert bool(res.converged) and bool(res.domain_ok)
+    assert int(res.final_state) == int(ser.final_state)
+    np.testing.assert_array_equal(
+        np.asarray(res.match_mask), np.asarray(ser.match_mask)
+    )
+    rc = df.dfa_scan_fast(dt, classes, num_blocks=32, emit="counts")
+    np.testing.assert_array_equal(np.asarray(rc.counts), np.asarray(ser.counts))
+    rm = df.dfa_scan_fast(dt, classes, num_blocks=32, emit="mask")
+    np.testing.assert_array_equal(
+        np.asarray(rm.match_mask), np.asarray(ser.match_mask)
+    )
+    # boundary state values 0, S-1 and the all-states sweep: every state id
+    # must round-trip the offset encoding (catches off-by-one in the bias)
+    ids = jnp.arange(501, dtype=jnp.int32)
+    t_full = jnp.asarray(np.asarray(dt.table), jnp.int32)
+    lo = (t_full % 256 - 128).astype(jnp.int8).astype(jnp.int32)
+    hi = (t_full // 256 - 128).astype(jnp.int8).astype(jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(lo + 256 * hi + df._I8_SPLIT_BIAS), np.asarray(t_full)
+    )
+    del ids
+
+
+def test_int8_split_multi_stream_exact(rng, monkeypatch):
+    """The multi-stream batch engine rides the same _mm_step: forced int8
+    split == per-stream serial scans."""
+    import jax.numpy as jnp
+    import regex_fpga_tpu.ops.dfa_fast as df
+    from regex_fpga_tpu.ops import dfa_scan_serial
+
+    monkeypatch.setattr(df, "INT8_SPLIT", "always")
+    table, accept = random_dfa_table(rng, 333, 9)
+    dt = build_dfa_tables(table, accept)
+    streams = rng.integers(0, 256, size=(3, 32 * 16)).astype(np.uint8)
+    classes = jnp.asarray(np.asarray(dt.class_of)[streams])
+    res = df.dfa_scan_fast_multi(dt, classes, num_blocks=16)
+    assert bool(res.converged) and bool(res.domain_ok)
+    for i in range(3):
+        ser = dfa_scan_serial(dt, jnp.asarray(streams[i]))
+        assert int(res.final_states[i]) == int(ser.final_state)
+        np.testing.assert_array_equal(
+            np.asarray(res.counts[i]), np.asarray(ser.counts)
+        )
