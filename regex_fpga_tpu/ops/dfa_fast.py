@@ -46,6 +46,7 @@ __all__ = [
     "mm_dtype",
     "mm_precision",
     "table_domain_ok",
+    "transposed_step",
     "use_int8_split",
 ]
 
@@ -158,9 +159,19 @@ def use_int8(max_value: int) -> bool:
 #: one constant add per step, exact integer arithmetic end to end (s8 x s8
 #: -> s32 MXU GEMM at 2x the bf16 MAC rate on v5e, s32 select-reduce).
 #: Values: False = off, "auto" = on when the backend is TPU, "always" =
-#: every backend (CPU exactness tests).  Measured A/B vs the bf16 split:
-#: scripts/tpu_int8_split_probe.py at S=440/836 — default set from that
-#: probe's verdict (pending a chip run this flag stays off).
+#: every backend (CPU exactness tests).
+#:
+#: MEASURED on v5e, same-day A/Bs, exact totals throughout
+#: (scripts/tpu_int8_split_probe.py + tpu_transposed_probe.py,
+#: 2026-08-20, 32 MiB, docs/probe_*_r04.json): NO win in either
+#: orientation — class-contracted S=440 0.963x / S=836 1.031x, and on
+#: the (faster) state-contracted route 0.95-0.98x.  The r3 theory that
+#: the large-S step is MAC-bound was WRONG: nb=65536's (NB, 2S) f32 rows
+#: intermediate collapsed the class-contracted rate 4x (0.186 -> 0.047
+#: GB/s), proving the step is bound by the rows intermediate, which int8
+#: does not shrink (s32 accumulators are still 4 B) — the fix that DID
+#: work is the transposed orientation (``transposed_step`` below).
+#: Kept OFF; the path stays exact and tested for future chips.
 INT8_SPLIT = False
 
 
@@ -190,28 +201,80 @@ def mm_precision(dtype):
 _mm_dtype = mm_dtype  # internal alias
 
 
-def _step_tables(tables: DfaTables):
+def transposed_step(c: int, s: int) -> bool:
+    """True when the STATE-CONTRACTED orientation of the one-hot lookup
+    pads to fewer/narrower MXU tiles than the class-contracted one.
+
+    The lookup ``next[b] = T[cls_b, state_b]`` is a bilinear form in two
+    one-hots and can ride the MXU either way:
+
+    * class-contracted (the original): ``onehot(cls) (NB,C) @ T (C,W)``
+      with table width ``W = S`` (or ``2S`` byte-split) — the select-
+      reduce then needs an ``(NB, W)`` rows intermediate.
+    * state-contracted (r4): ``onehot(state) (NB,S) @ T^T (S,Wc)`` with
+      ``Wc = C`` (or ``2C`` split) — rows shrink to ``(NB, Wc)``.
+
+    For realistic IDS automata C is tiny (byte classes, <= 64) while S is
+    hundreds-plus, so contracting over S wins twice: fewer padded GEMM
+    tiles (at S=836/C=36: 7 vs 14) AND a 14x smaller rows intermediate —
+    and the r4 int8 probe showed the step is INTERMEDIATE-bound, not
+    MAC-bound (nb=65536's (NB,1792) f32 rows collapsed the rate 4x,
+    scripts/tpu_int8_split_probe.py).  Ties keep the original orientation
+    unless the rows intermediate is strictly narrower.
+
+    MEASURED on v5e (scripts/tpu_transposed_probe.py, 2026-08-20 same-day
+    A/B, 32 MiB counting, exact totals, docs/probe_transposed_r04.json):
+    S=440 0.343 -> 0.609 GB/s (1.78x), S=836 0.184 -> 0.440 GB/s (2.39x,
+    nb=16384; 0.462 at nb=4096), and the nb=65536 intermediate collapse
+    is GONE (0.047 -> 0.432).  On the good-day rig scale (2.6x, see
+    CLAUDE.md) that projects ~1.1-1.2 GB/s at S=836 — at the BASELINE
+    >=1 GB/s target in the realistic-S regime.  Stacking the int8
+    encoding on top measured 0.95-0.98x (see INT8_SPLIT): bf16 split
+    stays."""
+    w_cur = s if s <= 256 else 2 * s
+    w_tr = c if s <= 256 else 2 * c
+    cur_tiles = -(-c // 128) * -(-w_cur // 128)
+    tr_tiles = -(-s // 128) * -(-w_tr // 128)
+    if tr_tiles != cur_tiles:
+        return tr_tiles < cur_tiles
+    return w_tr < w_cur
+
+
+class _StepT(NamedTuple):
+    t: jnp.ndarray        # lookup table in GEMM orientation/encoding
+    iota_c: jnp.ndarray   # (1, C) int32
+    iota_s: jnp.ndarray   # (1, S) int32
+    transposed: bool      # contract over states (see transposed_step)
+    split: bool           # byte-split halves: t width = 2 * out_dim
+    i8: bool              # offset-corrected int8: add _I8_SPLIT_BIAS
+
+
+def _step_tables(tables: DfaTables) -> _StepT:
     c, s = tables.table.shape
     assert s < (1 << 24), "state ids must stay exactly representable in f32"
-    if use_int8_split(s):
+    tr = transposed_step(c, s)
+    base = tables.table.T if tr else tables.table  # values: state ids
+    split = split_states(s)
+    i8 = use_int8_split(s)
+    if i8:
         # offset-corrected int8 byte-split (INT8_SPLIT docstring):
         # [Tl - 128 | Th - 128] columns, exact s8; _mm_step adds the
         # scalar bias back after the select-reduce
-        t = (jnp.concatenate(
-            [tables.table % 256, tables.table // 256], axis=1
-        ) - 128).astype(jnp.int8)
-    elif split_states(s):
+        t = (jnp.concatenate([base % 256, base // 256], axis=1)
+             - 128).astype(jnp.int8)
+        split = True
+    elif split:
         # byte-split bf16 encoding (mm_dtype docstring): [Tl | Th] columns
-        t = jnp.concatenate(
-            [tables.table % 256, tables.table // 256], axis=1
-        ).astype(jnp.bfloat16)
+        t = jnp.concatenate([base % 256, base // 256], axis=1).astype(
+            jnp.bfloat16
+        )
     elif use_int8(s - 1):
-        t = tables.table.astype(jnp.int8)
+        t = base.astype(jnp.int8)
     else:
-        t = tables.table.astype(_mm_dtype(s))
+        t = base.astype(_mm_dtype(s))
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
-    return t, iota_c, iota_s
+    return _StepT(t, iota_c, iota_s, tr, split, i8)
 
 
 def table_domain_ok(tables: DfaTables) -> jnp.ndarray:
@@ -232,35 +295,42 @@ def _finals_domain_ok(finals: jnp.ndarray, s: int) -> jnp.ndarray:
     return jnp.all((finals >= 0) & (finals < s))
 
 
-def _mm_step(t_mm, iota_c, iota_s, state, cls_t):
+def _mm_step(st: _StepT, state, cls_t):
     """One byte for NB chains: state (NB,), cls_t (NB,) -> next state (NB,).
-    ``t_mm`` is (C, S) plain (bf16/f32/int8) or (C, 2S) byte-split
-    (``_step_tables``)."""
-    oh_c = (cls_t[:, None] == iota_c).astype(t_mm.dtype)
-    if t_mm.dtype == jnp.int8:  # s8 x s8 -> s32 MXU paths
-        rows = jnp.dot(oh_c, t_mm, preferred_element_type=jnp.int32)
-        oh_xi = (state[:, None] == iota_s).astype(jnp.int32)
-        s = iota_s.shape[1]
-        if t_mm.shape[1] == 2 * s:
-            # offset-corrected byte-split (use_int8_split): the one-hot
-            # select sums exactly one shifted value per half, so one
-            # scalar bias restores lo + 256*hi exactly
-            lo = jnp.sum(rows[:, :s] * oh_xi, axis=-1)
-            hi = jnp.sum(rows[:, s:] * oh_xi, axis=-1)
-            return lo + 256 * hi + _I8_SPLIT_BIAS
-        return jnp.sum(rows * oh_xi, axis=-1)
+
+    The GEMM contracts over classes (original) or states (``transposed``,
+    see ``transposed_step``); the other one-hot selects from the
+    ``(NB, out_dim)`` rows.  Byte-split tables carry [lo | hi] halves and
+    recombine ``lo + 256*hi``; the offset-corrected int8 encoding adds
+    ``_I8_SPLIT_BIAS`` (one-hot rows sum to exactly 1)."""
+    if st.transposed:
+        a_idx, a_iota = state, st.iota_s
+        sel_idx, sel_iota = cls_t, st.iota_c
+    else:
+        a_idx, a_iota = cls_t, st.iota_c
+        sel_idx, sel_iota = state, st.iota_s
+    oh_a = (a_idx[:, None] == a_iota).astype(st.t.dtype)
+    out_dim = sel_iota.shape[1]
+    if st.t.dtype == jnp.int8:  # s8 x s8 -> s32 MXU paths
+        rows = jnp.dot(oh_a, st.t, preferred_element_type=jnp.int32)
+        oh_sel = (sel_idx[:, None] == sel_iota).astype(jnp.int32)
+        if st.split:
+            lo = jnp.sum(rows[:, :out_dim] * oh_sel, axis=-1)
+            hi = jnp.sum(rows[:, out_dim:] * oh_sel, axis=-1)
+            bias = _I8_SPLIT_BIAS if st.i8 else 0
+            return lo + 256 * hi + bias
+        return jnp.sum(rows * oh_sel, axis=-1)
     rows = jnp.dot(
-        oh_c, t_mm,
+        oh_a, st.t,
         preferred_element_type=jnp.float32,
-        precision=mm_precision(t_mm.dtype),
+        precision=mm_precision(st.t.dtype),
     )
-    oh_x = (state[:, None] == iota_s).astype(jnp.float32)
-    s = iota_s.shape[1]
-    if t_mm.shape[1] == 2 * s:  # byte-split: recombine lo + 256*hi
-        lo = jnp.sum(rows[:, :s] * oh_x, axis=-1)
-        hi = jnp.sum(rows[:, s:] * oh_x, axis=-1)
+    oh_sel = (sel_idx[:, None] == sel_iota).astype(jnp.float32)
+    if st.split:  # byte-split: recombine lo + 256*hi
+        lo = jnp.sum(rows[:, :out_dim] * oh_sel, axis=-1)
+        hi = jnp.sum(rows[:, out_dim:] * oh_sel, axis=-1)
         return (lo + 256.0 * hi).astype(jnp.int32)
-    return jnp.sum(rows * oh_x, axis=-1).astype(jnp.int32)
+    return jnp.sum(rows * oh_sel, axis=-1).astype(jnp.int32)
 
 
 def chain_pass_finals(tables: DfaTables, cls_seq: jnp.ndarray, entries: jnp.ndarray):
@@ -268,10 +338,10 @@ def chain_pass_finals(tables: DfaTables, cls_seq: jnp.ndarray, entries: jnp.ndar
 
     Cheap pass used inside the fixpoint loop — no per-position outputs.
     """
-    t, iota_c, iota_s = _step_tables(tables)
+    st = _step_tables(tables)
 
     def body(state, cls_t):
-        return _mm_step(t, iota_c, iota_s, state, cls_t), None
+        return _mm_step(st, state, cls_t), None
 
     finals, _ = jax.lax.scan(body, entries, cls_seq)
     return finals
@@ -279,13 +349,13 @@ def chain_pass_finals(tables: DfaTables, cls_seq: jnp.ndarray, entries: jnp.ndar
 
 def chain_pass_full(tables: DfaTables, cls_seq: jnp.ndarray, entries: jnp.ndarray):
     """Output pass: also emit per-position state + accept bit (B, NB)."""
-    t, iota_c, iota_s = _step_tables(tables)
+    st = _step_tables(tables)
     accept_f = tables.accept.astype(jnp.float32)
 
     def body(state, cls_t):
-        oh_x = (state[:, None] == iota_s).astype(jnp.float32)
+        oh_x = (state[:, None] == st.iota_s).astype(jnp.float32)
         acc = jnp.sum(oh_x * accept_f[None, :], axis=-1) > 0.0
-        nxt = _mm_step(t, iota_c, iota_s, state, cls_t)
+        nxt = _mm_step(st, state, cls_t)
         return nxt, (state, acc)
 
     finals, (states, acc) = jax.lax.scan(body, entries, cls_seq)
@@ -297,13 +367,13 @@ def chain_pass_mask(tables: DfaTables, cls_seq: jnp.ndarray, entries: jnp.ndarra
     array — finditer's backward scan and ``_scan_mask`` need only the bits,
     and skipping the (B, NB) int32 states store saves 4 B/byte of HBM
     write traffic."""
-    t, iota_c, iota_s = _step_tables(tables)
+    st = _step_tables(tables)
     accept_f = tables.accept.astype(jnp.float32)
 
     def body(state, cls_t):
-        oh_x = (state[:, None] == iota_s).astype(jnp.float32)
+        oh_x = (state[:, None] == st.iota_s).astype(jnp.float32)
         acc = jnp.sum(oh_x * accept_f[None, :], axis=-1) > 0.0
-        nxt = _mm_step(t, iota_c, iota_s, state, cls_t)
+        nxt = _mm_step(st, state, cls_t)
         return nxt, acc
 
     finals, acc = jax.lax.scan(body, entries, cls_seq)
@@ -319,14 +389,14 @@ def chain_pass_counts(tables: DfaTables, cls_seq: jnp.ndarray, entries: jnp.ndar
     reach HBM and no scatter/bincount is needed.  Accept masking happens
     once at the end: counts[s] = visits[s] * accept[s].
     """
-    t, iota_c, iota_s = _step_tables(tables)
+    st = _step_tables(tables)
     s_dim = tables.num_states
 
     def body(carry, cls_t):
         state, visits = carry
-        oh_x = (state[:, None] == iota_s).astype(jnp.float32)
+        oh_x = (state[:, None] == st.iota_s).astype(jnp.float32)
         visits = visits + jnp.sum(oh_x, axis=0).astype(jnp.int32)
-        nxt = _mm_step(t, iota_c, iota_s, state, cls_t)
+        nxt = _mm_step(st, state, cls_t)
         return (nxt, visits), None
 
     (finals, visits), _ = jax.lax.scan(
@@ -506,15 +576,15 @@ def _chain_pass_counts_multi(tables: DfaTables, cls_seq, entries, n: int):
     (stream-major) and segment-summed into an (N, S) carry.  Exact: the
     per-step per-stream lane sum is at most NB < 2^24 in f32, accumulated
     in int32."""
-    t, iota_c, iota_s = _step_tables(tables)
+    st = _step_tables(tables)
     s_dim = tables.num_states
     nb = cls_seq.shape[1] // n
 
     def body(carry, cls_t):
         state, visits = carry
-        oh_x = (state[:, None] == iota_s).astype(jnp.float32)
+        oh_x = (state[:, None] == st.iota_s).astype(jnp.float32)
         per = jnp.sum(oh_x.reshape(n, nb, s_dim), axis=1).astype(jnp.int32)
-        nxt = _mm_step(t, iota_c, iota_s, state, cls_t)
+        nxt = _mm_step(st, state, cls_t)
         return (nxt, visits + per), None
 
     (finals, visits), _ = jax.lax.scan(

@@ -18,24 +18,25 @@ k-gram vs k=1 (``ops.kgram.choose_scan_level``, gate
 ``KGRAM_MAX_STATES``) one level up: k=1 device vs native host (r3 verdict
 item 3).
 
-Measured calibration (2026-08-20, shared v5e + 2-core host;
-constants below):
+Measured calibration (2026-08-20, shared v5e + 2-core host; device rates
+are the STATE-CONTRACTED orientation that ``ops.dfa_fast.transposed_step``
+picks for realistic sizes — the r4 probe, docs/probe_transposed_r04.json):
 
-=========  =====  ==========  ==============  ===========================
-point      tiles  device GB/s  device tile*GB  host GB/s (this host)
-=========  =====  ==========  ==============  ===========================
-S=213 C=31   3      0.48         1.44          0.30-0.39 single cursor
-S=440 C=34   8      0.27         2.16          0.45-0.75 multi aggregate
-S=836 C=36  15      0.16         2.40          (same — S-independent)
-=========  =====  ==========  ==============  ===========================
+=========  ==========  ==========  ==============  =======================
+point      gemm+sel     device      device          host GB/s (this host)
+           tiles        GB/s        tile*GB/s
+=========  ==========  ==========  ==============  =======================
+S=440 C=36   4+1=5       0.609       3.05           0.30-0.39 single cursor
+S=836 C=36   7+1=8       0.440       3.52           0.45-0.75 multi
+=========  ==========  ==========  ==============  =======================
 
-Device rates above are the SLOW-day scale; the same code measured 2.6x
-faster on the BENCH_r02 day.  ``DEVICE_TILE_BPS`` therefore uses the
-geometric mid-scale (3.2e9): a router that calibrates to either extreme
-would systematically mis-route on the other kind of day, and at the
-resulting thresholds (host from S≈640 single-stream / S≈385 multi-stream)
-the two engines' measured ranges overlap anyway — the host side is also
-the rig-stable, chip-free choice.  NOTE the model compares COMPUTE rates
+Device rates above are the SLOW-day scale; the same code measures 2.6x
+faster on BENCH_r02-class days.  ``DEVICE_TILE_BPS`` uses the geometric
+mid-scale (5.2e9): a router that calibrates to either extreme would
+systematically mis-route on the other kind of day.  At these constants
+the device now wins through S~1300; the host walker takes over for the
+truly big DFAs (the reference's own S=2794/9514 rulesets when densified)
+and multi-stream serving there.  NOTE the model compares COMPUTE rates
 (production TPU hosts feed the chip at DMA speed); on this rig's tunnel
 (~6 MB/s upload) API-level device scans are transfer-bound and the host
 engine wins end-to-end almost everywhere, which is measured and reported
@@ -54,9 +55,9 @@ __all__ = [
 ]
 
 #: device per-step cost normalization: measured bytes/s * padded MXU tiles
-#: per step (1.44-2.4e9 slow-day across the sweep, x2.6 good-day);
+#: per step (3.05-3.52e9 slow-day on the transposed route, x2.6 good-day);
 #: geometric mid-scale — see module docstring for why
-DEVICE_TILE_BPS = 3.2e9
+DEVICE_TILE_BPS = 5.2e9
 #: native single-cursor walk (dependency-chain bound; measured 0.31-0.39
 #: GB/s on this host at S=836/C=36)
 HOST_SINGLE_BPS = 0.30e9
@@ -67,12 +68,16 @@ HOST_MULTI_BPS = 0.45e9
 
 def device_count_bps(num_states: int, num_classes: int) -> float:
     """Modeled k=1 counting rate of the fast device engine: padded-tile
-    cost per step (one class-selected GEMM + one select), table width S
-    packed or 2S byte-split — the same width rules as
-    ``ops.kgram.kgram_step_cost`` level 0."""
-    width = num_states if num_states <= 256 else 2 * num_states
-    tiles = -(-num_classes // 128) * -(-width // 128) + 1
-    return DEVICE_TILE_BPS / tiles
+    cost per step (GEMM + one select) at the BEST orientation — the
+    engine picks class- or state-contracted per
+    ``ops.dfa_fast.transposed_step``, so the router models the same
+    minimum.  Split width 2x applies above S=256 either way (the table
+    VALUES are state ids)."""
+    w_cur = num_states if num_states <= 256 else 2 * num_states
+    w_tr = num_classes if num_states <= 256 else 2 * num_classes
+    cur = -(-num_classes // 128) * -(-w_cur // 128)
+    tr = -(-num_states // 128) * -(-w_tr // 128)
+    return DEVICE_TILE_BPS / (min(cur, tr) + 1)
 
 
 def host_count_bps(n_streams: int) -> float:

@@ -281,8 +281,10 @@ def test_int8_split_offset_corrected_exact(rng, monkeypatch):
     assert df.use_int8_split(501) and not df.use_int8_split(256)
     table, accept = random_dfa_table(rng, 501, 12)
     dt = build_dfa_tables(table, accept)
-    t_mm, _, _ = df._step_tables(dt)
-    assert t_mm.dtype == jnp.int8 and t_mm.shape[1] == 2 * 501
+    st = df._step_tables(dt)
+    assert st.t.dtype == jnp.int8 and st.split and st.i8
+    # transposed orientation wins at S=501/C<=12 (contract over states)
+    assert st.transposed and st.t.shape[1] == 2 * dt.num_classes
     stream = rng.integers(0, 256, size=64 * 32).astype(np.uint8)
     classes = jnp.asarray(np.asarray(dt.class_of)[stream])
     ser = dfa_scan_serial(dt, jnp.asarray(stream))
@@ -330,3 +332,45 @@ def test_int8_split_multi_stream_exact(rng, monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(res.counts[i]), np.asarray(ser.counts)
         )
+
+
+def test_transposed_step_decision():
+    """Orientation chooser (r4): contract over the LARGER index dimension
+    so the GEMM pads fewer tiles and the rows intermediate stays narrow."""
+    import regex_fpga_tpu.ops.dfa_fast as df
+
+    assert df.transposed_step(36, 836)      # 7 tiles vs 14, rows 2C vs 2S
+    assert df.transposed_step(34, 440)      # 4 vs 7
+    assert df.transposed_step(12, 501)
+    assert not df.transposed_step(221, 23)  # tokenizer: C >> S
+    # GEMM-tile ties break on the narrower rows intermediate
+    assert df.transposed_step(31, 213)      # 2 vs 2 tiles; rows 31 vs 426
+    assert not df.transposed_step(128, 128)  # true tie: keep original
+
+
+def test_transposed_vs_original_orientation_exact(rng, monkeypatch):
+    """Both GEMM orientations produce bit-identical scans (forced via the
+    decision fn), across the f32 and forced-split encodings."""
+    import jax.numpy as jnp
+    import regex_fpga_tpu.ops.dfa_fast as df
+    from regex_fpga_tpu.ops import dfa_scan_serial
+
+    table, accept = random_dfa_table(rng, 391, 17)
+    dt = build_dfa_tables(table, accept)
+    stream = rng.integers(0, 256, size=64 * 32).astype(np.uint8)
+    classes = jnp.asarray(np.asarray(dt.class_of)[stream])
+    ser = dfa_scan_serial(dt, jnp.asarray(stream))
+    for split_on in (False, True):
+        if split_on:
+            monkeypatch.setattr(df, "split_states", lambda s: s > 256)
+        results = []
+        for forced in (True, False):
+            monkeypatch.setattr(df, "transposed_step", lambda c, s: forced)
+            res = df.dfa_scan_fast(dt, classes, num_blocks=32, emit="counts")
+            assert bool(res.converged) and bool(res.domain_ok)
+            assert int(res.final_state) == int(ser.final_state)
+            np.testing.assert_array_equal(
+                np.asarray(res.counts), np.asarray(ser.counts)
+            )
+            results.append(np.asarray(res.counts))
+        np.testing.assert_array_equal(*results)

@@ -20,28 +20,34 @@ from regex_fpga_tpu.utils.native import native_available
 
 
 def test_decision_at_measured_points():
-    # S=213/C=31 (3 tiles): device wins everywhere
+    # post-transposed-orientation calibration (docs/probe_transposed_r04):
+    # the device's best orientation wins through S~1300
     assert choose_scan_backend(213, 31, 1) == "device"
-    assert choose_scan_backend(213, 31, 64) == "device"
-    # S=836/C=36 (15 tiles, modeled 0.21 GB/s): host wins everywhere
-    assert choose_scan_backend(836, 36, 1) == "host"
-    assert choose_scan_backend(836, 36, 64) == "host"
-    # S=440/C=34 (8 tiles, modeled 0.40): single-stream device,
-    # multi-stream host — the measured overlap region
-    assert choose_scan_backend(440, 34, 1) == "device"
-    assert choose_scan_backend(440, 34, 8) == "host"
+    assert choose_scan_backend(440, 34, 8) == "device"   # 5 tiles, 1.04 GB/s
+    assert choose_scan_backend(836, 36, 1) == "device"   # 8 tiles, 0.65
+    assert choose_scan_backend(836, 36, 64) == "device"
+    # the reference's own ruleset scale (S=2794 densified): host wins
+    assert choose_scan_backend(2794, 64, 1) == "host"    # 23 tiles, 0.23
+    assert choose_scan_backend(2794, 64, 16) == "host"
+    # the multi-stream crossover sits between: ~1400 <= S < ~2100 routes
+    # host only when the multi-cursor aggregate applies
+    assert choose_scan_backend(1500, 64, 16) == "host"
+    assert choose_scan_backend(1500, 64, 1) == "device"
     # small-S (kgram territory) is never host
     assert choose_scan_backend(23, 221, 64) == "device"
     # forcing overrides the model
-    assert choose_scan_backend(836, 36, 64, mode="device") == "device"
-    assert choose_scan_backend(23, 221, 1, mode="host") == "host"
+    assert choose_scan_backend(836, 36, 64, mode="host") == "host"
+    assert choose_scan_backend(2794, 64, 16, mode="device") == "device"
 
 
 def test_model_reproduces_calibration():
-    # the model's device rates must reproduce the measured sweep shape
+    # the model's device rates must reproduce the measured probe shape
+    # (best orientation: state-contracted for realistic S, +1 select tile)
+    assert device_count_bps(440, 36) == DEVICE_TILE_BPS / 5
+    assert device_count_bps(836, 36) == DEVICE_TILE_BPS / 8
     assert device_count_bps(213, 31) == DEVICE_TILE_BPS / 3
-    assert device_count_bps(440, 34) == DEVICE_TILE_BPS / 8
-    assert device_count_bps(836, 36) == DEVICE_TILE_BPS / 15
+    # the class-contracted orientation still wins when C >> S
+    assert device_count_bps(23, 221) == DEVICE_TILE_BPS / (2 * 1 + 1)
     assert host_count_bps(1) == HOST_SINGLE_BPS
     assert host_count_bps(4) == HOST_MULTI_BPS
 
@@ -87,12 +93,17 @@ def test_host_path_bit_exact_vs_device(big_matcher):
 
 
 @pytest.mark.skipif(not native_available(), reason="native lib required")
-def test_auto_routes_big_automaton_to_host(big_matcher):
+def test_auto_routing_and_host_positions(big_matcher):
     data = b"..error0031.." * 50
+    # post-r4 calibration: S=836's transposed device route (0.44-1.1 GB/s
+    # measured) beats the host walker — auto stays on device
     r = big_matcher.scan(data)
-    assert r.metrics.engine == "dfa-host-native"  # S=836: host everywhere
-    # positions path routes host too and matches the device mask scan
-    rp = big_matcher.scan(data, collect_positions=True)
+    assert r.metrics.engine != "dfa-host-native"
+    assert not big_matcher._host_backend(1)
+    # forced host: the positions path matches the device mask scan
+    host = _force(big_matcher, "host")
+    rp = host.scan(data, collect_positions=True)
+    assert rp.metrics.engine == "dfa-host-native"
     rd = _force(big_matcher, "device").scan(data, collect_positions=True)
     np.testing.assert_array_equal(rp.counts, rd.counts)
     np.testing.assert_array_equal(
