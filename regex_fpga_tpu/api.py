@@ -1985,7 +1985,7 @@ def _apply_bitmask(v: int, mask: int) -> int:
 #: rule options the pipeline ENFORCES (affect matching and are applied)
 _MATCH_ENFORCED_OPTS = frozenset({
     "content", "nocase", "offset", "depth", "distance", "within", "pcre",
-    "byte_test", "byte_jump",
+    "byte_test", "byte_jump", "byte_extract", "isdataat",
 })
 #: options that do not constrain MATCHING on a payload stream (labels,
 #: bookkeeping) — a rule carrying only these + enforced options is fully
@@ -2139,7 +2139,7 @@ class SnortMatcher:
         this also keeps the verify stage LINEAR on attacker-controlled
         payloads (unbounded backtracking measured quadratic: 5 s on a
         160 KB crafted packet)."""
-        from .models.snort import ByteJump, ByteTest
+        from .models.snort import ByteExtract, ByteJump, ByteTest, IsDataAt
 
         rule = self.rules[idx]
         contents = rule.verify_ops or rule.contents
@@ -2150,28 +2150,65 @@ class SnortMatcher:
         later_relative = [False] * (len(contents) + 1)
         for i in range(len(contents) - 1, -1, -1):
             c = contents[i]
-            rel = (c.relative if isinstance(c, (ByteTest, ByteJump))
+            rel = (c.relative
+                   if isinstance(c, (ByteTest, ByteJump, ByteExtract,
+                                     IsDataAt))
                    else (c.distance is not None or c.within is not None))
             later_relative[i] = later_relative[i + 1] or rel
 
-        def ok_from(ci: int, prev_end: int) -> bool:
+        _missing = object()  # unresolved byte_extract variable sentinel
+
+        def ok_from(ci: int, prev_end: int, env: dict) -> bool:
             if ci == len(contents):
                 return True
             c = contents[ci]
+
+            def rv(x):
+                # int | None pass through; variable name -> bound value
+                return env.get(x, _missing) if isinstance(x, str) else x
+
             if isinstance(c, ByteTest):
+                off, val = rv(c.offset), rv(c.value)
+                if off is _missing or val is _missing:
+                    return False
                 got = _byte_convert(raw, (prev_end if c.relative else 0)
-                                    + c.offset, c)
+                                    + off, c)
                 if got is None:
                     return False
                 v, _ = got
                 if c.bitmask is not None:
                     v = _apply_bitmask(v, c.bitmask)
-                res = _BYTE_OPS[c.op](v, c.value)
+                res = _BYTE_OPS[c.op](v, val)
                 if c.negate:
                     res = not res
-                return bool(res) and ok_from(ci + 1, prev_end)
+                return bool(res) and ok_from(ci + 1, prev_end, env)
+            if isinstance(c, ByteExtract):
+                off = rv(c.offset)
+                if off is _missing:
+                    return False
+                got = _byte_convert(raw, (prev_end if c.relative else 0)
+                                    + off, c)
+                if got is None:
+                    return False
+                v, read_end = got
+                # bindings are IMMUTABLE per path: backtracking into an
+                # earlier content re-runs the extract with the new cursor
+                return ok_from(ci + 1, read_end,
+                               {**env, c.name: v * c.multiplier})
+            if isinstance(c, IsDataAt):
+                pos = rv(c.pos)
+                if pos is _missing:
+                    return False
+                base = prev_end if c.relative else 0
+                exists = 0 <= base + pos < n
+                if exists == c.negate:
+                    return False
+                return ok_from(ci + 1, prev_end, env)
             if isinstance(c, ByteJump):
-                pos = (prev_end if c.relative else 0) + c.offset
+                off = rv(c.offset)
+                if off is _missing:
+                    return False
+                pos = (prev_end if c.relative else 0) + off
                 if c.count == 0:
                     v, read_end = 0, pos
                 else:
@@ -2193,40 +2230,44 @@ class SnortMatcher:
                 target += c.post_offset
                 if target < 0 or target > n:
                     return False
-                return ok_from(ci + 1, target)
+                return ok_from(ci + 1, target, env)
+            c_off, c_dep = rv(c.offset), rv(c.depth)
+            c_dist, c_win = rv(c.distance), rv(c.within)
+            if _missing in (c_off, c_dep, c_dist, c_win):
+                return False
             hay = low if c.nocase else raw
             needle = c.pattern.lower() if c.nocase else c.pattern
-            relative = c.distance is not None or c.within is not None
+            relative = c_dist is not None or c_win is not None
             absolute = (
-                (c.offset is not None or c.depth is not None)
+                (c_off is not None or c_dep is not None)
                 and not relative
             )
             if absolute:
                 # Snort semantics: offset/depth anchor to PAYLOAD START,
                 # independent of the ordered-walk cursor (also keeps the
                 # walk free of hidden prev_end dependencies)
-                start = c.offset or 0
+                start = c_off or 0
             elif relative:
-                start = prev_end + (c.distance or 0)
-                if c.offset is not None:  # mixed: both constraints apply
-                    start = max(start, c.offset)
+                start = prev_end + (c_dist or 0)
+                if c_off is not None:  # mixed: both constraints apply
+                    start = max(start, c_off)
             else:
                 start = prev_end  # ordered-occurrence walk
             end_limit = (
-                prev_end + c.within if c.within is not None else None
+                prev_end + c_win if c_win is not None else None
             )
-            if c.depth is not None:
-                dl = (c.offset or 0) + c.depth
+            if c_dep is not None:
+                dl = (c_off or 0) + c_dep
                 end_limit = dl if end_limit is None else min(end_limit, dl)
             start = max(start, 0)
             if c.negated:
-                windowed = relative or c.offset is not None or c.depth is not None
+                windowed = relative or c_off is not None or c_dep is not None
                 seg_end = end_limit if end_limit is not None else n
                 frm = start if windowed else 0
                 if hay.find(needle, frm, seg_end if windowed else n) != -1:
                     return False
                 # a negated content matches "nothing": cursor stays put
-                return ok_from(ci + 1, prev_end)
+                return ok_from(ci + 1, prev_end, env)
             # bound the search by end_limit so find() never scans past the
             # window: an occurrence must END by end_limit, which is exactly
             # bytes.find's slice-end semantics.  Without the bound, each
@@ -2240,14 +2281,14 @@ class SnortMatcher:
                 # greedy: earliest occurrence is optimal (see docstring)
                 if at == -1:
                     return False
-                return ok_from(ci + 1, at + len(needle))
+                return ok_from(ci + 1, at + len(needle), env)
             while at != -1:
-                if ok_from(ci + 1, at + len(needle)):
+                if ok_from(ci + 1, at + len(needle), env):
                     return True
                 at = hay.find(needle, at + 1, bound)
             return False
 
-        return ok_from(0, 0)
+        return ok_from(0, 0, {})
 
     def enforcement_report(self) -> dict:
         """Per-rule enforcement coverage: which rules this pipeline fully
@@ -2261,7 +2302,9 @@ class SnortMatcher:
         ``byte_ops_unparsed``, or a pcre outside the compiler subset).
         Metadata options (msg/sid/rev/classtype/reference/...) never
         affect matching and don't count against a rule."""
-        from .models.snort import ByteJump, ByteTest
+        from .models.snort import (
+            ByteExtract, ByteJump, ByteTest, IsDataAt,
+        )
 
         rows = []
         for i, r in enumerate(self.rules):
@@ -2270,12 +2313,14 @@ class SnortMatcher:
                 if nm not in _MATCH_ENFORCED_OPTS
                 and nm not in _METADATA_OPTS
             })
+            byte_opt_names = ("byte_test", "byte_jump", "byte_extract",
+                              "isdataat")
             n_byte_opts = sum(
-                1 for nm, _ in r.options if nm in ("byte_test", "byte_jump")
+                1 for nm, _ in r.options if nm in byte_opt_names
             )
             n_byte_ops = sum(
                 1 for o in (r.verify_ops or ())
-                if isinstance(o, (ByteTest, ByteJump))
+                if isinstance(o, (ByteTest, ByteJump, ByteExtract, IsDataAt))
             )
             byte_unparsed = n_byte_opts - n_byte_ops
             pcre_state = "none"

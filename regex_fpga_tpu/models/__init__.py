@@ -3,8 +3,10 @@ from .l7 import L7Pattern, load_l7_dir, load_l7_pattern, parse_l7_pattern
 from .csr import CsrAutomaton, byte_classes, from_words, load_coe, split_words
 from .literals import AhoCorasick, build_aho_corasick
 from .snort import (
+    ByteExtract,
     ByteJump,
     ByteTest,
+    IsDataAt,
     SnortContent,
     SnortRule,
     load_snort_rules,
@@ -25,8 +27,10 @@ __all__ = [
     "load_golden_histograms",
     "AhoCorasick",
     "build_aho_corasick",
+    "ByteExtract",
     "ByteJump",
     "ByteTest",
+    "IsDataAt",
     "SnortContent",
     "SnortRule",
     "load_snort_rules",

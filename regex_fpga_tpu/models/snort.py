@@ -28,14 +28,19 @@ content match's end), ``pcre``, and the byte-level options ``byte_test``
 and ``byte_jump`` (binary big/little-endian and ``string`` decimal/hex/oct
 conversion, ``relative``, ``bitmask``, and byte_jump's ``multiplier``/
 ``align``/``from_beginning``/``from_end``/``post_offset`` — pure host span
-arithmetic in the ordered verify walk, ``api.SnortMatcher._verify``).  The
-verifier backtracks across content occurrences, so a rule matches whenever
-ANY assignment of occurrences satisfies every window (greedy-first would
-wrongly refuse some rules).  Remaining options (flow, http_* buffers,
-``dce`` byte ops, byte_extract variables, …) are preserved in
-``SnortRule.options`` but not enforced — this is a stream scanner, not a
-full packet IDS; ``api.SnortMatcher.enforcement_report()`` says per rule
-which category it landed in.
+arithmetic in the ordered verify walk, ``api.SnortMatcher._verify``), plus
+``byte_extract`` (bind a converted payload value to a NAME usable by later
+byte ops, content windows, and ``isdataat`` in the same rule) and
+``isdataat`` (payload-extent assertion, ``!`` negation, ``relative``).
+The verifier backtracks across content occurrences, so a rule matches
+whenever ANY assignment of occurrences satisfies every window
+(greedy-first would wrongly refuse some rules); byte_extract bindings ride
+the same walk as an immutable environment, so they backtrack correctly
+too.  Remaining options (flow, http_* buffers, ``dce`` byte ops, …) are
+preserved in ``SnortRule.options`` but not enforced — this is a stream
+scanner, not a full packet IDS;
+``api.SnortMatcher.enforcement_report()`` says per rule which category it
+landed in.
 """
 
 from __future__ import annotations
@@ -47,6 +52,8 @@ __all__ = [
     "SnortContent",
     "ByteTest",
     "ByteJump",
+    "ByteExtract",
+    "IsDataAt",
     "SnortRule",
     "parse_snort_rules",
     "load_snort_rules",
@@ -82,13 +89,44 @@ class ByteTest:
     count: int
     op: str               # '<' '>' '=' '<=' '>=' '&' '^'
     negate: bool
-    value: int
-    offset: int
+    value: int | str      # str = byte_extract variable name
+    offset: int | str
     relative: bool = False
     endian: str = "big"   # "big" | "little"
     string: bool = False
     base: int = 10        # 10 | 16 | 8 (string conversion)
     bitmask: int | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class ByteExtract:
+    """``byte_extract:<count>,<offset>,<name>[,mods]`` — read + convert
+    like ``ByteTest`` and BIND the value to ``name``; later options in the
+    SAME rule may reference it (``byte_test`` value/offset, ``byte_jump``
+    offset, content ``offset``/``depth``/``distance``/``within``,
+    ``isdataat``).  Zero-width; a read outside the payload fails the
+    rule.  Bindings participate in backtracking naturally (the verify
+    walk threads an immutable env)."""
+
+    count: int
+    offset: int | str      # may itself reference an earlier variable
+    name: str
+    relative: bool = False
+    multiplier: int = 1
+    endian: str = "big"
+    string: bool = False
+    base: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class IsDataAt:
+    """``isdataat:<n>[,relative]`` (``!`` negation) — assert the payload
+    has a byte at position ``n`` (absolute, or from the cursor under
+    ``relative``).  ``n`` may reference a ``byte_extract`` variable."""
+
+    pos: int | str
+    relative: bool = False
+    negate: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -102,7 +140,7 @@ class ByteJump:
     A cursor landing outside the payload fails the rule."""
 
     count: int
-    offset: int
+    offset: int | str     # str = byte_extract variable name
     relative: bool = False
     multiplier: int = 1
     endian: str = "big"
@@ -123,10 +161,25 @@ def _int_tok(s: str) -> int:
     return -v if neg else v
 
 
-def parse_byte_test(val: str) -> ByteTest | None:
+def _int_or_var(s: str, names: frozenset | set) -> int | str:
+    """Numeric literal, or the NAME of an earlier ``byte_extract``
+    variable in the same rule; raises ValueError otherwise."""
+    try:
+        return _int_tok(s)
+    except ValueError:
+        t = s.strip()
+        if names and t in names:
+            return t
+        raise
+
+
+def parse_byte_test(val: str, names: frozenset | set = frozenset()
+                    ) -> ByteTest | None:
     """Parse a ``byte_test`` option value; None when outside the enforced
-    subset (``dce``, byte_extract variables, unknown modifiers) — the rule
-    then stays content/pcre-verified and ``enforcement_report`` flags it."""
+    subset (``dce``, undefined variables, unknown modifiers) — the rule
+    then stays content/pcre-verified and ``enforcement_report`` flags it.
+    ``names`` holds byte_extract variables defined earlier in the rule
+    (legal in the value/offset fields)."""
     parts = [p.strip() for p in val.split(",")]
     if len(parts) < 4:
         return None
@@ -138,8 +191,8 @@ def parse_byte_test(val: str) -> ByteTest | None:
             op = op[1:] or "="
         if op not in ("<", ">", "=", "<=", ">=", "&", "^"):
             return None
-        value = _int_tok(parts[2])
-        offset = _int_tok(parts[3])
+        value = _int_or_var(parts[2], names)
+        offset = _int_or_var(parts[3], names)
     except ValueError:
         return None
     relative, endian, string, base, bitmask = False, "big", False, 10, None
@@ -172,7 +225,8 @@ def parse_byte_test(val: str) -> ByteTest | None:
                     string=string, base=base, bitmask=bitmask)
 
 
-def parse_byte_jump(val: str) -> ByteJump | None:
+def parse_byte_jump(val: str, names: frozenset | set = frozenset()
+                    ) -> ByteJump | None:
     """Parse a ``byte_jump`` option value; None when outside the enforced
     subset (see ``parse_byte_test``)."""
     parts = [p.strip() for p in val.split(",")]
@@ -180,7 +234,7 @@ def parse_byte_jump(val: str) -> ByteJump | None:
         return None
     try:
         count = int(parts[0])
-        offset = _int_tok(parts[1])
+        offset = _int_or_var(parts[1], names)
     except ValueError:
         return None
     relative = string = align = from_beginning = from_end = False
@@ -230,6 +284,74 @@ def parse_byte_jump(val: str) -> ByteJump | None:
                     base=base, align=align, from_beginning=from_beginning,
                     from_end=from_end, post_offset=post_offset,
                     bitmask=bitmask)
+
+
+def parse_byte_extract(val: str, names: frozenset | set = frozenset()
+                       ) -> ByteExtract | None:
+    """Parse a ``byte_extract`` option value; None outside the subset."""
+    parts = [p.strip() for p in val.split(",")]
+    if len(parts) < 3:
+        return None
+    try:
+        count = int(parts[0])
+        offset = _int_or_var(parts[1], names)
+    except ValueError:
+        return None
+    name = parts[2]
+    if not name.isidentifier():
+        return None
+    relative = string = False
+    endian, base, multiplier = "big", 10, 1
+    for mraw in parts[3:]:
+        m = mraw.lower()
+        if m == "relative":
+            relative = True
+        elif m in ("big", "little"):
+            endian = m
+        elif m == "string":
+            string = True
+        elif m in ("hex", "dec", "oct"):
+            base = {"hex": 16, "dec": 10, "oct": 8}[m]
+        elif m.startswith("multiplier"):
+            toks = mraw.split()
+            if len(toks) != 2:
+                return None
+            try:
+                multiplier = _int_tok(toks[1])
+            except ValueError:
+                return None
+            if multiplier <= 0:
+                return None
+        else:
+            return None  # align/dce/bitmask etc: unenforced
+    if not (1 <= count <= (10 if string else 4)):
+        return None
+    return ByteExtract(count=count, offset=offset, name=name,
+                       relative=relative, multiplier=multiplier,
+                       endian=endian, string=string, base=base)
+
+
+def parse_is_data_at(val: str, names: frozenset | set = frozenset()
+                     ) -> IsDataAt | None:
+    """Parse an ``isdataat`` option value; None outside the subset."""
+    parts = [p.strip() for p in val.split(",")]
+    if not parts or not parts[0]:
+        return None
+    tok = parts[0]
+    negate = tok.startswith("!")
+    if negate:
+        tok = tok[1:].strip()
+    try:
+        pos = _int_or_var(tok, names)
+    except ValueError:
+        return None
+    relative = False
+    for mraw in parts[1:]:
+        if mraw.lower() == "relative":
+            relative = True
+        else:
+            return None  # rawbytes etc: unenforced
+    return IsDataAt(pos=pos, relative=relative, negate=negate)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -355,7 +477,9 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
         sid: int | None = None
         pcre: str | None = None
         contents: list[SnortContent] = []
-        ops: list = []  # SnortContent | ByteTest | ByteJump, rule order
+        #: SnortContent | ByteTest | ByteJump | ByteExtract | IsDataAt
+        ops: list = []
+        var_names: set[str] = set()  # byte_extract bindings so far
         last_content_op = -1  # index into ops of the latest content
 
         def _update_last(new_content: SnortContent) -> None:
@@ -382,19 +506,28 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
                   and contents and val is not None):
                 try:
                     _update_last(dataclasses.replace(
-                        contents[-1], **{name: int(val)}
+                        contents[-1], **{name: _int_or_var(val, var_names)}
                     ))
                 except ValueError:
-                    pass  # byte_extract variable: left unenforced (None)
+                    pass  # undefined variable: left unenforced (None)
             elif name == "byte_test" and val is not None:
-                bt = parse_byte_test(val)
+                bt = parse_byte_test(val, var_names)
                 if bt is not None:
                     ops.append(bt)
                 # unparsed: stays in options; enforcement_report flags it
             elif name == "byte_jump" and val is not None:
-                bj = parse_byte_jump(val)
+                bj = parse_byte_jump(val, var_names)
                 if bj is not None:
                     ops.append(bj)
+            elif name == "byte_extract" and val is not None:
+                be = parse_byte_extract(val, var_names)
+                if be is not None:
+                    var_names.add(be.name)
+                    ops.append(be)
+            elif name == "isdataat" and val is not None:
+                ida = parse_is_data_at(val, var_names)
+                if ida is not None:
+                    ops.append(ida)
             elif name == "pcre" and val is not None:
                 pcre = _unquote(val)[0]
         rules.append(

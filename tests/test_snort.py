@@ -335,6 +335,82 @@ def test_enforcement_report_summary(byte_matcher):
     assert s["partial"] == 1 and s["byte_ops_unparsed"] == 1
 
 
+EXTRACT_RULES = r'''
+alert tcp any any -> any any (msg:"be len guard"; content:"LEN"; byte_extract:1,0,len,relative; byte_test:1,>,len,0,relative; sid:9500;)
+alert tcp any any -> any any (msg:"be window"; content:"HDR"; byte_extract:1,0,wlen,relative; content:"END"; within:wlen; sid:9501;)
+alert tcp any any -> any any (msg:"be string mult"; content:"n="; byte_extract:2,0,cnt,relative,string,dec,multiplier 2; isdataat:cnt,relative; sid:9502;)
+alert tcp any any -> any any (msg:"ida abs"; content:"AB"; isdataat:6; sid:9503;)
+alert tcp any any -> any any (msg:"ida neg rel"; content:"SHORT"; isdataat:!4,relative; sid:9504;)
+alert tcp any any -> any any (msg:"be undefined var unenforced"; content:"UV"; byte_test:1,>,nosuchvar,0,relative; sid:9505;)
+'''
+
+
+@pytest.fixture(scope="module")
+def extract_matcher():
+    return compile_snort(EXTRACT_RULES)
+
+
+def test_byte_extract_feeds_byte_test(extract_matcher):
+    # len byte after LEN = 5; next byte must exceed it
+    assert 9500 in _sids(extract_matcher, b"LEN\x05\x09")
+    assert 9500 not in _sids(extract_matcher, b"LEN\x05\x03")
+    # extract read past payload end -> rule fails
+    assert 9500 not in _sids(extract_matcher, b"LEN")
+
+
+def test_byte_extract_feeds_content_window(extract_matcher):
+    # wlen byte steers the within-window of END (cursor = after the
+    # extracted byte, Snort byte_extract moves the DOE pointer)
+    assert 9501 in _sids(extract_matcher, b"HDR\x05..END")
+    assert 9501 not in _sids(extract_matcher, b"HDR\x03..END")
+
+
+def test_byte_extract_string_multiplier_isdataat(extract_matcher):
+    # "n=24" -> cnt = 24*2 = 48; payload must have a byte 48 past the
+    # extract end
+    assert 9502 in _sids(extract_matcher, b"n=24" + b"x" * 49)
+    assert 9502 not in _sids(extract_matcher, b"n=24" + b"x" * 40)
+
+
+def test_isdataat_absolute_and_negated(extract_matcher):
+    assert 9503 in _sids(extract_matcher, b"AB12345")   # byte at index 6
+    assert 9503 not in _sids(extract_matcher, b"AB123")
+    # !4,relative: FEWER than 5 bytes after SHORT
+    assert 9504 in _sids(extract_matcher, b"xSHORT123")
+    assert 9504 not in _sids(extract_matcher, b"xSHORT12345")
+
+
+def test_undefined_variable_stays_unenforced(extract_matcher):
+    # byte_test referencing an undefined var is outside the subset:
+    # content alone decides, enforcement_report flags the rule
+    assert 9505 in _sids(extract_matcher, b"UV\x00")
+    rep = extract_matcher.enforcement_report()
+    row = next(r for r in rep["rules"] if r["sid"] == 9505)
+    assert row["status"] == "partial" and row["byte_ops_unparsed"] == 1
+    # everything else in this corpus is fully enforced
+    assert rep["summary"]["enforced"] == 5
+
+
+def test_byte_extract_parser_units():
+    from regex_fpga_tpu.models.snort import (
+        ByteExtract, IsDataAt, parse_byte_extract, parse_is_data_at,
+        parse_byte_test,
+    )
+
+    be = parse_byte_extract("2,4,off,relative,string,dec,multiplier 3")
+    assert be == ByteExtract(count=2, offset=4, name="off", relative=True,
+                             multiplier=3, string=True, base=10)
+    assert parse_byte_extract("2,4,not an ident") is None
+    assert parse_byte_extract("2,4,v,dce") is None
+    ida = parse_is_data_at("!100,relative")
+    assert ida == IsDataAt(pos=100, relative=True, negate=True)
+    assert parse_is_data_at("50") == IsDataAt(pos=50)
+    assert parse_is_data_at("50,rawbytes") is None
+    # variables only resolve when defined EARLIER in the rule
+    assert parse_byte_test("1,>,myvar,0", {"myvar"}).value == "myvar"
+    assert parse_byte_test("1,>,myvar,0", set()) is None
+
+
 def test_pcre_boundary_and_dotall_verification():
     """\\b and /s pcres verify via the host Pike VM / (?s) compile."""
     from regex_fpga_tpu.api import compile_snort
