@@ -570,16 +570,17 @@ class DfaMatcher:
         """Cached k-gram tables (4 bytes/engine step), or None when the
         k=1 counts engine is the faster choice.
 
-        Engine crossover (measured, v5e size sweep 2026-08-20, BENCH_r03
-        size_sweep): k-gram counting beats k=1 counts 1.1-2.6x up to
-        S~107 (the win is largest when the packed single-select applies,
-        S <= 32 for k=4) but LOSES above — 0.36 vs 0.48 GB/s @ S=213,
-        0.21 vs 0.27 @ S=440, 0.06 vs 0.16 @ S=836 — because the unpacked
-        (C_k, 2S) / byte-split (C_k, 3S) tables pad to multiples of 128
-        MXU lanes per level while C_k grows with composition.  The
-        crossover sits at the first extra S tile, so k-gram is used only
-        for S <= ``ops.kgram.KGRAM_MAX_STATES`` (the constant the cost
-        model's ``choose_scan_level`` shares, r3 verdict weak #6)."""
+        Engine crossover (re-measured r4 after the state-contracted k=1
+        orientation sped k=1 up across the board): k=1 now WINS at every
+        measured size above the packed-single-select boundary — 0.610 vs
+        0.577 GB/s @ S=67, 0.582 vs 0.544 @ S=107, and 2-7x above — and
+        measured PARITY at the tokenizer itself (k1 1.184 vs kgram 1.141,
+        same-process A/B).  k-gram is kept only for S <=
+        ``ops.kgram.KGRAM_MAX_STATES`` (= 32, the packed boundary where
+        its historical win was largest; measured cost of being wrong
+        there <= 4%).  The constant is shared with the cost model's
+        ``choose_scan_level`` (r3 verdict weak #6); full r3 crossover
+        history in the constant's docstring."""
         if not hasattr(self, "_kgram_cache"):
             from .ops.kgram import KGRAM_MAX_STATES, build_kgram
 
@@ -718,9 +719,9 @@ class DfaMatcher:
         k-gram cost shape: wider padded tables + composed classes lose to
         the k=1 engine past the first extra 128-lane S tile)."""
         if self._mask2 is None:
-            from .ops.kgram import KGRAM_MAX_STATES, build_mask2
+            from .ops.kgram import MASK2_MAX_STATES, build_mask2
 
-            if self.tables.num_states > KGRAM_MAX_STATES:
+            if self.tables.num_states > MASK2_MAX_STATES:
                 self._mask2 = False
                 return False
             m2 = build_mask2(self.tables)

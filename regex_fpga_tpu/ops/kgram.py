@@ -44,19 +44,28 @@ __all__ = [
     "choose_kgram_level",
     "choose_scan_level",
     "KGRAM_MAX_STATES",
+    "MASK2_MAX_STATES",
 ]
 
-#: Measured k-gram vs k=1 engine crossover (v5e size sweep, BENCH_r03):
-#: k-gram counting wins 1.1-2.6x up to S~107 but loses at every measured
-#: point above (0.36 vs 0.48 GB/s @ S=213, 0.21 vs 0.27 @ S=440, 0.06 vs
-#: 0.16 @ S=836) — the padded table widths (packed S / unpacked 2S /
-#: byte-split 3S) cross their first extra 128-lane tile while the composed
-#: class count C_k grows per level, and the unmodeled per-step costs
-#: (int16 class-stream gather, host prescan) scale the same way.  Shared
-#: by ``api.DfaMatcher._kgram``/``_ensure_mask2`` and
-#: ``choose_scan_level`` so the model and the gate cannot disagree
+#: Measured k-gram vs k=1 engine crossover.  r3 (BENCH_r03): k-gram won
+#: 1.1-2.6x up to S~107 and lost above — gate was 128.  r4 RE-MEASURED
+#: after the state-contracted k=1 orientation (``dfa_fast.transposed_step``)
+#: sped k=1 up across the board: the r4 bench sweep shows k=1 WINNING at
+#: S=67 (0.610 vs 0.577) and S=107 (0.582 vs 0.544), and a same-process
+#: tokenizer A/B measured k=1 1.184 vs k-gram 1.141 GB/s even at S=23 —
+#: parity within noise.  The gate drops to the packed-single-select
+#: boundary (S <= 32, where the k-gram historical win was largest and the
+#: cost of being wrong is measured <= 4%); above it the k=1 engine is the
+#: measured winner at every size.  Shared by ``api.DfaMatcher._kgram``
+#: and ``choose_scan_level`` so the model and the gate cannot disagree
 #: (r3 verdict weak #6).
-KGRAM_MAX_STATES = 128
+KGRAM_MAX_STATES = 32
+
+#: The 2-byte mask2 backward engine keeps the OLD gate: its pair tables
+#: follow the same width arithmetic, but the r4 re-measurement covered
+#: COUNTING only — no new mask-path data, so the r3-validated bound
+#: stands for ``api.DfaMatcher._ensure_mask2``.
+MASK2_MAX_STATES = 128
 
 
 def kgram_step_cost(s: int, c_l: int, lv: int) -> float:
@@ -74,8 +83,8 @@ def kgram_step_cost(s: int, c_l: int, lv: int) -> float:
     The model picks the right LEVEL within the k-gram engine; the
     engine-vs-engine choice (k-gram vs k=1) additionally shifts with
     unmodeled per-step costs (int16 class-stream gathers, prescan), so
-    ``api.DfaMatcher._kgram`` uses the MEASURED S <= 128 crossover
-    (BENCH_r03 size_sweep) rather than comparing cost(0) to cost(best).
+    ``api.DfaMatcher._kgram`` uses the MEASURED crossover constant
+    ``KGRAM_MAX_STATES`` rather than comparing cost(0) to cost(best).
     """
     k = 1 << lv
     split = 256 < s <= (1 << 16)

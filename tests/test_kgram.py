@@ -206,10 +206,14 @@ def test_choose_scan_level_agrees_with_measured_gate():
         KGRAM_MAX_STATES, choose_scan_level,
     )
 
-    assert KGRAM_MAX_STATES == 128
-    # measured k-gram WINNER (tokenizer, S=23) stays k-gram at level 2
+    # r4 re-measurement: the transposed k=1 engine moved the crossover to
+    # the packed-single-select boundary (constant's docstring)
+    assert KGRAM_MAX_STATES == 32
+    # the tokenizer (S=23, inside the gate) stays k-gram at level 2
     assert choose_scan_level(23, [10, 41, 221]) == 2
-    # every measured k-gram LOSER routes to the k=1 engine
+    # every size where the r4 sweep measured k=1 winning routes to k=1
+    assert choose_scan_level(67, [28, 100, 300]) == 0
+    assert choose_scan_level(107, [31, 110, 320]) == 0
     assert choose_scan_level(213, [31, 120, 335]) == 0
     assert choose_scan_level(440, [34, 150, 500]) == 0
     assert choose_scan_level(836, [36, 175, 753]) == 0

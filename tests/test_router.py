@@ -20,23 +20,24 @@ from regex_fpga_tpu.utils.native import native_available
 
 
 def test_decision_at_measured_points():
-    # post-transposed-orientation calibration (docs/probe_transposed_r04):
-    # the device's best orientation wins through S~1300
+    # r4 calibration (docs/probe_transposed_r04 + the in-bench host rows;
+    # geometric day-mean device scale — router.py header table)
     assert choose_scan_backend(213, 31, 1) == "device"
-    assert choose_scan_backend(440, 34, 8) == "device"   # 5 tiles, 1.04 GB/s
-    assert choose_scan_backend(836, 36, 1) == "device"   # 8 tiles, 0.65
-    assert choose_scan_backend(836, 36, 64) == "device"
+    assert choose_scan_backend(440, 36, 8) == "device"   # 5 tiles, 0.86
+    assert choose_scan_backend(836, 36, 1) == "device"   # 0.54 vs 0.30
+    # S=836 multi-stream: host multi-cursor (0.55) edges the day-mean
+    # device rate (0.54) and is rig-stable + chip-free
+    assert choose_scan_backend(836, 36, 8) == "host"
     # the reference's own ruleset scale (S=2794 densified): host wins
-    assert choose_scan_backend(2794, 64, 1) == "host"    # 23 tiles, 0.23
+    assert choose_scan_backend(2794, 64, 1) == "host"    # 23 tiles, 0.19
     assert choose_scan_backend(2794, 64, 16) == "host"
-    # the multi-stream crossover sits between: ~1400 <= S < ~2100 routes
-    # host only when the multi-cursor aggregate applies
+    # single-stream crossover ~S=1350; multi-stream ~S=800
     assert choose_scan_backend(1500, 64, 16) == "host"
     assert choose_scan_backend(1500, 64, 1) == "device"
     # small-S (kgram territory) is never host
     assert choose_scan_backend(23, 221, 64) == "device"
     # forcing overrides the model
-    assert choose_scan_backend(836, 36, 64, mode="host") == "host"
+    assert choose_scan_backend(836, 36, 1, mode="host") == "host"
     assert choose_scan_backend(2794, 64, 16, mode="device") == "device"
 
 
