@@ -713,11 +713,13 @@ class DfaMatcher:
     def _ensure_mask2(self):
         """Lazy pair-composed mask tables (``ops.kgram.build_mask2``): the
         backward/mask scans run 2 bytes per step with per-position accept
-        bits preserved.  False when the pair classes blow up (engine falls
-        back to the k=1 mask scan) or above the engine crossover — the
-        same measured S > 128 cutoff as ``_kgram`` (pair tables share the
-        k-gram cost shape: wider padded tables + composed classes lose to
-        the k=1 engine past the first extra 128-lane S tile)."""
+        bits preserved.  As of r4 this is GATED OFF everywhere
+        (``ops.kgram.MASK2_MAX_STATES`` = 0): the on-chip A/B measured the
+        transposed k=1 mask engine faster at EVERY size (mask2 0.74-0.78x,
+        docs/probe_mask2_r04.json) — the k=1 orientation fix outran the
+        halved step count.  The machinery stays behind the constant for
+        future chips; the mask path simply always takes
+        ``dfa_scan_fast(emit="mask")`` now."""
         if self._mask2 is None:
             from .ops.kgram import MASK2_MAX_STATES, build_mask2
 

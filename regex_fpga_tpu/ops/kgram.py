@@ -61,11 +61,17 @@ __all__ = [
 #: (r3 verdict weak #6).
 KGRAM_MAX_STATES = 32
 
-#: The 2-byte mask2 backward engine keeps the OLD gate: its pair tables
-#: follow the same width arithmetic, but the r4 re-measurement covered
-#: COUNTING only — no new mask-path data, so the r3-validated bound
-#: stands for ``api.DfaMatcher._ensure_mask2``.
-MASK2_MAX_STATES = 128
+#: The 2-byte mask2 backward engine is now GATED OFF: the r4 on-chip A/B
+#: (docs/probe_mask2_r04.json, 2026-08-20, masks bit-equal) measured it
+#: LOSING to the transposed k=1 mask engine at every size — 0.76x @ S=23
+#: (0.773 vs 1.012 GB/s), 0.78x @ S=36, 0.76x @ S=70, 0.74x @ S=114.
+#: The state-contracted orientation sped the k=1 step up more than the
+#: halved step count saves (mask2's pair classes C2 are 2-3x the byte
+#: classes, and its step cannot take the transposed route — its table
+#: VALUES pack state+mask).  The engine, builder, and tests stay for the
+#: record and for future chips; ``api.DfaMatcher._ensure_mask2`` simply
+#: never builds it.
+MASK2_MAX_STATES = 0
 
 
 def kgram_step_cost(s: int, c_l: int, lv: int) -> float:

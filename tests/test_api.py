@@ -307,12 +307,17 @@ def test_finditer_arrays_equals_finditer(rng):
     assert m.finditer_arrays(b"no hits").shape == (0, 2)
 
 
-def test_scan_match_positions_mask2_chunked_odd_tail(rng):
+def test_scan_match_positions_mask2_chunked_odd_tail(rng, monkeypatch):
     """Chunked position scan with the pair-mask engine on even chunks and
-    the k=1 path on the odd tail chunk: exact across chunk boundaries."""
+    the k=1 path on the odd tail chunk: exact across chunk boundaries.
+    The mask2 engine is default-OFF since r4 (the transposed k=1 mask
+    engine measured faster at every size — ops.kgram.MASK2_MAX_STATES
+    docstring); forced on here so the machinery stays exercised."""
+    import regex_fpga_tpu.ops.kgram as kgram_mod
     from regex_fpga_tpu.api import compile_regex
     from regex_fpga_tpu.utils.config import EngineConfig
 
+    monkeypatch.setattr(kgram_mod, "MASK2_MAX_STATES", 128)
     cfg = EngineConfig(chunk_bytes=4096)
     m = compile_regex(rb"ab+", config=cfg)
     raw = bytearray(rng.integers(99, 122, size=3 * 4096 + 123, dtype=np.int64)
