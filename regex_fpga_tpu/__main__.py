@@ -155,11 +155,30 @@ def cmd_rgrep(args) -> int:
 
 
 def cmd_snort(args) -> int:
-    """Scan files against a Snort .rules file (AC prefilter + verify)."""
+    """Scan files against a Snort .rules file (AC prefilter + verify).
+    ``--coverage`` prints the per-rule enforcement report instead of
+    scanning: which rules this pipeline enforces fully vs partially
+    (content/pcre-only) and why (unenforced options, unparsed byte ops,
+    pcre outside the compiler subset)."""
+    import json as _json
+
     from . import api
 
     m = api.compile_snort(args.rules)
     print(f"# {m.num_rules} rules loaded", file=sys.stderr)
+    if getattr(args, "coverage", False):
+        rep = m.enforcement_report()
+        s_ = rep["summary"]
+        print(f"# enforced {s_['enforced']}/{s_['total']} rules fully; "
+              f"{s_['partial']} partial "
+              f"({s_['byte_ops_unparsed']} unparsed byte ops, "
+              f"{s_['pcre_outside_subset']} pcre outside subset)",
+              file=sys.stderr)
+        for row in rep["rules"]:
+            if args.partial_only and row["status"] == "enforced":
+                continue
+            print(_json.dumps(row))
+        return 0
     any_alert = False
     for path in args.files:
         data = np.fromfile(path, dtype=np.uint8)
@@ -356,7 +375,16 @@ def main(argv=None) -> int:
         "snort", help="scan files against a Snort .rules file"
     )
     s.add_argument("rules")
-    s.add_argument("files", nargs="+")
+    s.add_argument("files", nargs="*", default=[])
+    s.add_argument(
+        "--coverage", action="store_true",
+        help="print the per-rule enforcement report (JSON lines) instead "
+             "of scanning",
+    )
+    s.add_argument(
+        "--partial-only", action="store_true",
+        help="with --coverage: show only partially-enforced rules",
+    )
     s.set_defaults(fn=cmd_snort)
 
     s = sub.add_parser(

@@ -72,6 +72,15 @@ medians of 3 with spread <6%):
   production fast path stays on XLA (dfa_scan_fast), and Pallas remains
   the right tool where it wins (matched-width fixpoint inner passes,
   k-gram window kernels).
+
+r4 note — the STATE-CONTRACTED orientation (``dfa_fast.transposed_step``,
+1.8-2.4x on XLA at S=440/836) was evaluated for this kernel and
+deprioritized: the per-step one-hot STATE staging becomes (TILE, S_pad)
+— 1.8 MB/step at TILE=1024, S=896 — which reverses the uint8-window VMEM
+economy that made tile 2048/4096 compile at all, and the binding
+constraint above (serial per-step dependency chain) is orientation-
+independent.  Both backends gained equally from the orientation; XLA's
+wide-plan advantage persists, so the measured verdict stands.
 """
 
 from __future__ import annotations

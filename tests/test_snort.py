@@ -712,3 +712,26 @@ def test_verify_linear_with_window_backtracking():
     assert time.perf_counter() - t0 < 2.5  # quadratic measured ~16 s here
     # window satisfied at the very end still alerts
     assert m.scan(b"A" * 1000 + b"AABB").sids() == [3]
+
+
+def test_cli_coverage_flag(tmp_path, capsys):
+    rules = tmp_path / "c.rules"
+    rules.write_text(
+        'alert tcp any any -> any any (msg:"a"; content:"X"; '
+        'byte_test:1,>,2,0,dce; sid:1;)\n'
+        'alert tcp any any -> any any (msg:"b"; content:"Y"; '
+        'flow:to_server; sid:2;)\n'
+        'alert tcp any any -> any any (msg:"c"; content:"Z"; sid:3;)\n'
+    )
+    from regex_fpga_tpu.__main__ import main
+
+    assert main(["snort", str(rules), "--coverage"]) == 0
+    import json as _json
+
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert {r["sid"]: r["status"] for r in rows} == {
+        1: "partial", 2: "partial", 3: "enforced"
+    }
+    assert main(["snort", str(rules), "--coverage", "--partial-only"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert sorted(r["sid"] for r in rows) == [1, 2]
