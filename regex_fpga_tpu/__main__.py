@@ -164,6 +164,10 @@ def cmd_snort(args) -> int:
 
     from . import api
 
+    if not args.coverage and not args.files:
+        print("snort: FILES required unless --coverage is given",
+              file=sys.stderr)
+        return 2
     m = api.compile_snort(args.rules)
     print(f"# {m.num_rules} rules loaded", file=sys.stderr)
     if getattr(args, "coverage", False):

@@ -1534,19 +1534,25 @@ class HostBacktrackMatcher(HostRegexMatcher):
         return Match(raw, a, b, groups[1:], self._bt.group_names, lastindex)
 
     def finditer(self, data, limit: int | None = None) -> list[tuple[int, int]]:
+        # Python 3.7+ empty-match iteration rule (mirrors
+        # BacktrackProgram.finditer_spans): resume AT an empty match's
+        # end with only the empty match there banned
         raw = bytes(_as_streams(data)[0])
         spans: list[tuple[int, int]] = []
-        pos, n = 0, len(raw)
+        pos, ban, n = 0, -1, len(raw)
         while pos <= n:
-            m = self._bt.search_spans(raw, pos)
+            m = self._bt.search_spans(raw, pos, ban_empty_at=ban)
             if m is None:
                 break
             s, e = m[0], m[1]
             spans.append((s, e))
             if limit is not None and len(spans) >= limit:
                 break
-            pos = e + 1 if e == s else e
             if self._bt.pp.start_anchored:
+                break
+            pos = e
+            ban = e if s == e else -1
+            if s == e and e == n:
                 break
         return spans
 
@@ -2326,11 +2332,13 @@ class SnortMatcher:
                 if isinstance(o, (ByteTest, ByteJump, ByteExtract, IsDataAt))
             )
             byte_unparsed = n_byte_opts - n_byte_ops
+            dropped_mods = list(getattr(r, "unenforced_modifiers", ()))
             pcre_state = "none"
             if r.pcre is not None:
                 pcre_state = ("enforced" if self._pcre_tables(i) is not None
                               else "outside-subset")
             full = (not unenforced and byte_unparsed == 0
+                    and not dropped_mods
                     and pcre_state != "outside-subset")
             rows.append({
                 "rule": i,
@@ -2338,6 +2346,7 @@ class SnortMatcher:
                 "status": "enforced" if full else "partial",
                 "unenforced_options": unenforced,
                 "byte_ops_unparsed": byte_unparsed,
+                "dropped_modifiers": dropped_mods,
                 "pcre": pcre_state,
             })
         summary = {
@@ -2348,6 +2357,9 @@ class SnortMatcher:
                 r["pcre"] == "outside-subset" for r in rows
             ),
             "byte_ops_unparsed": sum(r["byte_ops_unparsed"] for r in rows),
+            "dropped_modifiers": sum(
+                len(r["dropped_modifiers"]) for r in rows
+            ),
         }
         return {"rules": rows, "summary": summary}
 

@@ -419,7 +419,7 @@ class BacktrackProgram:
     # -- matching --------------------------------------------------------
 
     def match_at(self, data: bytes, pos: int, full: bool = False,
-                 _fresh_budget: bool = True):
+                 _fresh_budget: bool = True, ban_empty: bool = False):
         """Leftmost-first anchored match at ``pos``: returns
         ``(end, groups, lastindex)`` with ``groups[i] = (start, end) |
         None`` and ``groups[0]`` the whole span, or None.  Honors the
@@ -427,15 +427,24 @@ class BacktrackProgram:
         the match to consume the whole buffer (``re.fullmatch`` — the
         engine backtracks into shorter-preferred alternatives to reach
         end-of-buffer).  Each call gets a fresh ``max_steps`` budget
-        (``search_spans`` shares ONE budget across its start positions)."""
+        (``search_spans`` shares ONE budget across its start positions).
+        ``ban_empty=True`` refuses the empty match at ``pos`` (the engine
+        then backtracks into a NON-empty alternative if one exists) — the
+        piece of Python 3.7+'s finditer empty-match rule the iteration
+        loops need."""
         if _fresh_budget:
             self._steps = 0
         self._groups = [None] * (self.num_groups + 1)
         self._seq = 0
         if full or self.pp.end_anchored:
-            k = lambda p2: p2 if p2 == len(data) else None  # noqa: E731
+            end_ok = lambda p2: p2 == len(data)  # noqa: E731
         else:
-            k = lambda p2: p2  # noqa: E731
+            end_ok = lambda p2: True  # noqa: E731
+        if ban_empty:
+            k = lambda p2: (p2 if p2 != pos and end_ok(p2)
+                            else None)  # noqa: E731
+        else:
+            k = lambda p2: p2 if end_ok(p2) else None  # noqa: E731
         try:
             end = self._body(data, pos, k)
         except RecursionError:
@@ -457,33 +466,43 @@ class BacktrackProgram:
         lastindex = max(seqs)[1] if seqs else None
         return end, groups, lastindex
 
-    def search_spans(self, data: bytes, start_at: int = 0):
+    def search_spans(self, data: bytes, start_at: int = 0,
+                     ban_empty_at: int = -1):
         """Leftmost match at/after ``start_at`` (None if none).  One
         ``max_steps`` budget covers the WHOLE search (all start
         positions), so a bounded budget bounds total work, not
-        per-position work."""
+        per-position work.  ``ban_empty_at``: position where an empty
+        match was already emitted — the empty match THERE is refused
+        (non-empty ones still win), Python 3.7+ iteration rule."""
         self._steps = 0
         n = len(data)
         last = 0 if self.pp.start_anchored else n
         for s in range(start_at, min(last, n) + 1):
-            m = self.match_at(data, s, _fresh_budget=False)
+            m = self.match_at(data, s, _fresh_budget=False,
+                              ban_empty=(s == ban_empty_at))
             if m is not None:
                 return (s,) + m
         return None
 
     def finditer_spans(self, data: bytes):
-        """Non-overlapping (start, end) spans, Python ``re`` iteration
-        rules (empty match advances one byte)."""
+        """Non-overlapping (start, end) spans, Python 3.7+ ``re``
+        iteration rules: after an empty match at q the search resumes AT
+        q with only the empty match at q banned — a non-empty match at
+        the same position must still be findable (``re.finditer`` of
+        ``(a)?(?(1)|b??)`` on ``b"b"`` yields (0,0), (0,1), (1,1))."""
         out = []
-        pos = 0
+        pos, ban = 0, -1
         n = len(data)
         while pos <= n:
-            m = self.search_spans(data, pos)
+            m = self.search_spans(data, pos, ban_empty_at=ban)
             if m is None:
                 break
             s, e = m[0], m[1]
             out.append((s, e))
-            pos = e + 1 if e == s else e
             if self.pp.start_anchored:
                 break
+            pos = e
+            ban = e if s == e else -1
+            if s == e and e == n:
+                break  # trailing empty emitted; nothing can follow
         return out

@@ -104,9 +104,11 @@ class ByteExtract:
     like ``ByteTest`` and BIND the value to ``name``; later options in the
     SAME rule may reference it (``byte_test`` value/offset, ``byte_jump``
     offset, content ``offset``/``depth``/``distance``/``within``,
-    ``isdataat``).  Zero-width; a read outside the payload fails the
-    rule.  Bindings participate in backtracking naturally (the verify
-    walk threads an immutable env)."""
+    ``isdataat``).  Moves the verify cursor to the END of the extracted
+    bytes (Snort DOE-pointer semantics — relative ops after an extract
+    anchor there); a read outside the payload fails the rule.  Bindings
+    participate in backtracking naturally (the verify walk threads an
+    immutable env)."""
 
     count: int
     offset: int | str      # may itself reference an earlier variable
@@ -364,11 +366,18 @@ class SnortRule:
     contents: tuple[SnortContent, ...]
     pcre: str | None                  # raw /pattern/flags text, or None
     options: tuple[tuple[str, str | None], ...]  # every option, in order
-    #: ordered verify program: SnortContent | ByteTest | ByteJump in rule
-    #: option order (byte ops are positional — ``relative`` anchors to the
-    #: op before them).  Empty for hand-built rules: the matcher falls
-    #: back to ``contents``.
+    #: ordered verify program: SnortContent | ByteTest | ByteJump |
+    #: ByteExtract | IsDataAt in rule option order (byte ops are
+    #: positional — ``relative`` anchors to the op before them).  Empty
+    #: for hand-built rules: the matcher falls back to ``contents``.
     verify_ops: tuple = ()
+    #: positional content modifiers DROPPED at parse time ("depth:varlen"
+    #: strings): the referenced byte_extract variable is undefined, or
+    #: defined only AFTER the content the modifier belongs to (the verify
+    #: walk evaluates the content first, so the binding could never be
+    #: live — Snort requires extracts to precede their uses).  Surfaced
+    #: by ``api.SnortMatcher.enforcement_report`` as partial enforcement.
+    unenforced_modifiers: tuple = ()
 
 
 _HEX_CHUNK = _pyre.compile(r"\|([0-9A-Fa-f\s]*)\|")
@@ -480,6 +489,12 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
         #: SnortContent | ByteTest | ByteJump | ByteExtract | IsDataAt
         ops: list = []
         var_names: set[str] = set()  # byte_extract bindings so far
+        #: bindings live BEFORE the latest content was appended — the only
+        #: ones its own modifiers may reference (the verify walk evaluates
+        #: the content before any later extract, so a later binding could
+        #: never be in scope; review r4 finding 1)
+        vars_at_last_content: frozenset = frozenset()
+        dropped_mods: list[str] = []
         last_content_op = -1  # index into ops of the latest content
 
         def _update_last(new_content: SnortContent) -> None:
@@ -500,16 +515,22 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
                 contents.append(c)
                 ops.append(c)
                 last_content_op = len(ops) - 1
+                vars_at_last_content = frozenset(var_names)
             elif name == "nocase" and contents:
                 _update_last(dataclasses.replace(contents[-1], nocase=True))
             elif (name in ("offset", "depth", "distance", "within")
                   and contents and val is not None):
                 try:
                     _update_last(dataclasses.replace(
-                        contents[-1], **{name: _int_or_var(val, var_names)}
+                        contents[-1],
+                        **{name: _int_or_var(val, vars_at_last_content)}
                     ))
                 except ValueError:
-                    pass  # undefined variable: left unenforced (None)
+                    # undefined variable, or one extracted only AFTER this
+                    # content (never in scope when the content evaluates):
+                    # modifier dropped and FLAGGED, not silently enforced
+                    # against an empty env (which would kill the rule)
+                    dropped_mods.append(f"{name}:{val.strip()}")
             elif name == "byte_test" and val is not None:
                 bt = parse_byte_test(val, var_names)
                 if bt is not None:
@@ -541,6 +562,7 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
                 pcre=pcre,
                 options=tuple(opts),
                 verify_ops=tuple(ops),
+                unenforced_modifiers=tuple(dropped_mods),
             )
         )
     return rules

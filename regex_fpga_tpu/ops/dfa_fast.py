@@ -231,13 +231,24 @@ def transposed_step(c: int, s: int) -> bool:
     >=1 GB/s target in the realistic-S regime.  Stacking the int8
     encoding on top measured 0.95-0.98x (see INT8_SPLIT): bf16 split
     stays."""
+    cur_tiles, tr_tiles, w_cur, w_tr = step_orientation_costs(c, s)
+    if tr_tiles != cur_tiles:
+        return tr_tiles < cur_tiles
+    return w_tr < w_cur
+
+
+def step_orientation_costs(c: int, s: int) -> tuple[int, int, int, int]:
+    """(class-contracted tiles, state-contracted tiles, and the two rows
+    widths) of one lookup step — THE single source of the padded-tile
+    arithmetic, shared by ``transposed_step`` (engine orientation choice)
+    and ``ops.router.device_count_bps`` (host-vs-device cost model) so
+    the model can never drift from what the engine emits (same discipline
+    as ``ops.kgram.KGRAM_MAX_STATES``)."""
     w_cur = s if s <= 256 else 2 * s
     w_tr = c if s <= 256 else 2 * c
     cur_tiles = -(-c // 128) * -(-w_cur // 128)
     tr_tiles = -(-s // 128) * -(-w_tr // 128)
-    if tr_tiles != cur_tiles:
-        return tr_tiles < cur_tiles
-    return w_tr < w_cur
+    return cur_tiles, tr_tiles, w_cur, w_tr
 
 
 class _StepT(NamedTuple):

@@ -73,15 +73,13 @@ HOST_MULTI_BPS = 0.55e9
 
 def device_count_bps(num_states: int, num_classes: int) -> float:
     """Modeled k=1 counting rate of the fast device engine: padded-tile
-    cost per step (GEMM + one select) at the BEST orientation — the
-    engine picks class- or state-contracted per
-    ``ops.dfa_fast.transposed_step``, so the router models the same
-    minimum.  Split width 2x applies above S=256 either way (the table
-    VALUES are state ids)."""
-    w_cur = num_states if num_states <= 256 else 2 * num_states
-    w_tr = num_classes if num_states <= 256 else 2 * num_classes
-    cur = -(-num_classes // 128) * -(-w_cur // 128)
-    tr = -(-num_states // 128) * -(-w_tr // 128)
+    cost per step (GEMM + one select) at the BEST orientation.  The tile
+    arithmetic is the engine's own (``dfa_fast.step_orientation_costs``,
+    shared with ``transposed_step``), so the router's model cannot drift
+    from what the engine emits."""
+    from .dfa_fast import step_orientation_costs
+
+    cur, tr, _, _ = step_orientation_costs(num_classes, num_states)
     return DEVICE_TILE_BPS / (min(cur, tr) + 1)
 
 

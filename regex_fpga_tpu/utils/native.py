@@ -152,6 +152,7 @@ def dfa_scan_native(
     """Returns (counts (S,) int64, match_mask (len,) bool | None, final)."""
     lib = _load()
     c, s = table.shape
+    _check_table_domain(np.asarray(table), s)
     table = np.ascontiguousarray(table, dtype=np.int32)
     class_of = np.ascontiguousarray(class_of, dtype=np.int32)
     accept8 = np.ascontiguousarray(accept, dtype=np.uint8)
@@ -168,6 +169,19 @@ def dfa_scan_native(
     return counts, (mask.astype(bool) if want_mask else None), int(final)
 
 
+def _check_table_domain(table: np.ndarray, s: int) -> None:
+    """SURVEY.md §5.2 guard, host side: the C walkers index
+    ``table[class*S + state]`` unchecked, so an out-of-domain transition
+    target (corrupt build, truncated file) must raise HERE — parity with
+    the device path's ``domain_ok`` flag — instead of walking off the
+    counts/accept arrays."""
+    if not ((table >= 0) & (table < s)).all():
+        raise RuntimeError(
+            "native DFA walk: transition table contains out-of-domain "
+            "state ids (SURVEY.md §5.2 guard) — corrupt table"
+        )
+
+
 def dfa_scan_multi_native(
     table: np.ndarray,      # (C, S) int32
     class_of: np.ndarray,   # (256,) int32
@@ -182,6 +196,7 @@ def dfa_scan_multi_native(
     Returns (counts (n, S) int64, finals (n,) int32)."""
     lib = _load()
     c, s = table.shape
+    _check_table_domain(np.asarray(table), s)
     table = np.ascontiguousarray(table, dtype=np.int32)
     class_of = np.ascontiguousarray(class_of, dtype=np.int32)
     accept8 = np.ascontiguousarray(accept, dtype=np.uint8)

@@ -329,3 +329,20 @@ def test_absolute_anchors_A_Z_vs_re():
         got = m.finditer(text.encode())
         want = [mm.span() for mm in re.finditer(pat, text)]
         assert got == want, (pat, text, got, want)
+
+
+def test_empty_match_iteration_modern_rule():
+    """r4 review finding 3: Python 3.7+ empty-match rule on the
+    backtracker — after an empty match at q, resume AT q banning only the
+    empty match there (a non-empty match at q must still be found)."""
+    for pat, text in [
+        (r"(a)?(?(1)|b??)", "b"),
+        (r"(?:ab)*?(?=a)", "abab"),
+        (r"(a?)\1", "aab"),
+        (r"(x)??", "xx"),
+        (r"(a+)?", "aa b"),
+    ]:
+        m = api.compile_regex(pat)
+        got = m.finditer(text.encode())
+        want = [mm.span() for mm in re.finditer(pat, text)]
+        assert got == want, (pat, text, got, want)

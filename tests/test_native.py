@@ -143,3 +143,28 @@ def test_finditer_match_dense_native_speed():
     assert len(spans) == sum(1 for _ in __import__("re").finditer(rb"[a-z]+", corpus))
     # ~0.6 MB of matches/span work; native walk does this in well under 2 s
     assert dt < 10.0, f"finditer took {dt:.1f}s on 4 MiB match-dense corpus"
+
+
+def test_native_walkers_reject_out_of_domain_table():
+    """r4 review finding 4: the host-routed scan path must keep the §5.2
+    domain guard — a corrupt table raises instead of walking off the
+    arrays in C."""
+    import numpy as np
+    import pytest
+
+    from regex_fpga_tpu.utils.native import (
+        dfa_scan_multi_native, dfa_scan_native, native_available,
+    )
+
+    if not native_available():
+        pytest.skip("native lib required")
+    s = 8
+    table = np.zeros((4, s), dtype=np.int32)
+    table[2, 3] = s + 5  # out of domain
+    cls = np.zeros(256, dtype=np.int32)
+    acc = np.zeros(s, dtype=np.uint8)
+    data = np.zeros(16, dtype=np.uint8)
+    with pytest.raises(RuntimeError, match="out-of-domain"):
+        dfa_scan_native(table, cls, acc, data)
+    with pytest.raises(RuntimeError, match="out-of-domain"):
+        dfa_scan_multi_native(table, cls, acc, [data])

@@ -735,3 +735,48 @@ def test_cli_coverage_flag(tmp_path, capsys):
     assert main(["snort", str(rules), "--coverage", "--partial-only"]) == 0
     rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert sorted(r["sid"] for r in rows) == [1, 2]
+
+
+def test_modifier_var_defined_after_content_is_dropped_and_flagged():
+    """r4 review finding 1: a content modifier referencing a variable
+    whose byte_extract comes AFTER the content (never in scope when the
+    content evaluates) must be dropped + flagged, not enforced against an
+    empty env (which silently killed the rule)."""
+    rules = ('alert tcp any any -> any any (msg:"x"; content:"B"; '
+             'byte_extract:1,0,w; within:w; sid:11;)')
+    m = compile_snort(rules)
+    assert m.rules[0].unenforced_modifiers == ("within:w",)
+    # the within is unenforced, content B alone decides -> rule fires
+    assert 11 in _sids(m, b"B\x09xxx")
+    rep = m.enforcement_report()
+    row = rep["rules"][0]
+    assert row["status"] == "partial"
+    assert row["dropped_modifiers"] == ["within:w"]
+    # properly ordered extract-before-content stays fully enforced
+    ok = compile_snort('alert tcp any any -> any any (msg:"y"; '
+                       'content:"H"; byte_extract:1,0,w; content:"V"; '
+                       'within:w; sid:12;)')
+    assert ok.enforcement_report()["rules"][0]["status"] == "enforced"
+
+
+def test_undefined_modifier_var_flagged_partial():
+    """r4 review finding 2: a dropped depth:varlen must surface as
+    partial in enforcement_report, not 'enforced'."""
+    m = compile_snort('alert tcp any any -> any any (msg:"v"; '
+                      'content:"V"; depth:varlen; sid:9006;)')
+    assert 9006 in _sids(m, b"......V")  # content still enforced
+    row = m.enforcement_report()["rules"][0]
+    assert row["status"] == "partial"
+    assert row["dropped_modifiers"] == ["depth:varlen"]
+
+
+def test_cli_snort_requires_files_without_coverage(tmp_path, capsys):
+    """r4 review finding 7: 'snort RULES' with no files must error (2),
+    not silently scan nothing and return 1."""
+    rules = tmp_path / "r.rules"
+    rules.write_text(
+        'alert tcp any any -> any any (msg:"a"; content:"X"; sid:1;)\n'
+    )
+    from regex_fpga_tpu.__main__ import main
+
+    assert main(["snort", str(rules)]) == 2
