@@ -1991,17 +1991,22 @@ def _apply_bitmask(v: int, mask: int) -> int:
     return v >> ((mask & -mask).bit_length() - 1)
 
 
-#: rule options the pipeline ENFORCES (affect matching and are applied)
+#: rule options the pipeline ENFORCES (affect matching and are applied).
+#: ``rawbytes`` is enforced AS A NO-OP: it pins inspection to the raw
+#: (undecoded) payload, which is exactly and only what this stream
+#: scanner inspects.
 _MATCH_ENFORCED_OPTS = frozenset({
     "content", "nocase", "offset", "depth", "distance", "within", "pcre",
-    "byte_test", "byte_jump", "byte_extract", "isdataat",
+    "byte_test", "byte_jump", "byte_extract", "isdataat", "rawbytes",
 })
 #: options that do not constrain MATCHING on a payload stream (labels,
-#: bookkeeping) — a rule carrying only these + enforced options is fully
-#: enforced
+#: bookkeeping, performance hints) — a rule carrying only these +
+#: enforced options is fully enforced.  ``fast_pattern`` only selects
+#: which content seeds the engine's own prefilter; ours prefilters on
+#: ALL non-negated contents, a strict superset.
 _METADATA_OPTS = frozenset({
     "msg", "sid", "rev", "gid", "classtype", "reference", "metadata",
-    "priority", "service", "rem", "target",
+    "priority", "service", "rem", "target", "fast_pattern",
 })
 
 

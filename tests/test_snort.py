@@ -780,3 +780,151 @@ def test_cli_snort_requires_files_without_coverage(tmp_path, capsys):
     from regex_fpga_tpu.__main__ import main
 
     assert main(["snort", str(rules)]) == 2
+
+
+def test_byte_op_verify_fuzz_vs_bruteforce_oracle():
+    """Property fuzz for the byte-op verify program: _verify == an
+    independent oracle that enumerates ALL content-occurrence choices and
+    evaluates ByteTest/ByteJump/ByteExtract/IsDataAt by direct arithmetic
+    — catches wrong later_relative pruning (greedy where the byte op's
+    cursor dependence makes occurrence choice matter) and env-threading
+    bugs."""
+    import random
+
+    from regex_fpga_tpu.api import SnortMatcher, _BYTE_OPS
+    from regex_fpga_tpu.models.snort import (
+        ByteExtract, ByteJump, ByteTest, IsDataAt, SnortContent, SnortRule,
+    )
+
+    rnd = random.Random(17)
+
+    def occurrences(hay, needle):
+        out, at = [], hay.find(needle)
+        while at != -1:
+            out.append(at)
+            at = hay.find(needle, at + 1)
+        return out
+
+    def read_val(raw, pos, count):
+        if pos < 0 or pos + count > len(raw):
+            return None
+        return int.from_bytes(raw[pos:pos + count], "big"), pos + count
+
+    def oracle(ops, raw):
+        n = len(raw)
+
+        def ok(ci, cur, env):
+            if ci == len(ops):
+                return True
+            c = ops[ci]
+            if isinstance(c, ByteTest):
+                off = env.get(c.offset) if isinstance(c.offset, str) else c.offset
+                val = env.get(c.value) if isinstance(c.value, str) else c.value
+                if off is None or val is None:
+                    return False
+                got = read_val(raw, (cur if c.relative else 0) + off, c.count)
+                if got is None:
+                    return False
+                res = _BYTE_OPS[c.op](got[0], val)
+                if c.negate:
+                    res = not res
+                return res and ok(ci + 1, cur, env)
+            if isinstance(c, ByteExtract):
+                off = env.get(c.offset) if isinstance(c.offset, str) else c.offset
+                if off is None:
+                    return False
+                got = read_val(raw, (cur if c.relative else 0) + off, c.count)
+                if got is None:
+                    return False
+                v, end = got
+                return ok(ci + 1, end, {**env, c.name: v * c.multiplier})
+            if isinstance(c, IsDataAt):
+                pos = env.get(c.pos) if isinstance(c.pos, str) else c.pos
+                if pos is None:
+                    return False
+                base = cur if c.relative else 0
+                exists = 0 <= base + pos < n
+                return exists != c.negate and ok(ci + 1, cur, env)
+            if isinstance(c, ByteJump):
+                off = env.get(c.offset) if isinstance(c.offset, str) else c.offset
+                if off is None:
+                    return False
+                got = read_val(raw, (cur if c.relative else 0) + off, c.count)
+                if got is None:
+                    return False
+                v, end = got
+                tgt = end + v * c.multiplier
+                if not 0 <= tgt <= n:
+                    return False
+                return ok(ci + 1, tgt, env)
+            # content: enumerate every in-window occurrence
+            start = cur + (c.distance or 0) if (
+                c.distance is not None or c.within is not None
+            ) else (c.offset or 0 if c.offset is not None or c.depth is not None
+                    else cur)
+            end_limit = cur + c.within if c.within is not None else None
+            if c.depth is not None:
+                dl = (c.offset or 0) + c.depth
+                end_limit = dl if end_limit is None else min(end_limit, dl)
+            occ = [a for a in occurrences(raw, c.pattern)
+                   if a >= max(start, 0)
+                   and (end_limit is None
+                        or a + len(c.pattern) <= end_limit)]
+            return any(ok(ci + 1, a + len(c.pattern), env) for a in occ)
+
+        return ok(0, 0, {})
+
+    lits = [b"A", b"AB", b"B"]
+    agree = 0
+    for _ in range(400):
+        ops = []
+        nvars = 0
+        for i in range(rnd.randint(2, 4)):
+            kind = rnd.random()
+            if kind < 0.4 or i == 0:
+                kw = {}
+                if i > 0 and rnd.random() < 0.4:
+                    kw["within"] = rnd.randint(1, 6)
+                if i > 0 and rnd.random() < 0.3:
+                    kw["distance"] = rnd.randint(0, 2)
+                ops.append(SnortContent(pattern=rnd.choice(lits), **kw))
+            elif kind < 0.55:
+                ops.append(ByteTest(
+                    count=1, op=rnd.choice(["<", ">", "=", "&"]),
+                    negate=rnd.random() < 0.3,
+                    value=(f"v{rnd.randint(0, nvars - 1)}"
+                           if nvars and rnd.random() < 0.5
+                           else rnd.randint(0, 4)),
+                    offset=rnd.randint(0, 2), relative=rnd.random() < 0.7,
+                ))
+            elif kind < 0.7:
+                ops.append(ByteJump(count=1, offset=rnd.randint(0, 2),
+                                    relative=rnd.random() < 0.7,
+                                    multiplier=rnd.choice([1, 1, 2])))
+            elif kind < 0.85:
+                ops.append(ByteExtract(count=1, offset=rnd.randint(0, 2),
+                                       name=f"v{nvars}",
+                                       relative=rnd.random() < 0.7,
+                                       multiplier=rnd.choice([1, 2])))
+                nvars += 1
+            else:
+                ops.append(IsDataAt(
+                    pos=(f"v{rnd.randint(0, nvars - 1)}"
+                         if nvars and rnd.random() < 0.5
+                         else rnd.randint(0, 8)),
+                    relative=rnd.random() < 0.7,
+                    negate=rnd.random() < 0.3,
+                ))
+        contents = tuple(o for o in ops if isinstance(o, SnortContent))
+        rule = SnortRule(action="alert", proto="tcp", header="", msg="f",
+                         sid=1, contents=contents, pcre=None, options=(),
+                         verify_ops=tuple(ops))
+        m = SnortMatcher([rule])
+        for _ in range(4):
+            raw = bytes(rnd.choice(b"AB\x00\x01\x02\x03")
+                        for _ in range(rnd.randint(0, 12)))
+            got = m._verify(0, raw, raw.lower())
+            want = oracle(ops, raw)
+            assert got == want, (ops, raw, got, want)
+            agree += 1
+    assert agree == 1600
