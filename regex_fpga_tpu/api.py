@@ -996,7 +996,9 @@ class DfaMatcher:
         stream scanners."""
         return DfaStreamScanner(self, resume)
 
-    def finditer(self, data, limit: int | None = None) -> list[tuple[int, int]]:
+    def finditer(self, data, limit: int | None = None,
+                 pos: int = 0, endpos: int | None = None
+                 ) -> list[tuple[int, int]]:
         """Non-overlapping (start, end) spans, POSIX leftmost-longest.
 
         Two-pass design: a backward scan with the reversed-pattern DFA marks
@@ -1005,8 +1007,17 @@ class DfaMatcher:
         length) pick the longest match at each leftmost start.  Differs from
         Python re for patterns like ``ab|abc`` where backtracking picks the
         first alternative, not the longest.  ``limit`` stops after that many
-        spans (used by ``search``).
+        spans (used by ``search``).  ``pos``/``endpos`` follow
+        ``re.Pattern.finditer`` (device-routed patterns are context-free,
+        so the suffix scan + shift is exact; ``^`` cannot match at
+        ``pos > 0``).
         """
+        if pos or endpos is not None:
+            raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+            if pos and self._pattern_start_anchored():
+                return []
+            return [(a + pos, b + pos)
+                    for a, b in self.finditer(raw[pos:], limit)]
         self._ensure_anchored()
         stream = _as_streams(data)[0]
         if len(stream) == 0:
@@ -1110,37 +1121,89 @@ class DfaMatcher:
 
     # -- re-module-style conveniences (span semantics: leftmost-longest) ----
 
-    def search(self, data) -> "Match | None":
-        """First (leftmost-longest) match in the stream, or None."""
-        raw = bytes(_as_streams(data)[0])
-        spans = self.finditer(raw, limit=1)
+    def _pattern_start_anchored(self) -> bool:
+        """Leading ``^`` (non-multiline): re's ``Pattern.search``/``match``
+        with ``pos > 0`` can never match — ``pos`` does NOT make ``^``
+        match there (it is not equivalent to slicing)."""
+        cached = getattr(self, "_start_anchored_cache", None)
+        if cached is None:
+            from .models.regex import parse_pattern
+
+            cached = False
+            if self._finditer_source:
+                try:
+                    cached = parse_pattern(
+                        self._finditer_source[0]
+                    ).start_anchored
+                except Exception:
+                    cached = False
+            self._start_anchored_cache = cached
+        return cached
+
+    @staticmethod
+    def _clip(raw: bytes, pos: int, endpos) -> tuple[bytes, int]:
+        """re's pos/endpos normalization: endpos truncates the subject
+        (``$``/lookahead behave as if the string ended there); pos only
+        moves the search start (context before it stays visible where the
+        engine has context — the device engines have none by routing)."""
+        if endpos is not None:
+            raw = raw[: max(int(endpos), 0)]
+        return raw, max(int(pos), 0)
+
+    def search(self, data, pos: int = 0, endpos: int | None = None
+               ) -> "Match | None":
+        """First (leftmost-longest) match in the stream, or None.
+        ``pos``/``endpos`` follow ``re.Pattern.search``."""
+        raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        if pos:
+            # device-routed patterns carry no context assertions (those
+            # route to the host matchers, which override this), so
+            # searching the suffix and shifting is exact — except ^
+            if self._pattern_start_anchored():
+                return None
+            spans = self.finditer(raw[pos:], limit=1)
+            spans = [(a + pos, b + pos) for a, b in spans]
+        else:
+            spans = self.finditer(raw, limit=1)
         if not spans:
             return None
         a, b = spans[0]
         return self._make_match(raw, a, b)
 
-    def match(self, data) -> "Match | None":
-        """Longest match anchored at offset 0, or None (like ``re.match``)."""
+    def match(self, data, pos: int = 0, endpos: int | None = None
+              ) -> "Match | None":
+        """Longest match anchored at ``pos``, or None (like ``re.match``)."""
         self._ensure_anchored()
         stream = _as_streams(data)[0]
-        end = self._anchored_longest_end(stream, 0)
+        if endpos is not None:
+            stream = stream[: max(int(endpos), 0)]
+        pos = max(int(pos), 0)
+        if pos > len(stream) or (pos and self._pattern_start_anchored()):
+            return None
+        end = self._anchored_longest_end(stream, pos)
         if end < 0:
             return None
-        return self._make_match(bytes(stream), 0, end)
+        return self._make_match(bytes(stream), pos, end)
 
-    def fullmatch(self, data) -> "Match | None":
-        """Match spanning the whole stream, or None (like ``re.fullmatch``)."""
+    def fullmatch(self, data, pos: int = 0, endpos: int | None = None
+                  ) -> "Match | None":
+        """Match spanning ``[pos, endpos)``, or None (``re.fullmatch``)."""
         self._ensure_anchored()
         stream = _as_streams(data)[0]
+        if endpos is not None:
+            stream = stream[: max(int(endpos), 0)]
+        pos = max(int(pos), 0)
+        if pos > len(stream) or (pos and self._pattern_start_anchored()):
+            return None
         l = len(stream)
         table, accept, dead, accept_eof = self._anchored_np
         st = self._anchored_start
-        for b in stream.tolist():
+        for b in stream[pos:].tolist():
             st = int(table[b, st])
             if st == dead:
                 return None
         if accept[st] or accept_eof[st]:
-            return self._make_match(bytes(stream), 0, l)
+            return self._make_match(bytes(stream), pos, l)
         return None
 
     def split(self, data, maxsplit: int = 0) -> list[bytes]:
@@ -1441,14 +1504,19 @@ class HostRegexMatcher(DfaMatcher):
                else self._prog.longest_end_at(bytes(stream), s0))
         return end
 
-    def finditer(self, data, limit: int | None = None) -> list[tuple[int, int]]:
-        stream = _as_streams(data)[0]
-        raw = bytes(stream)
+    def finditer(self, data, limit: int | None = None,
+                 pos: int = 0, endpos: int | None = None
+                 ) -> list[tuple[int, int]]:
+        raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        if pos and self._pattern_start_anchored():
+            return []
+        stream = np.frombuffer(raw, dtype=np.uint8)
         starts = self._candidate_starts(stream)
         if starts is None:  # nullable/uncompilable envelope: pure host
             if self._first_mode:
-                return self._prog.finditer_spans_first(raw, limit)
-            return self._prog.finditer_spans(raw, limit)
+                return self._prog.finditer_spans_first(raw, limit,
+                                                       start_at=pos)
+            return self._prog.finditer_spans(raw, limit, start_at=pos)
         # Pike-VM verification ONLY at device candidates.  Equivalence to
         # the pure-host walk: candidates are a superset of true match
         # starts (envelope language is a superset), and both walks take the
@@ -1458,7 +1526,7 @@ class HostRegexMatcher(DfaMatcher):
         end_at = (self._prog.first_end_at if self._first_mode
                   else self._prog.longest_end_at)
         spans: list[tuple[int, int]] = []
-        p = 0
+        p = pos  # assertion context BEFORE pos stays visible (re rule)
         for s0 in starts.tolist():
             if s0 < p:
                 continue
@@ -1476,16 +1544,32 @@ class HostRegexMatcher(DfaMatcher):
         # before this override); span content is identical to finditer
         return np.asarray(self.finditer(data), dtype=np.int64).reshape(-1, 2)
 
-    def match(self, data) -> "Match | None":
-        raw = bytes(_as_streams(data)[0])
-        end = (self._prog.first_end_at(raw, 0) if self._first_mode
-               else self._prog.longest_end_at(raw, 0))
-        return None if end < 0 else self._make_match(raw, 0, end)
+    def search(self, data, pos: int = 0, endpos: int | None = None
+               ) -> "Match | None":
+        # native pos: the Pike VM keeps assertion context before pos
+        raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        spans = self.finditer(raw, limit=1, pos=pos)
+        if not spans:
+            return None
+        a, b = spans[0]
+        return self._make_match(raw, a, b)
 
-    def fullmatch(self, data) -> "Match | None":
-        raw = bytes(_as_streams(data)[0])
-        if self._prog.longest_end_at(raw, 0) == len(raw):
-            return self._make_match(raw, 0, len(raw))
+    def match(self, data, pos: int = 0, endpos: int | None = None
+              ) -> "Match | None":
+        raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        if pos > len(raw) or (pos and self._pattern_start_anchored()):
+            return None
+        end = (self._prog.first_end_at(raw, pos) if self._first_mode
+               else self._prog.longest_end_at(raw, pos))
+        return None if end < 0 else self._make_match(raw, pos, end)
+
+    def fullmatch(self, data, pos: int = 0, endpos: int | None = None
+                  ) -> "Match | None":
+        raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        if pos > len(raw) or (pos and self._pattern_start_anchored()):
+            return None
+        if self._prog.longest_end_at(raw, pos) == len(raw):
+            return self._make_match(raw, pos, len(raw))
         return None
 
 
@@ -1533,13 +1617,24 @@ class HostBacktrackMatcher(HostRegexMatcher):
         _, groups, lastindex = m
         return Match(raw, a, b, groups[1:], self._bt.group_names, lastindex)
 
-    def finditer(self, data, limit: int | None = None) -> list[tuple[int, int]]:
+    def search(self, data, pos: int = 0, endpos: int | None = None
+               ) -> "Match | None":
+        # native pos: the backtracker keeps assertion/lookbehind context
+        raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        m = self._bt.search_spans(raw, pos)
+        if m is None:
+            return None
+        return self._make_match(raw, m[0], m[1])
+
+    def finditer(self, data, limit: int | None = None,
+                 pos: int = 0, endpos: int | None = None
+                 ) -> list[tuple[int, int]]:
         # Python 3.7+ empty-match iteration rule (mirrors
         # BacktrackProgram.finditer_spans): resume AT an empty match's
         # end with only the empty match there banned
-        raw = bytes(_as_streams(data)[0])
+        raw, start = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
         spans: list[tuple[int, int]] = []
-        pos, ban, n = 0, -1, len(raw)
+        pos, ban, n = start, -1, len(raw)
         while pos <= n:
             m = self._bt.search_spans(raw, pos, ban_empty_at=ban)
             if m is None:
@@ -1559,21 +1654,29 @@ class HostBacktrackMatcher(HostRegexMatcher):
     def finditer_arrays(self, data) -> np.ndarray:
         return np.asarray(self.finditer(data), dtype=np.int64).reshape(-1, 2)
 
-    def match(self, data) -> "Match | None":
-        raw = bytes(_as_streams(data)[0])
-        m = self._bt.match_at(raw, 0)
+    def match(self, data, pos: int = 0, endpos: int | None = None
+              ) -> "Match | None":
+        raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        if pos > len(raw) or (pos and self._bt.pp.start_anchored):
+            return None
+        m = self._bt.match_at(raw, pos)
         if m is None:
             return None
         end, groups, lastindex = m
-        return Match(raw, 0, end, groups[1:], self._bt.group_names, lastindex)
+        return Match(raw, pos, end, groups[1:], self._bt.group_names,
+                     lastindex)
 
-    def fullmatch(self, data) -> "Match | None":
-        raw = bytes(_as_streams(data)[0])
-        m = self._bt.match_at(raw, 0, full=True)
+    def fullmatch(self, data, pos: int = 0, endpos: int | None = None
+                  ) -> "Match | None":
+        raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        if pos > len(raw) or (pos and self._bt.pp.start_anchored):
+            return None
+        m = self._bt.match_at(raw, pos, full=True)
         if m is None:
             return None
         end, groups, lastindex = m
-        return Match(raw, 0, end, groups[1:], self._bt.group_names, lastindex)
+        return Match(raw, pos, end, groups[1:], self._bt.group_names,
+                     lastindex)
 
     def _anchored_longest_end(self, stream, s0: int) -> int:
         m = self._bt.match_at(bytes(stream), s0)

@@ -484,14 +484,16 @@ class BacktrackProgram:
                 return (s,) + m
         return None
 
-    def finditer_spans(self, data: bytes):
+    def finditer_spans(self, data: bytes, start_at: int = 0):
         """Non-overlapping (start, end) spans, Python 3.7+ ``re``
         iteration rules: after an empty match at q the search resumes AT
         q with only the empty match at q banned — a non-empty match at
         the same position must still be findable (``re.finditer`` of
-        ``(a)?(?(1)|b??)`` on ``b"b"`` yields (0,0), (0,1), (1,1))."""
+        ``(a)?(?(1)|b??)`` on ``b"b"`` yields (0,0), (0,1), (1,1)).
+        ``start_at`` is re's ``Pattern.finditer`` pos (context before it
+        stays visible to lookbehind/boundaries)."""
         out = []
-        pos, ban = 0, -1
+        pos, ban = start_at, -1
         n = len(data)
         while pos <= n:
             m = self.search_spans(data, pos, ban_empty_at=ban)

@@ -325,7 +325,7 @@ class CaptureProgram:
             pos += 1
 
     def finditer_spans_first(
-        self, data, limit: int | None = None
+        self, data, limit: int | None = None, start_at: int = 0
     ) -> list[tuple[int, int]]:
         """Non-overlapping LEFTMOST-FIRST (PCRE/Python ``re``) spans — the
         scanning mode for patterns with non-greedy quantifiers, where the
@@ -338,7 +338,7 @@ class CaptureProgram:
         same position must still be findable)."""
         n = len(data)
         spans: list[tuple[int, int]] = []
-        p = 0
+        p = start_at  # re's Pattern.finditer pos: context BEFORE p stays
         ban_pos = -1  # position where an empty match was already emitted
         while p <= n:
             threads: list = []
@@ -381,7 +381,7 @@ class CaptureProgram:
         return spans
 
     def finditer_spans(
-        self, data, limit: int | None = None
+        self, data, limit: int | None = None, start_at: int = 0
     ) -> list[tuple[int, int]]:
         """Non-overlapping POSIX leftmost-longest spans — single forward
         pass, threads tagged with their match start; the same span semantics
@@ -389,7 +389,7 @@ class CaptureProgram:
         entirely host-side because assertions need next-byte context."""
         n = len(data)
         spans: list[tuple[int, int]] = []
-        p = 0
+        p = start_at  # re's Pattern.finditer pos (assertion context kept)
         while p <= n:
             threads: list = []
             match: tuple[int, int] | None = None

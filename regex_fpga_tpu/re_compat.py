@@ -4,8 +4,11 @@ module backed by the TPU DFA engines.
 The reference design has no software API at all (SURVEY.md §0 — it is pure
 RTL); this module is the "switch your code over" surface a regex-engine
 user expects: ``compile/search/match/fullmatch/findall/finditer/split/sub``
-with ``re``-style signatures, plus the engine-native extras ``count``
-(``grep -c`` throughput mode) and ``scan``.
+with ``re``-style signatures — including ``pos``/``endpos`` on the
+``Pattern`` methods (``pos`` keeps lookbehind/boundary context and never
+lets ``^`` match mid-string; ``endpos`` truncates, exactly ``re``) — plus
+the engine-native extras ``count`` (``grep -c`` throughput mode) and
+``scan``.
 
 Semantics differences vs ``re`` (inherent to DFA matching):
   * spans are POSIX leftmost-LONGEST, not backtracking leftmost-first —
@@ -225,27 +228,44 @@ class Pattern:
         return b.decode("utf-8", errors="surrogateescape") if self._text_mode else b
 
     # -- re API ----------------------------------------------------------
-    def search(self, string) -> Match | None:
-        return self._m.search(self._enc(string))
+    def search(self, string, pos: int = 0,
+               endpos: int | None = None) -> Match | None:
+        return self._m.search(self._enc(string), pos, endpos)
 
-    def match(self, string) -> Match | None:
-        return self._m.match(self._enc(string))
+    def match(self, string, pos: int = 0,
+              endpos: int | None = None) -> Match | None:
+        return self._m.match(self._enc(string), pos, endpos)
 
-    def fullmatch(self, string) -> Match | None:
-        return self._m.fullmatch(self._enc(string))
+    def fullmatch(self, string, pos: int = 0,
+                  endpos: int | None = None) -> Match | None:
+        return self._m.fullmatch(self._enc(string), pos, endpos)
 
-    def finditer(self, string):
+    def finditer(self, string, pos: int = 0, endpos: int | None = None):
         raw = self._enc(string)
+        if pos or endpos is not None:
+            for a, b in self._m.finditer(raw, pos=pos, endpos=endpos):
+                clipped = raw if endpos is None else raw[:max(endpos, 0)]
+                yield self._m._make_match(clipped, a, b)
+            return
         yield from self._m.finditer_matches(raw)
 
-    def findall(self, string) -> list:
+    def findall(self, string, pos: int = 0,
+                endpos: int | None = None) -> list:
         """``re.findall`` group semantics: 0 groups → list of matches;
         1 group → list of group 1; n groups → list of n-tuples."""
         ng = self._m.num_groups
         if ng == 0:
-            return [self._dec(g) for g in self._m.findall(self._enc(string))]
+            raw = self._enc(string)
+            if pos or endpos is not None:
+                return [
+                    self._dec((raw if endpos is None
+                               else raw[:max(endpos, 0)])[a:b])
+                    for a, b in self._m.finditer(raw, pos=pos,
+                                                 endpos=endpos)
+                ]
+            return [self._dec(g) for g in self._m.findall(raw)]
         out = []
-        for m in self.finditer(string):
+        for m in self.finditer(string, pos, endpos):
             gs = tuple(
                 self._dec(g) if g is not None else self._dec(b"")
                 for g in m.groups()
