@@ -107,6 +107,11 @@ def main() -> None:
 
 def _measure(state: dict) -> None:
     import jax
+
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        # structure-validation runs: the sitecustomize pins jax_platforms
+        # to the tunnel, so plain JAX_PLATFORMS=cpu does not take effect
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from regex_fpga_tpu.models import build_tokenizer_dfa
@@ -128,13 +133,47 @@ def _measure(state: dict) -> None:
         b"The quick brown fox jumps over 1234 lazy dogs, it's 99.5% fine!  "
         b"pre-split   benchmark text \xc3\xa9t\xc3\xa9 2026... "
     )
-    l = 1 << 26  # 64 MiB per timed pass
-    reps = int(np.ceil(l / len(frag)))
-    text = np.frombuffer(frag * reps, dtype=np.uint8)[:l]
     # upload class ids as uint8 (engines cast to int32 ON device): the
-    # tunnel moves ~6 MB/s, so int32 uploads quadruple the setup time
+    # tunnel moves ~6 MB/s, so int32 uploads quadruple the setup time.
+    # The tunnel sometimes WEDGES on large transfers while the control
+    # path stays alive (observed r4: jax.devices() fine, 64 MiB upload
+    # hung twice in a row) — so the upload runs behind its own deadline
+    # and falls back to a smaller stream rather than eating the whole
+    # budget and emitting a zero (the size is reported as stream_bytes
+    # and in the rig note; a 4 MiB measurement is dispatch-heavier but
+    # real).
     class_lut = np.asarray(dt.class_of).astype(np.uint8)
-    classes = jnp.asarray(class_lut[text])
+
+    def _upload(nbytes: int, deadline_s: float):
+        reps_ = int(np.ceil(nbytes / len(frag)))
+        text_ = np.frombuffer(frag * reps_, dtype=np.uint8)[:nbytes]
+        box: dict = {}
+
+        def _do():
+            try:
+                arr = jnp.asarray(class_lut[text_])
+                np.asarray(arr[:8])  # force through the tunnel
+                box["arr"] = arr
+            except Exception as e:  # pragma: no cover - tunnel errors
+                box["err"] = e
+
+        th = threading.Thread(target=_do, daemon=True)
+        th.start()
+        th.join(timeout=deadline_s)
+        return box.get("arr"), text_
+
+    l = 1 << 26  # 64 MiB per timed pass
+    classes, text = _upload(l, min(180.0, max(_remaining() - 260.0, 60.0)))
+    degraded = False
+    if classes is None:
+        print("# 64 MiB upload stalled — degraded 4 MiB fallback",
+              file=sys.stderr)
+        degraded = True
+        l = 1 << 22
+        classes, text = _upload(l, min(120.0, max(_remaining() - 90.0,
+                                                  30.0)))
+        if classes is None:
+            raise RuntimeError("tunnel wedged: all uploads stalled")
     state["progress"] = "classes-uploaded"
 
     nb = 65536
@@ -270,7 +309,7 @@ def _measure(state: dict) -> None:
                 for w in (b"error%04d", b"warning%03d", b"GET /path%d HTTP",
                           b"user-agent: bot%d", b"fail%dure")
             ]
-            l_s = 1 << 24  # 16 MiB per sweep point
+            l_s = min(1 << 24, len(text))  # 16 MiB/pt (degraded: less)
             text_s = text[:l_s]
             sweep = ext.setdefault("size_sweep", [])
             for n_pat in (8, 24, 64, 150, 300):
@@ -483,7 +522,8 @@ def _measure(state: dict) -> None:
 
             chunk_b = 1 << 24  # 16 MiB x 8 chunks
             big = np.frombuffer(
-                frag * (8 * reps), dtype=np.uint8
+                frag * int(np.ceil(8 * chunk_b / len(frag))),
+                dtype=np.uint8,
             )[: 8 * chunk_b]
 
             def chunks_iter():
@@ -578,6 +618,7 @@ def _measure(state: dict) -> None:
             "host_prefilter": ext.get("host_prefilter"),
             "kgram4_converged": ext.get("kgram_converged"),
             "stream_bytes": l,
+            "degraded_upload": degraded,
             "num_blocks": nb,
             "kgram_num_blocks": 16384,
             "jacobi_iterations": iters,
@@ -604,7 +645,7 @@ def _measure(state: dict) -> None:
         },
     }
     state["json_detail"] = json.dumps(out)
-    state["json"] = _compact_line(bps, target, full, ext, conf, walker)
+    state["json"] = _compact_line(bps, target, full, ext, conf, walker, degraded)
     # main() prints the lines and then os._exit()s — a daemon worker may
     # still hold a hung tunnel call and must not outlive the budget
 
@@ -614,7 +655,8 @@ def _r3(x):
     return round(x / 1e9, 3)
 
 
-def _compact_line(bps, target, full, ext, conf, walker) -> str:
+def _compact_line(bps, target, full, ext, conf, walker,
+                  degraded: bool = False) -> str:
     """The FINAL stdout line: every load-bearing number in <=1,500 chars so
     the driver's tail capture parses it (r3 verdict item 1).  Rates are
     GB/s [min,max] spreads; the size sweep is collapsed to its endpoints
@@ -659,7 +701,10 @@ def _compact_line(bps, target, full, ext, conf, walker) -> str:
         "conformance_exact": conf.get("conf_ok"),
         "snort16_walker_gbps": _r3(walker["bytes_per_sec"]) if walker else None,
         "vs_reference_fpga": round(bps / 129e3, 1),
-        "rig_note": "tunneled v5e, 2.6x day-to-day swing — same-day A/B only",
+        "rig_note": ("tunneled v5e, 2.6x day-to-day swing — same-day "
+                     "A/B only"
+                     + ("; DEGRADED 4 MiB stream (64 MiB upload stalled)"
+                        if degraded else "")),
     }
     line = json.dumps({
         "metric": "dfa_scan_bytes_per_sec_per_chip",
