@@ -1750,9 +1750,16 @@ class LiteralSetMatcher(DfaMatcher):
         per = rep.counts @ self.ac.member.astype(np.int64)
         return LiteralReport(pattern_counts=per, report=rep)
 
-    def finditer(self, data, limit: int | None = None):
+    def finditer(self, data, limit: int | None = None,
+                 pos: int = 0, endpos: int | None = None):
         """All (start, end, pattern_id) occurrences, sorted by end then id
-        (overlapping included)."""
+        (overlapping included).  ``pos``/``endpos`` follow ``re`` (spans
+        must lie fully inside ``[pos, endpos)``; literals are
+        context-free, so suffix-scan + shift is exact)."""
+        if pos or endpos is not None:
+            raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+            return [(a + pos, b + pos, pid)
+                    for a, b, pid in self.finditer(raw[pos:], limit)]
         stream = _as_streams(data)[0]
         if len(stream) == 0:
             return []
@@ -1775,10 +1782,11 @@ class LiteralSetMatcher(DfaMatcher):
         raw = bytes(_as_streams(data)[0])
         return [raw[a:b] for a, b, _ in self.finditer(raw)]
 
-    def search(self, data) -> "Match | None":
+    def search(self, data, pos: int = 0, endpos: int | None = None
+               ) -> "Match | None":
         """Earliest-ending occurrence of any literal, or None."""
-        raw = bytes(_as_streams(data)[0])
-        hits = self.finditer(raw, limit=1)
+        raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        hits = self.finditer(raw, limit=1, pos=pos)
         if not hits:
             return None
         a, b, _ = hits[0]

@@ -122,3 +122,17 @@ def test_pos_endpos_fuzz_vs_re():
             assert gs.span() == ws.span()
         checked += 1
     assert checked == 150
+
+
+def test_literalset_pos_endpos():
+    m = api.compile_literals([b"ab", b"bc"])
+    text = b"xabcab"
+    allhits = m.finditer(text)
+    assert m.finditer(text, pos=2) == [(h if False else h)
+                                      for h in allhits if h[0] >= 2]
+    assert m.finditer(text, endpos=3) == [h for h in allhits if h[1] <= 3]
+    assert m.finditer(text, pos=2, endpos=4) == [
+        h for h in allhits if h[0] >= 2 and h[1] <= 4
+    ]
+    assert m.search(text, 4).span() == (4, 6)
+    assert m.search(text, 5) is None
