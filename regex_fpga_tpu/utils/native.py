@@ -18,6 +18,7 @@ __all__ = [
     "nfa_scan_native",
     "dfa_scan_native",
     "dfa_scan_multi_native",
+    "dfa_scan_speculative_native",
     "anchored_spans_native",
     "nfa_match_positions_native",
 ]
@@ -253,6 +254,70 @@ def dfa_scan_multi_native(
             list(ex.map(lambda ab: _run(*ab),
                         [(a, b) for a, b in zip(cuts, cuts[1:]) if b > a]))
     return counts, finals
+
+
+def dfa_scan_speculative_native(
+    table: np.ndarray,      # (C, S) int32
+    class_of: np.ndarray,   # (256,) int32
+    accept: np.ndarray,     # (S,) bool/uint8
+    stream: np.ndarray,
+    start: int = 0,
+    segments: int = 32,
+    overlap: int = 64,
+):
+    """SINGLE-stream host counting scan at multi-cursor rate — the device
+    engine's speculation trick (``ops/dfa_fast.py``) mirrored on the host:
+    split the stream into segments, guess each segment's entry state by
+    replaying the previous segment's last ``overlap`` bytes from the start
+    state, walk ALL segments as independent interleaved cursors
+    (``dfa_scan_multi``), then verify the seam induction
+    ``finals[i-1] == entries[i]``.  Mis-speculated segments re-walk with
+    corrected entries — one round when the automaton synchronizes within
+    ``overlap`` bytes (the measured common case for IDS automata), with a
+    serial fallback if the fixpoint doesn't close.  Exact by the same
+    induction argument as the device engine.
+
+    Returns (counts (S,) int64, final int)."""
+    stream = np.ascontiguousarray(
+        np.frombuffer(stream, dtype=np.uint8)
+        if isinstance(stream, (bytes, bytearray)) else stream,
+        dtype=np.uint8,
+    )
+    n = len(stream)
+    seg = n // max(segments, 1)
+    if segments <= 1 or seg < 4 * max(overlap, 16):
+        c, _, f = dfa_scan_native(table, class_of, accept, stream,
+                                  start=start, want_mask=False)
+        return c, f
+    bounds = [i * seg for i in range(segments)] + [n]
+    parts = [stream[bounds[i]:bounds[i + 1]] for i in range(segments)]
+    # entry guesses: replay each previous segment's tail from `start`
+    tails = [stream[max(b - overlap, 0):b] for b in bounds[1:-1]]
+    _, tail_finals = dfa_scan_multi_native(
+        table, class_of, accept, tails, starts=start
+    )
+    entries = np.empty(segments, np.int32)
+    entries[0] = start
+    entries[1:] = tail_finals
+    counts, finals = dfa_scan_multi_native(
+        table, class_of, accept, parts, starts=entries
+    )
+    for _ in range(segments):
+        bad = np.nonzero(finals[:-1] != entries[1:])[0]
+        if len(bad) == 0:
+            return counts.sum(axis=0), int(finals[-1])
+        redo = bad + 1
+        entries[redo] = finals[redo - 1]
+        c2, f2 = dfa_scan_multi_native(
+            table, class_of, accept, [parts[i] for i in redo],
+            starts=entries[redo],
+        )
+        counts[redo] = c2
+        finals[redo] = f2
+    # fixpoint did not close (non-synchronizing automaton): exact serial
+    c, _, f = dfa_scan_native(table, class_of, accept, stream,
+                              start=start, want_mask=False)
+    return c, f
 
 
 def anchored_spans_native(

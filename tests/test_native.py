@@ -168,3 +168,41 @@ def test_native_walkers_reject_out_of_domain_table():
         dfa_scan_native(table, cls, acc, data)
     with pytest.raises(RuntimeError, match="out-of-domain"):
         dfa_scan_multi_native(table, cls, acc, [data])
+
+
+def test_speculative_single_stream_scan_exact():
+    """Host speculative segmented scan (device seam trick mirrored):
+    exact vs the serial walk on random automata, odd sizes, and the
+    non-synchronizing parity automaton (serial fallback)."""
+    import numpy as np
+    import pytest
+
+    from regex_fpga_tpu.utils.native import (
+        dfa_scan_native, dfa_scan_speculative_native, native_available,
+    )
+
+    if not native_available():
+        pytest.skip("native lib required")
+    rng = np.random.default_rng(9)
+    s = 97
+    table = rng.integers(0, s, size=(12, s)).astype(np.int32)
+    cls = rng.integers(0, 12, size=256).astype(np.int32)
+    acc = (rng.random(s) < 0.2).astype(np.uint8)
+    for ln in (0, 1, 63, 4096, 99_991):
+        x = rng.integers(0, 256, ln, dtype=np.int64).astype(np.uint8)
+        c1, _, f1 = dfa_scan_native(table, cls, acc, x, want_mask=False)
+        c2, f2 = dfa_scan_speculative_native(table, cls, acc, x,
+                                             segments=8, overlap=16)
+        np.testing.assert_array_equal(c1, c2)
+        assert f1 == f2, ln
+    # parity automaton never synchronizes: the fixpoint cannot close and
+    # the serial fallback must produce identical results
+    pt = np.array([[1, 0]], np.int32)
+    pc = np.zeros(256, np.int32)
+    pa = np.array([0, 1], np.uint8)
+    x = np.zeros(50_001, np.uint8)
+    c1, _, f1 = dfa_scan_native(pt, pc, pa, x, want_mask=False)
+    c2, f2 = dfa_scan_speculative_native(pt, pc, pa, x, segments=8,
+                                         overlap=16)
+    np.testing.assert_array_equal(c1, c2)
+    assert f1 == f2

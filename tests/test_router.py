@@ -24,16 +24,16 @@ def test_decision_at_measured_points():
     # geometric day-mean device scale — router.py header table)
     assert choose_scan_backend(213, 31, 1) == "device"
     assert choose_scan_backend(440, 36, 8) == "device"   # 5 tiles, 0.86
-    assert choose_scan_backend(836, 36, 1) == "device"   # 0.54 vs 0.30
-    # S=836 multi-stream: host multi-cursor (0.55) edges the day-mean
-    # device rate (0.54) and is rig-stable + chip-free
+    # S=836: the host edges the day-mean device rate (0.55-0.60 vs 0.54)
+    # for BOTH stream shapes now that the speculative segmented walk
+    # lifts single streams to multi-cursor rate — and it is rig-stable
+    assert choose_scan_backend(836, 36, 1) == "host"
     assert choose_scan_backend(836, 36, 8) == "host"
     # the reference's own ruleset scale (S=2794 densified): host wins
     assert choose_scan_backend(2794, 64, 1) == "host"    # 23 tiles, 0.19
     assert choose_scan_backend(2794, 64, 16) == "host"
-    # single-stream crossover ~S=1350; multi-stream ~S=800
     assert choose_scan_backend(1500, 64, 16) == "host"
-    assert choose_scan_backend(1500, 64, 1) == "device"
+    assert choose_scan_backend(1500, 64, 1) == "host"
     # small-S (kgram territory) is never host
     assert choose_scan_backend(23, 221, 64) == "device"
     # forcing overrides the model
@@ -51,6 +51,20 @@ def test_model_reproduces_calibration():
     assert device_count_bps(23, 221) == DEVICE_TILE_BPS / (2 * 1 + 1)
     assert host_count_bps(1) == HOST_SINGLE_BPS
     assert host_count_bps(4) == HOST_MULTI_BPS
+
+
+def test_speculative_single_stream_host_path(big_matcher):
+    """Single big streams through the host backend take the speculative
+    segmented walk and stay bit-exact vs the device engine."""
+    import numpy as np
+
+    data = (b"zz error0031 .. warning099 ... fail3ure " * 2000)
+    host = _force(big_matcher, "host")
+    dev = _force(big_matcher, "device")
+    rh, rd = host.scan(data), dev.scan(data)
+    assert rh.metrics.engine == "dfa-host-native"
+    np.testing.assert_array_equal(rh.counts, rd.counts)
+    assert host.count(data) == dev.count(data) == rd.total
 
 
 @pytest.fixture(scope="module")
@@ -96,11 +110,11 @@ def test_host_path_bit_exact_vs_device(big_matcher):
 @pytest.mark.skipif(not native_available(), reason="native lib required")
 def test_auto_routing_and_host_positions(big_matcher):
     data = b"..error0031.." * 50
-    # post-r4 calibration: S=836's transposed device route (0.44-1.1 GB/s
-    # measured) beats the host walker — auto stays on device
+    # final r4 calibration: S=836 routes host for both stream shapes
+    # (speculative segmented walk measured 0.82 GB/s single-stream)
     r = big_matcher.scan(data)
-    assert r.metrics.engine != "dfa-host-native"
-    assert not big_matcher._host_backend(1)
+    assert r.metrics.engine == "dfa-host-native"
+    assert big_matcher._host_backend(1)
     # forced host: the positions path matches the device mask scan
     host = _force(big_matcher, "host")
     rp = host.scan(data, collect_positions=True)
