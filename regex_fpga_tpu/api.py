@@ -1026,8 +1026,9 @@ class DfaMatcher:
         ``pos > 0``).
         """
         if pos or endpos is not None:
-            raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
-            if pos and self._pattern_start_anchored():
+            raw, pos, ok = self._clip(bytes(_as_streams(data)[0]), pos,
+                                      endpos)
+            if not ok or (pos and self._pattern_start_anchored()):
                 return []
             return [(a + pos, b + pos)
                     for a, b in self.finditer(raw[pos:], limit)]
@@ -1154,20 +1155,30 @@ class DfaMatcher:
         return cached
 
     @staticmethod
-    def _clip(raw: bytes, pos: int, endpos) -> tuple[bytes, int]:
-        """re's pos/endpos normalization: endpos truncates the subject
-        (``$``/lookahead behave as if the string ended there); pos only
-        moves the search start (context before it stays visible where the
-        engine has context — the device engines have none by routing)."""
+    def _clip(raw, pos: int, endpos):
+        """re's pos/endpos normalization (works on bytes and ndarrays):
+        ``pos`` clamps to ``[0, len]`` FIRST (``search('xx', 7)`` still
+        finds the empty match at 2), ``endpos`` truncates the subject
+        (``$``/lookahead behave as if the string ended there), and
+        ``pos > endpos`` after clamping means NO match at all (re returns
+        None/[] there, not an empty match).  Returns
+        (subject, clamped_pos, ok)."""
+        n = len(raw)
+        pos = min(max(int(pos), 0), n)
         if endpos is not None:
-            raw = raw[: max(int(endpos), 0)]
-        return raw, max(int(pos), 0)
+            e = min(max(int(endpos), 0), n)
+            if pos > e:
+                return raw[:e], pos, False
+            raw = raw[:e]
+        return raw, pos, True
 
     def search(self, data, pos: int = 0, endpos: int | None = None
                ) -> "Match | None":
         """First (leftmost-longest) match in the stream, or None.
         ``pos``/``endpos`` follow ``re.Pattern.search``."""
-        raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        raw, pos, ok = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        if not ok:
+            return None
         if pos:
             # device-routed patterns carry no context assertions (those
             # route to the host matchers, which override this), so
@@ -1187,11 +1198,8 @@ class DfaMatcher:
               ) -> "Match | None":
         """Longest match anchored at ``pos``, or None (like ``re.match``)."""
         self._ensure_anchored()
-        stream = _as_streams(data)[0]
-        if endpos is not None:
-            stream = stream[: max(int(endpos), 0)]
-        pos = max(int(pos), 0)
-        if pos > len(stream) or (pos and self._pattern_start_anchored()):
+        stream, pos, ok = self._clip(_as_streams(data)[0], pos, endpos)
+        if not ok or (pos and self._pattern_start_anchored()):
             return None
         end = self._anchored_longest_end(stream, pos)
         if end < 0:
@@ -1202,11 +1210,8 @@ class DfaMatcher:
                   ) -> "Match | None":
         """Match spanning ``[pos, endpos)``, or None (``re.fullmatch``)."""
         self._ensure_anchored()
-        stream = _as_streams(data)[0]
-        if endpos is not None:
-            stream = stream[: max(int(endpos), 0)]
-        pos = max(int(pos), 0)
-        if pos > len(stream) or (pos and self._pattern_start_anchored()):
+        stream, pos, ok = self._clip(_as_streams(data)[0], pos, endpos)
+        if not ok or (pos and self._pattern_start_anchored()):
             return None
         l = len(stream)
         table, accept, dead, accept_eof = self._anchored_np
@@ -1520,8 +1525,8 @@ class HostRegexMatcher(DfaMatcher):
     def finditer(self, data, limit: int | None = None,
                  pos: int = 0, endpos: int | None = None
                  ) -> list[tuple[int, int]]:
-        raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
-        if pos and self._pattern_start_anchored():
+        raw, pos, ok = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        if not ok or (pos and self._pattern_start_anchored()):
             return []
         stream = np.frombuffer(raw, dtype=np.uint8)
         starts = self._candidate_starts(stream)
@@ -1560,7 +1565,9 @@ class HostRegexMatcher(DfaMatcher):
     def search(self, data, pos: int = 0, endpos: int | None = None
                ) -> "Match | None":
         # native pos: the Pike VM keeps assertion context before pos
-        raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        raw, pos, ok = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        if not ok:
+            return None
         spans = self.finditer(raw, limit=1, pos=pos)
         if not spans:
             return None
@@ -1569,8 +1576,8 @@ class HostRegexMatcher(DfaMatcher):
 
     def match(self, data, pos: int = 0, endpos: int | None = None
               ) -> "Match | None":
-        raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
-        if pos > len(raw) or (pos and self._pattern_start_anchored()):
+        raw, pos, ok = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        if not ok or (pos and self._pattern_start_anchored()):
             return None
         end = (self._prog.first_end_at(raw, pos) if self._first_mode
                else self._prog.longest_end_at(raw, pos))
@@ -1578,8 +1585,8 @@ class HostRegexMatcher(DfaMatcher):
 
     def fullmatch(self, data, pos: int = 0, endpos: int | None = None
                   ) -> "Match | None":
-        raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
-        if pos > len(raw) or (pos and self._pattern_start_anchored()):
+        raw, pos, ok = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        if not ok or (pos and self._pattern_start_anchored()):
             return None
         if self._prog.longest_end_at(raw, pos) == len(raw):
             return self._make_match(raw, pos, len(raw))
@@ -1633,7 +1640,9 @@ class HostBacktrackMatcher(HostRegexMatcher):
     def search(self, data, pos: int = 0, endpos: int | None = None
                ) -> "Match | None":
         # native pos: the backtracker keeps assertion/lookbehind context
-        raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        raw, pos, ok = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        if not ok:
+            return None
         m = self._bt.search_spans(raw, pos)
         if m is None:
             return None
@@ -1645,7 +1654,10 @@ class HostBacktrackMatcher(HostRegexMatcher):
         # Python 3.7+ empty-match iteration rule (mirrors
         # BacktrackProgram.finditer_spans): resume AT an empty match's
         # end with only the empty match there banned
-        raw, start = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        raw, start, ok = self._clip(bytes(_as_streams(data)[0]), pos,
+                                    endpos)
+        if not ok:
+            return []
         spans: list[tuple[int, int]] = []
         pos, ban, n = start, -1, len(raw)
         while pos <= n:
@@ -1669,8 +1681,8 @@ class HostBacktrackMatcher(HostRegexMatcher):
 
     def match(self, data, pos: int = 0, endpos: int | None = None
               ) -> "Match | None":
-        raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
-        if pos > len(raw) or (pos and self._bt.pp.start_anchored):
+        raw, pos, ok = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        if not ok or (pos and self._bt.pp.start_anchored):
             return None
         m = self._bt.match_at(raw, pos)
         if m is None:
@@ -1681,8 +1693,8 @@ class HostBacktrackMatcher(HostRegexMatcher):
 
     def fullmatch(self, data, pos: int = 0, endpos: int | None = None
                   ) -> "Match | None":
-        raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
-        if pos > len(raw) or (pos and self._bt.pp.start_anchored):
+        raw, pos, ok = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        if not ok or (pos and self._bt.pp.start_anchored):
             return None
         m = self._bt.match_at(raw, pos, full=True)
         if m is None:
@@ -1770,7 +1782,10 @@ class LiteralSetMatcher(DfaMatcher):
         must lie fully inside ``[pos, endpos)``; literals are
         context-free, so suffix-scan + shift is exact)."""
         if pos or endpos is not None:
-            raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+            raw, pos, ok = self._clip(bytes(_as_streams(data)[0]), pos,
+                                      endpos)
+            if not ok:
+                return []
             return [(a + pos, b + pos, pid)
                     for a, b, pid in self.finditer(raw[pos:], limit)]
         stream = _as_streams(data)[0]
@@ -1798,7 +1813,9 @@ class LiteralSetMatcher(DfaMatcher):
     def search(self, data, pos: int = 0, endpos: int | None = None
                ) -> "Match | None":
         """Earliest-ending occurrence of any literal, or None."""
-        raw, pos = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        raw, pos, ok = self._clip(bytes(_as_streams(data)[0]), pos, endpos)
+        if not ok:
+            return None
         hits = self.finditer(raw, limit=1, pos=pos)
         if not hits:
             return None
@@ -2125,9 +2142,11 @@ _MATCH_ENFORCED_OPTS = frozenset({
 })
 #: options that do not constrain MATCHING on a payload stream (labels,
 #: bookkeeping, performance hints) — a rule carrying only these +
-#: enforced options is fully enforced.  ``fast_pattern`` only selects
-#: which content seeds the engine's own prefilter; ours prefilters on
-#: ALL non-negated contents, a strict superset.
+#: enforced options is fully enforced.  Plain ``fast_pattern`` only
+#: selects which content seeds the engine's own prefilter (ours uses ALL
+#: non-negated contents, a strict superset); the ``fast_pattern:only``
+#: FORM changes matching (MPSE-only, case-insensitive) and is classified
+#: unenforced in ``enforcement_report``.
 _METADATA_OPTS = frozenset({
     "msg", "sid", "rev", "gid", "classtype", "reference", "metadata",
     "priority", "service", "rem", "target", "fast_pattern",
@@ -2447,9 +2466,14 @@ class SnortMatcher:
         rows = []
         for i, r in enumerate(self.rules):
             unenforced = sorted({
-                nm for nm, _ in r.options
-                if nm not in _MATCH_ENFORCED_OPTS
-                and nm not in _METADATA_OPTS
+                nm for nm, v in r.options
+                if (nm not in _MATCH_ENFORCED_OPTS
+                    and nm not in _METADATA_OPTS)
+                # fast_pattern:only is NOT a pure hint: Snort then skips
+                # the rule-option content check and matches it
+                # case-insensitively via the MPSE — semantics this
+                # pipeline does not reproduce
+                or (nm == "fast_pattern" and v and "only" in v)
             })
             byte_opt_names = ("byte_test", "byte_jump", "byte_extract",
                               "isdataat")

@@ -26,8 +26,8 @@ picks for realistic sizes — the r4 probe, docs/probe_transposed_r04.json):
 point      gemm+sel     device GB/s          device          host GB/s
            tiles        (two r4 sessions)    tile*GB/s       (this host)
 =========  ==========  ===================  ==============  ================
-S=440 C=36   4+1=5       0.426 - 0.609        2.13-3.05      0.43-0.61 multi
-S=836 C=36   7+1=8       0.333 - 0.440        2.66-3.52      0.60-0.81 multi
+S=440 C=36   4+1=5       0.411 - 0.609        2.13-3.05      0.43-0.89 multi
+S=836 C=36   7+1=8       0.327 - 0.440        2.66-3.52      0.60-0.85 multi
 (single-stream host: 0.82 via the speculative segmented walk — the
 device seam trick mirrored host-side; plain single-cursor 0.30-0.39)
 =========  ==========  ===================  ==============  ================
@@ -38,8 +38,9 @@ day-mean (slow band ~2.7, good-day ~7.0 -> 4.3e9): a router that
 calibrates to either extreme systematically mis-routes on the other kind
 of day, and in the overlap band (S~400-900 multi-stream) the two engines
 are genuinely within the day swing of each other — the bench's
-``router_ok`` therefore asserts the choice is never a >40% loser rather
-than always the winner.  At these constants scans route to the host from
+``router_ok`` therefore asserts the choice is never a 2x loser rather
+than always the winner (host-load variance adds to the chip day swing:
+host_multi measured 0.43-0.89 GB/s across four r4 sessions).  At these constants scans route to the host from
 S~830 upward (both single- and multi-stream, now that the speculative
 segmented walk lifts single streams to multi-cursor rate); the truly
 big DFAs (the reference's own S=2794/9514 rulesets when densified) go

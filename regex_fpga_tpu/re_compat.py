@@ -243,8 +243,8 @@ class Pattern:
     def finditer(self, string, pos: int = 0, endpos: int | None = None):
         raw = self._enc(string)
         if pos or endpos is not None:
+            clipped = raw if endpos is None else raw[:max(endpos, 0)]
             for a, b in self._m.finditer(raw, pos=pos, endpos=endpos):
-                clipped = raw if endpos is None else raw[:max(endpos, 0)]
                 yield self._m._make_match(clipped, a, b)
             return
         yield from self._m.finditer_matches(raw)
@@ -257,9 +257,10 @@ class Pattern:
         if ng == 0:
             raw = self._enc(string)
             if pos or endpos is not None:
+                clipped = (raw if endpos is None
+                           else raw[:max(endpos, 0)])
                 return [
-                    self._dec((raw if endpos is None
-                               else raw[:max(endpos, 0)])[a:b])
+                    self._dec(clipped[a:b])
                     for a, b in self._m.finditer(raw, pos=pos,
                                                  endpos=endpos)
                 ]

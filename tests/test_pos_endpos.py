@@ -136,3 +136,45 @@ def test_literalset_pos_endpos():
     ]
     assert m.search(text, 4).span() == (4, 6)
     assert m.search(text, 5) is None
+
+
+def test_clamping_edges_vs_re():
+    """r4 review: pos clamps to len FIRST (search('xx', 7) still finds the
+    empty match at 2), and pos > endpos after clamping means NO match."""
+    cases = [
+        (r"a*", "aaaa", [(3, 2), (4, 2), (2, 2), (7, None), (0, 99)]),
+        (r"x*", "xx", [(7, None), (5, 1), (0, 0)]),
+        (r"(a)?(?(1)b|a??)", "aa", [(5, None), (3, 1), (2, 2)]),
+        (r"\bx*", "xx", [(9, None), (3, 2)]),
+    ]
+    for pat, text, pes in cases:
+        rx = re.compile(pat)
+        m = api.compile_regex(pat)
+        for pos, endpos in pes:
+            args = (pos,) if endpos is None else (pos, endpos)
+            for name in ("search", "match", "fullmatch"):
+                want = getattr(rx, name)(text, *args)
+                got = getattr(m, name)(text.encode(), *args)
+                assert (got is None) == (want is None), (pat, name, pos,
+                                                         endpos, got, want)
+                if want:
+                    assert got.span() == want.span(), (pat, name, pos,
+                                                       endpos)
+            want_f = [mm.span() for mm in rx.finditer(text, *args)]
+            got_f = m.finditer(text.encode(), pos=pos, endpos=endpos)
+            assert got_f == want_f, (pat, pos, endpos, got_f, want_f)
+
+
+def test_fast_pattern_only_not_metadata():
+    from regex_fpga_tpu.api import compile_snort
+
+    m = compile_snort(
+        'alert tcp any any -> any any (msg:"a"; content:"foo"; '
+        'fast_pattern:only; sid:1;)\n'
+        'alert tcp any any -> any any (msg:"b"; content:"bar"; '
+        'fast_pattern; sid:2;)\n'
+    )
+    rows = {r["sid"]: r for r in m.enforcement_report()["rules"]}
+    assert rows[1]["status"] == "partial"       # :only changes matching
+    assert rows[1]["unenforced_options"] == ["fast_pattern"]
+    assert rows[2]["status"] == "enforced"      # plain hint: metadata
