@@ -2139,6 +2139,12 @@ def _apply_bitmask(v: int, mask: int) -> int:
 _MATCH_ENFORCED_OPTS = frozenset({
     "content", "nocase", "offset", "depth", "distance", "within", "pcre",
     "byte_test", "byte_jump", "byte_extract", "isdataat", "rawbytes",
+    # HTTP sticky buffers (conservative verbatim carve, models/http.py);
+    # byte ops chained relative to a buffered content are NOT enforced
+    # (dropped at parse, flagged via the byte-op counts)
+    "http_uri", "http_raw_uri", "http_method", "http_header",
+    "http_raw_header", "http_client_body", "http_cookie",
+    "http_raw_cookie",
 })
 #: options that do not constrain MATCHING on a payload stream (labels,
 #: bookkeeping, performance hints) — a rule carrying only these +
@@ -2186,10 +2192,12 @@ class SnortMatcher:
                 if c.negated and (
                     c.offset is not None or c.depth is not None
                     or c.distance is not None or c.within is not None
+                    or getattr(c, "buffer", None) is not None
                 ):
-                    # windowed negation asserts absence only INSIDE its
-                    # window — stream-wide presence must not prefilter the
-                    # rule away; _verify alone enforces it
+                    # windowed (or buffer-scoped) negation asserts absence
+                    # only INSIDE its window/buffer — stream-wide presence
+                    # must not prefilter the rule away; _verify alone
+                    # enforces it
                     continue
                 if c.nocase:
                     key = c.pattern.lower()
@@ -2267,7 +2275,8 @@ class SnortMatcher:
             s = int(table[b, s])
         return bool(accept[s] or eof[s])
 
-    def _verify(self, idx: int, raw: bytes, low: bytes) -> bool:
+    def _verify(self, idx: int, raw: bytes, low: bytes,
+                http="lazy") -> bool:
         """Ordered-occurrence check over the rule's VERIFY PROGRAM
         (``SnortRule.verify_ops``: contents + byte_test/byte_jump in rule
         order) with the positional content modifiers ENFORCED
@@ -2296,11 +2305,19 @@ class SnortMatcher:
         this also keeps the verify stage LINEAR on attacker-controlled
         payloads (unbounded backtracking measured quadratic: 5 s on a
         160 KB crafted packet)."""
-        from .models.snort import ByteExtract, ByteJump, ByteTest, IsDataAt
+        from .models.snort import (
+            ByteExtract, ByteJump, ByteTest, IsDataAt, SnortContent,
+        )
 
         rule = self.rules[idx]
         contents = rule.verify_ops or rule.contents
         n = len(raw)
+        if any(isinstance(c, SnortContent) and c.buffer for c in contents):
+            if http == "lazy":
+                from .models.http import parse_http_request
+
+                http = parse_http_request(raw)
+        http_bufs = None if http == "lazy" else http
         # later_relative[i]: some op at index >= i anchors to the cursor
         # (distance/within content, or a relative byte op); queried at
         # [ci + 1] to ask "does any LATER op depend on where op ci ended?"
@@ -2315,7 +2332,8 @@ class SnortMatcher:
 
         _missing = object()  # unresolved byte_extract variable sentinel
 
-        def ok_from(ci: int, prev_end: int, env: dict) -> bool:
+        def ok_from(ci: int, prev_end: int, env: dict,
+                    bufpos: dict) -> bool:
             if ci == len(contents):
                 return True
             c = contents[ci]
@@ -2338,7 +2356,7 @@ class SnortMatcher:
                 res = _BYTE_OPS[c.op](v, val)
                 if c.negate:
                     res = not res
-                return bool(res) and ok_from(ci + 1, prev_end, env)
+                return bool(res) and ok_from(ci + 1, prev_end, env, bufpos)
             if isinstance(c, ByteExtract):
                 off = rv(c.offset)
                 if off is _missing:
@@ -2351,7 +2369,7 @@ class SnortMatcher:
                 # bindings are IMMUTABLE per path: backtracking into an
                 # earlier content re-runs the extract with the new cursor
                 return ok_from(ci + 1, read_end,
-                               {**env, c.name: v * c.multiplier})
+                               {**env, c.name: v * c.multiplier}, bufpos)
             if isinstance(c, IsDataAt):
                 pos = rv(c.pos)
                 if pos is _missing:
@@ -2360,7 +2378,7 @@ class SnortMatcher:
                 exists = 0 <= base + pos < n
                 if exists == c.negate:
                     return False
-                return ok_from(ci + 1, prev_end, env)
+                return ok_from(ci + 1, prev_end, env, bufpos)
             if isinstance(c, ByteJump):
                 off = rv(c.offset)
                 if off is _missing:
@@ -2387,11 +2405,26 @@ class SnortMatcher:
                 target += c.post_offset
                 if target < 0 or target > n:
                     return False
-                return ok_from(ci + 1, target, env)
+                return ok_from(ci + 1, target, env, bufpos)
             c_off, c_dep = rv(c.offset), rv(c.depth)
             c_dist, c_win = rv(c.distance), rv(c.within)
             if _missing in (c_off, c_dep, c_dist, c_win):
                 return False
+            # HTTP buffer carve: a buffered content searches only its
+            # buffer's payload SLICE, with buffer-relative windows and a
+            # per-buffer cursor (Snort per-buffer DOE; models/http.py).
+            # A payload that isn't a parseable HTTP request has no
+            # buffers, so buffered contents fail (Snort: buffer absent).
+            if getattr(c, "buffer", None) is not None:
+                span = (getattr(http_bufs, c.buffer)
+                        if http_bufs is not None else None)
+                if span is None:
+                    return False
+                base_off, buf_end = span
+                blen = buf_end - base_off
+                cur = bufpos.get(c.buffer, 0)
+            else:
+                base_off, blen, cur = 0, n, prev_end
             hay = low if c.nocase else raw
             needle = c.pattern.lower() if c.nocase else c.pattern
             relative = c_dist is not None or c_win is not None
@@ -2400,31 +2433,40 @@ class SnortMatcher:
                 and not relative
             )
             if absolute:
-                # Snort semantics: offset/depth anchor to PAYLOAD START,
-                # independent of the ordered-walk cursor (also keeps the
-                # walk free of hidden prev_end dependencies)
+                # Snort semantics: offset/depth anchor to PAYLOAD (or
+                # buffer) START, independent of the ordered-walk cursor
                 start = c_off or 0
             elif relative:
-                start = prev_end + (c_dist or 0)
+                start = cur + (c_dist or 0)
                 if c_off is not None:  # mixed: both constraints apply
                     start = max(start, c_off)
             else:
-                start = prev_end  # ordered-occurrence walk
+                start = cur  # ordered-occurrence walk
             end_limit = (
-                prev_end + c_win if c_win is not None else None
+                cur + c_win if c_win is not None else None
             )
             if c_dep is not None:
                 dl = (c_off or 0) + c_dep
                 end_limit = dl if end_limit is None else min(end_limit, dl)
             start = max(start, 0)
+
+            def advance(rel_end: int):
+                if getattr(c, "buffer", None) is not None:
+                    return ok_from(ci + 1, prev_end, env,
+                                   {**bufpos, c.buffer: rel_end})
+                return ok_from(ci + 1, rel_end, env, bufpos)
+
             if c.negated:
-                windowed = relative or c_off is not None or c_dep is not None
-                seg_end = end_limit if end_limit is not None else n
+                windowed = (relative or c_off is not None
+                            or c_dep is not None)
+                seg_end = end_limit if end_limit is not None else blen
                 frm = start if windowed else 0
-                if hay.find(needle, frm, seg_end if windowed else n) != -1:
+                if hay.find(needle, base_off + frm,
+                            base_off + (seg_end if windowed else blen)
+                            ) != -1:
                     return False
                 # a negated content matches "nothing": cursor stays put
-                return ok_from(ci + 1, prev_end, env)
+                return ok_from(ci + 1, prev_end, env, bufpos)
             # bound the search by end_limit so find() never scans past the
             # window: an occurrence must END by end_limit, which is exactly
             # bytes.find's slice-end semantics.  Without the bound, each
@@ -2432,20 +2474,20 @@ class SnortMatcher:
             # end (measured quadratic again: 4 s on a 160 KB crafted
             # b"A"*n + b"BB" packet against `content:"AA"; content:"BB";
             # within:4;`)
-            bound = n if end_limit is None else min(end_limit, n)
-            at = hay.find(needle, start, bound)
+            bound = blen if end_limit is None else min(end_limit, blen)
+            at = hay.find(needle, base_off + start, base_off + bound)
             if not later_relative[ci + 1]:
                 # greedy: earliest occurrence is optimal (see docstring)
                 if at == -1:
                     return False
-                return ok_from(ci + 1, at + len(needle), env)
+                return advance(at - base_off + len(needle))
             while at != -1:
-                if ok_from(ci + 1, at + len(needle), env):
+                if advance(at - base_off + len(needle)):
                     return True
-                at = hay.find(needle, at + 1, bound)
+                at = hay.find(needle, at + 1, base_off + bound)
             return False
 
-        return ok_from(0, 0, {})
+        return ok_from(0, 0, {}, {})
 
     def enforcement_report(self) -> dict:
         """Per-rule enforcement coverage: which rules this pipeline fully
@@ -2520,9 +2562,24 @@ class SnortMatcher:
         streams = _as_streams(data)
         alerts, cands = [], []
         content_report = None
+        needs_http = getattr(self, "_needs_http", None)
+        if needs_http is None:
+            from .models.snort import SnortContent
+
+            needs_http = any(
+                isinstance(c, SnortContent) and c.buffer
+                for r in self.rules for c in (r.verify_ops or r.contents)
+            )
+            self._needs_http = needs_http
         for stream in streams:
             raw = bytes(stream)
             low = bytes(self._lower_lut[stream])
+            if needs_http:
+                from .models.http import parse_http_request
+
+                http = parse_http_request(raw)
+            else:
+                http = None
             ec = (self._exact.scan_patterns(raw).pattern_counts[0]
                   if self._exact else None)
             fc = (self._fold.scan_patterns(low).pattern_counts[0]
@@ -2539,7 +2596,7 @@ class SnortMatcher:
                 if not ok:
                     continue
                 hits.append(i)
-                if not self._verify(i, raw, low):
+                if not self._verify(i, raw, low, http=http):
                     continue
                 ph = self._pcre_hit(i, raw)
                 if ph is False:

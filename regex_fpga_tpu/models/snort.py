@@ -36,9 +36,15 @@ The verifier backtracks across content occurrences, so a rule matches
 whenever ANY assignment of occurrences satisfies every window
 (greedy-first would wrongly refuse some rules); byte_extract bindings ride
 the same walk as an immutable environment, so they backtrack correctly
-too.  Remaining options (flow, http_* buffers, ``dce`` byte ops, …) are
-preserved in ``SnortRule.options`` but not enforced — this is a stream
-scanner, not a full packet IDS;
+too.  HTTP sticky buffers (``http_uri``/``http_method``/``http_header``/
+``http_client_body``/``http_cookie`` + the ``raw_`` aliases) are ENFORCED
+against a conservative verbatim carve of one request per payload
+(``models/http.py``): buffered contents search only their buffer slice
+with buffer-relative windows and per-buffer cursors; byte ops chained
+relative to a buffered content are outside the model and flagged instead
+of approximated.  Remaining options (flow/flowbits, ``dce`` byte ops,
+``fast_pattern:only``, …) are preserved in ``SnortRule.options`` but not
+enforced — this is a stream scanner, not a full packet IDS;
 ``api.SnortMatcher.enforcement_report()`` says per rule which category it
 landed in.
 """
@@ -75,6 +81,12 @@ class SnortContent:
     depth: int | None = None
     distance: int | None = None
     within: int | None = None
+    #: HTTP sticky buffer (``http_uri``/``http_method``/``http_header``/
+    #: ``http_client_body``/``http_cookie`` modifiers; the ``raw_`` forms
+    #: map to the same carve since this scanner never normalizes —
+    #: ``models/http.py``).  None = the raw payload.  Windows/cursors for
+    #: buffered contents are BUFFER-relative (Snort per-buffer DOE).
+    buffer: str | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -153,6 +165,18 @@ class ByteJump:
     from_end: bool = False
     post_offset: int = 0
     bitmask: int | None = None
+
+
+#: Snort2 content modifier -> buffer name (models/http.py carve).  The
+#: raw_ forms alias the cooked ones: every buffer here is already a
+#: verbatim payload slice (no normalization stage exists to differ from).
+HTTP_BUFFER_OPTS = {
+    "http_uri": "uri", "http_raw_uri": "uri",
+    "http_method": "method",
+    "http_header": "header", "http_raw_header": "header",
+    "http_client_body": "client_body",
+    "http_cookie": "cookie", "http_raw_cookie": "cookie",
+}
 
 
 def _int_tok(s: str) -> int:
@@ -501,6 +525,13 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
             contents[-1] = new_content
             ops[last_content_op] = new_content
 
+        def _in_buffer() -> bool:
+            """True when the cursor-establishing op is a BUFFERED content:
+            a relative byte op would then anchor inside that buffer
+            (Snort per-buffer DOE), which this walk does not model."""
+            return bool(ops) and isinstance(ops[-1], SnortContent) \
+                and ops[-1].buffer is not None
+
         for name, val in opts:
             if name == "msg" and val is not None:
                 msg = _unquote(val)[0]
@@ -518,6 +549,10 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
                 vars_at_last_content = frozenset(var_names)
             elif name == "nocase" and contents:
                 _update_last(dataclasses.replace(contents[-1], nocase=True))
+            elif name in HTTP_BUFFER_OPTS and contents:
+                _update_last(dataclasses.replace(
+                    contents[-1], buffer=HTTP_BUFFER_OPTS[name]
+                ))
             elif (name in ("offset", "depth", "distance", "within")
                   and contents and val is not None):
                 try:
@@ -533,21 +568,22 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
                     dropped_mods.append(f"{name}:{val.strip()}")
             elif name == "byte_test" and val is not None:
                 bt = parse_byte_test(val, var_names)
-                if bt is not None:
+                if bt is not None and not (bt.relative and _in_buffer()):
                     ops.append(bt)
-                # unparsed: stays in options; enforcement_report flags it
+                # unparsed/buffer-relative: stays in options; the
+                # enforcement report flags it
             elif name == "byte_jump" and val is not None:
                 bj = parse_byte_jump(val, var_names)
-                if bj is not None:
+                if bj is not None and not (bj.relative and _in_buffer()):
                     ops.append(bj)
             elif name == "byte_extract" and val is not None:
                 be = parse_byte_extract(val, var_names)
-                if be is not None:
+                if be is not None and not (be.relative and _in_buffer()):
                     var_names.add(be.name)
                     ops.append(be)
             elif name == "isdataat" and val is not None:
                 ida = parse_is_data_at(val, var_names)
-                if ida is not None:
+                if ida is not None and not (ida.relative and _in_buffer()):
                     ops.append(ida)
             elif name == "pcre" and val is not None:
                 pcre = _unquote(val)[0]

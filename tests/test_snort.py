@@ -502,7 +502,8 @@ def test_community_enforcement_coverage(community):
     assert s["total"] == 30
     partial = {r["sid"]: r for r in rep["rules"] if r["status"] == "partial"}
     assert set(partial) == {1002028, 1002030}
-    assert partial[1002028]["unenforced_options"] == ["flow", "http_uri"]
+    # http_uri is ENFORCED as of the r4 buffer carve; only flow remains
+    assert partial[1002028]["unenforced_options"] == ["flow"]
     assert partial[1002030]["byte_ops_unparsed"] == 1
     assert s["enforced"] == 28
 
@@ -928,3 +929,108 @@ def test_byte_op_verify_fuzz_vs_bruteforce_oracle():
             assert got == want, (ops, raw, got, want)
             agree += 1
     assert agree == 1600
+
+
+HTTP_RULES = r'''
+alert tcp any any -> any 80 (msg:"uri traversal"; content:"../"; http_uri; sid:9600;)
+alert tcp any any -> any 80 (msg:"method"; content:"POST"; http_method; sid:9601;)
+alert tcp any any -> any 80 (msg:"hdr agent"; content:"User-Agent: evil"; http_header; nocase; sid:9602;)
+alert tcp any any -> any 80 (msg:"body cmd"; content:"cmd="; http_client_body; sid:9603;)
+alert tcp any any -> any 80 (msg:"cookie sess"; content:"SESSID="; http_cookie; sid:9604;)
+alert tcp any any -> any 80 (msg:"uri chain"; content:"/admin"; http_uri; content:".php"; http_uri; distance:0; sid:9605;)
+alert tcp any any -> any 80 (msg:"uri neg"; content:"/index"; http_uri; content:!"cgi"; http_uri; sid:9606;)
+alert tcp any any -> any 80 (msg:"uri offset"; content:"/x"; http_uri; offset:0; depth:2; sid:9607;)
+alert tcp any any -> any 80 (msg:"buf byteop dropped"; content:"/y"; http_uri; byte_test:1,>,2,0,relative; sid:9608;)
+'''
+
+
+@pytest.fixture(scope="module")
+def http_matcher():
+    return compile_snort(HTTP_RULES)
+
+
+def _req(method=b"GET", uri=b"/index.html", headers=b"Host: x\r\n",
+         body=b""):
+    blank = b"\r\n" if headers or body else b""
+    return method + b" " + uri + b" HTTP/1.1\r\n" + headers + blank + body
+
+
+def test_http_uri_buffer_scoping(http_matcher):
+    # ../ in the URI alerts; the same bytes in the BODY must not
+    assert 9600 in _sids(http_matcher, _req(uri=b"/a/../etc/passwd"))
+    assert 9600 not in _sids(http_matcher, _req(body=b"see ../ here"))
+    # non-HTTP payload: buffer absent, rule cannot fire
+    assert 9600 not in _sids(http_matcher, b"random ../ bytes")
+
+
+def test_http_method_and_header(http_matcher):
+    assert 9601 in _sids(http_matcher, _req(method=b"POST"))
+    # "POST" in the URI is not the method buffer
+    assert 9601 not in _sids(http_matcher, _req(uri=b"/POST"))
+    assert 9602 in _sids(
+        http_matcher, _req(headers=b"user-agent: EVIL\r\nHost: x\r\n")
+    )
+    assert 9602 not in _sids(
+        http_matcher, _req(body=b"User-Agent: evil")
+    )
+
+
+def test_http_body_and_cookie(http_matcher):
+    assert 9603 in _sids(http_matcher, _req(method=b"POST",
+                                            body=b"a=1&cmd=ls"))
+    assert 9603 not in _sids(http_matcher, _req(uri=b"/cmd=ls"))
+    assert 9604 in _sids(
+        http_matcher, _req(headers=b"Cookie: SESSID=abc\r\n")
+    )
+    # SESSID in another header is not the cookie buffer
+    assert 9604 not in _sids(
+        http_matcher, _req(headers=b"X-Note: SESSID=abc\r\n")
+    )
+
+
+def test_http_uri_relative_chain_and_windows(http_matcher):
+    # distance:0 within the SAME buffer: .php must follow /admin
+    assert 9605 in _sids(http_matcher, _req(uri=b"/admin/login.php"))
+    assert 9605 not in _sids(http_matcher, _req(uri=b"/login.php/admin"))
+    # buffer-scoped negation
+    assert 9606 in _sids(http_matcher, _req(uri=b"/index.html"))
+    assert 9606 not in _sids(http_matcher, _req(uri=b"/index-cgi"))
+    # cgi outside the uri does not kill the rule (buffer-scoped absence)
+    assert 9606 in _sids(http_matcher, _req(uri=b"/index", body=b"cgi"))
+    # offset/depth are BUFFER-relative
+    assert 9607 in _sids(http_matcher, _req(uri=b"/x/zzz"))
+    assert 9607 not in _sids(http_matcher, _req(uri=b"/z/x"))
+
+
+def test_buffer_relative_byte_op_dropped_and_flagged(http_matcher):
+    # the byte_test anchored inside the uri buffer is outside the model:
+    # content alone decides, and the report flags the dropped op
+    assert 9608 in _sids(http_matcher, _req(uri=b"/y"))
+    rep = http_matcher.enforcement_report()
+    row = next(r for r in rep["rules"] if r["sid"] == 9608)
+    assert row["status"] == "partial" and row["byte_ops_unparsed"] == 1
+    # everything else in the corpus is fully enforced
+    assert rep["summary"]["enforced"] == 8
+
+
+def test_http_parser_units():
+    from regex_fpga_tpu.models.http import parse_http_request
+
+    b = parse_http_request(
+        b"GET /a?q=1 HTTP/1.1\r\nHost: h\r\nCookie: k=v\r\n\r\nBODY"
+    )
+    raw = b"GET /a?q=1 HTTP/1.1\r\nHost: h\r\nCookie: k=v\r\n\r\nBODY"
+    assert raw[slice(*b.method)] == b"GET"
+    assert raw[slice(*b.uri)] == b"/a?q=1"
+    assert raw[slice(*b.header)] == b"Host: h\r\nCookie: k=v\r\n"
+    assert raw[slice(*b.client_body)] == b"BODY"
+    assert raw[slice(*b.cookie)] == b"k=v"
+    assert parse_http_request(b"NOTAMETHOD /x HTTP/1.1\r\n") is None
+    assert parse_http_request(b"") is None
+    assert parse_http_request(b"GET  HTTP/1.1\r\n") is None
+    # request line only, LF endings, no blank line
+    b2 = parse_http_request(b"POST /p HTTP/1.0\nA: 1\n")
+    raw2 = b"POST /p HTTP/1.0\nA: 1\n"
+    assert raw2[slice(*b2.uri)] == b"/p"
+    assert raw2[slice(*b2.header)] == b"A: 1\n"
+    assert b2.client_body is None and b2.cookie is None
