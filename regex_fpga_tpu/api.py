@@ -2192,7 +2192,7 @@ class SnortMatcher:
                 if c.negated and (
                     c.offset is not None or c.depth is not None
                     or c.distance is not None or c.within is not None
-                    or getattr(c, "buffer", None) is not None
+                    or c.buffer is not None
                 ):
                     # windowed (or buffer-scoped) negation asserts absence
                     # only INSIDE its window/buffer — stream-wide presence
@@ -2276,7 +2276,7 @@ class SnortMatcher:
         return bool(accept[s] or eof[s])
 
     def _verify(self, idx: int, raw: bytes, low: bytes,
-                http="lazy") -> bool:
+                http_cache: dict | None = None) -> bool:
         """Ordered-occurrence check over the rule's VERIFY PROGRAM
         (``SnortRule.verify_ops``: contents + byte_test/byte_jump in rule
         order) with the positional content modifiers ENFORCED
@@ -2312,12 +2312,15 @@ class SnortMatcher:
         rule = self.rules[idx]
         contents = rule.verify_ops or rule.contents
         n = len(raw)
+        http_bufs = None
         if any(isinstance(c, SnortContent) and c.buffer for c in contents):
-            if http == "lazy":
+            if http_cache is None:
+                http_cache = {}
+            if "bufs" not in http_cache:  # carve once per stream
                 from .models.http import parse_http_request
 
-                http = parse_http_request(raw)
-        http_bufs = None if http == "lazy" else http
+                http_cache["bufs"] = parse_http_request(raw)
+            http_bufs = http_cache["bufs"]
         # later_relative[i]: some op at index >= i anchors to the cursor
         # (distance/within content, or a relative byte op); queried at
         # [ci + 1] to ask "does any LATER op depend on where op ci ended?"
@@ -2415,7 +2418,7 @@ class SnortMatcher:
             # per-buffer cursor (Snort per-buffer DOE; models/http.py).
             # A payload that isn't a parseable HTTP request has no
             # buffers, so buffered contents fail (Snort: buffer absent).
-            if getattr(c, "buffer", None) is not None:
+            if c.buffer is not None:
                 span = (getattr(http_bufs, c.buffer)
                         if http_bufs is not None else None)
                 if span is None:
@@ -2451,7 +2454,7 @@ class SnortMatcher:
             start = max(start, 0)
 
             def advance(rel_end: int):
-                if getattr(c, "buffer", None) is not None:
+                if c.buffer is not None:
                     return ok_from(ci + 1, prev_end, env,
                                    {**bufpos, c.buffer: rel_end})
                 return ok_from(ci + 1, rel_end, env, bufpos)
@@ -2459,7 +2462,8 @@ class SnortMatcher:
             if c.negated:
                 windowed = (relative or c_off is not None
                             or c_dep is not None)
-                seg_end = end_limit if end_limit is not None else blen
+                seg_end = (min(end_limit, blen) if end_limit is not None
+                           else blen)
                 frm = start if windowed else 0
                 if hay.find(needle, base_off + frm,
                             base_off + (seg_end if windowed else blen)
@@ -2562,24 +2566,11 @@ class SnortMatcher:
         streams = _as_streams(data)
         alerts, cands = [], []
         content_report = None
-        needs_http = getattr(self, "_needs_http", None)
-        if needs_http is None:
-            from .models.snort import SnortContent
-
-            needs_http = any(
-                isinstance(c, SnortContent) and c.buffer
-                for r in self.rules for c in (r.verify_ops or r.contents)
-            )
-            self._needs_http = needs_http
         for stream in streams:
             raw = bytes(stream)
             low = bytes(self._lower_lut[stream])
-            if needs_http:
-                from .models.http import parse_http_request
-
-                http = parse_http_request(raw)
-            else:
-                http = None
+            http_cache: dict = {}  # per-stream carve memo (_verify fills
+            # it on the FIRST buffered rule that survives the prefilter)
             ec = (self._exact.scan_patterns(raw).pattern_counts[0]
                   if self._exact else None)
             fc = (self._fold.scan_patterns(low).pattern_counts[0]
@@ -2596,7 +2587,7 @@ class SnortMatcher:
                 if not ok:
                     continue
                 hits.append(i)
-                if not self._verify(i, raw, low, http=http):
+                if not self._verify(i, raw, low, http_cache=http_cache):
                     continue
                 ph = self._pcre_hit(i, raw)
                 if ph is False:

@@ -525,13 +525,6 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
             contents[-1] = new_content
             ops[last_content_op] = new_content
 
-        def _in_buffer() -> bool:
-            """True when the cursor-establishing op is a BUFFERED content:
-            a relative byte op would then anchor inside that buffer
-            (Snort per-buffer DOE), which this walk does not model."""
-            return bool(ops) and isinstance(ops[-1], SnortContent) \
-                and ops[-1].buffer is not None
-
         for name, val in opts:
             if name == "msg" and val is not None:
                 msg = _unquote(val)[0]
@@ -568,25 +561,27 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
                     dropped_mods.append(f"{name}:{val.strip()}")
             elif name == "byte_test" and val is not None:
                 bt = parse_byte_test(val, var_names)
-                if bt is not None and not (bt.relative and _in_buffer()):
+                if bt is not None:
                     ops.append(bt)
-                # unparsed/buffer-relative: stays in options; the
-                # enforcement report flags it
+                # unparsed: stays in options; buffer-anchored relative
+                # ops are dropped by _resolve_buffer_anchors below and the
+                # enforcement report flags both
             elif name == "byte_jump" and val is not None:
                 bj = parse_byte_jump(val, var_names)
-                if bj is not None and not (bj.relative and _in_buffer()):
+                if bj is not None:
                     ops.append(bj)
             elif name == "byte_extract" and val is not None:
                 be = parse_byte_extract(val, var_names)
-                if be is not None and not (be.relative and _in_buffer()):
+                if be is not None:
                     var_names.add(be.name)
                     ops.append(be)
             elif name == "isdataat" and val is not None:
                 ida = parse_is_data_at(val, var_names)
-                if ida is not None and not (ida.relative and _in_buffer()):
+                if ida is not None:
                     ops.append(ida)
             elif name == "pcre" and val is not None:
                 pcre = _unquote(val)[0]
+        ops = _resolve_buffer_anchors(ops, dropped_mods)
         rules.append(
             SnortRule(
                 action=action,
@@ -602,6 +597,72 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
             )
         )
     return rules
+
+
+def _resolve_buffer_anchors(ops: list, dropped_mods: list[str]) -> list:
+    """POST-parse anchor-domain pass (runs after every modifier has
+    mutated its content, so ordering games cannot bypass it — review r4).
+
+    The verify walk keeps the raw-payload cursor and one cursor per HTTP
+    buffer.  Snort's semantics after a buffered content are per-buffer
+    DOE; shapes this walk cannot reproduce are DROPPED AND FLAGGED rather
+    than silently mis-anchored:
+
+    * a relative byte op whose anchor is a buffered content (in rule
+      order, regardless of where the ``http_*`` modifier appeared);
+    * ``distance``/``within`` on a content whose anchor lives in a
+      DIFFERENT domain (raw vs buffer, or two different buffers) — the
+      modifiers are stripped, the content itself stays enforced;
+    * any later op referencing a variable whose ``byte_extract`` was
+      dropped above (the binding could never be live).
+    """
+    cleaned: list = []
+    anchor: object = "raw-start"  # raw cursor at 0: valid raw anchor
+    dead_vars: set[str] = set()
+
+    def _refs_dead(op) -> bool:
+        vals = []
+        if isinstance(op, ByteTest):
+            vals = [op.value, op.offset]
+        elif isinstance(op, (ByteJump, ByteExtract)):
+            vals = [op.offset]
+        elif isinstance(op, IsDataAt):
+            vals = [op.pos]
+        return any(isinstance(v, str) and v in dead_vars for v in vals)
+
+    for op in ops:
+        if isinstance(op, SnortContent):
+            dom = op.buffer  # None = raw payload
+            if op.distance is not None or op.within is not None:
+                eff = None if anchor == "raw-start" else anchor
+                dead_mod_vals = {
+                    v for v in (op.distance, op.within)
+                    if isinstance(v, str) and v in dead_vars
+                }
+                if eff != dom or dead_mod_vals:
+                    why = ("crosses buffers" if eff != dom
+                           else "references a dropped byte_extract")
+                    dropped_mods.append(
+                        f"distance/within on content {op.pattern!r} "
+                        f"({why})"
+                    )
+                    op = dataclasses.replace(op, distance=None, within=None)
+            cleaned.append(op)
+            anchor = dom
+        elif isinstance(op, (ByteJump, ByteExtract)):
+            if (op.relative and anchor not in (None, "raw-start")) \
+                    or _refs_dead(op):
+                if isinstance(op, ByteExtract):
+                    dead_vars.add(op.name)
+                continue  # dropped; enforcement report counts it
+            cleaned.append(op)
+            anchor = None  # moves the RAW cursor
+        else:  # ByteTest / IsDataAt: zero-width, anchor unchanged
+            if (op.relative and anchor not in (None, "raw-start")) \
+                    or _refs_dead(op):
+                continue
+            cleaned.append(op)
+    return cleaned
 
 
 def load_snort_rules(path: str) -> list[SnortRule]:

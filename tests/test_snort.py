@@ -1034,3 +1034,76 @@ def test_http_parser_units():
     assert raw2[slice(*b2.uri)] == b"/p"
     assert raw2[slice(*b2.header)] == b"A: 1\n"
     assert b2.client_body is None and b2.cookie is None
+
+
+def test_buffered_negation_window_clamped_to_buffer():
+    """r4 review 3: a negated buffered content's window must not spill
+    past the buffer end into the headers."""
+    m = compile_snort('alert tcp any any -> any 80 (msg:"n"; '
+                      'content:"/index"; http_uri; content:!"X"; http_uri; '
+                      'within:100; sid:21;)')
+    # 'X' appears in the HEADERS but not the URI: the rule must alert
+    assert 21 in _sids(m, b"GET /index.html HTTP/1.1\r\nX: 1\r\n\r\n")
+    # 'X' inside the uri window suppresses it
+    assert 21 not in _sids(m, b"GET /indexX HTTP/1.1\r\nA: 1\r\n\r\n")
+
+
+def test_buffer_relative_byte_op_dropped_despite_ordering():
+    """r4 review 3: the drop must be order-robust — the http modifier may
+    come AFTER the byte op, and zero-width ops in between don't re-anchor."""
+    from regex_fpga_tpu.models.snort import ByteTest, parse_snort_rules
+
+    r1 = parse_snort_rules(
+        'alert tcp any any -> any 80 (msg:"a"; content:"ndex"; '
+        'byte_test:1,=,46,0,relative; http_uri; sid:1;)')[0]
+    assert not any(isinstance(o, ByteTest) for o in r1.verify_ops)
+    r2 = parse_snort_rules(
+        'alert tcp any any -> any 80 (msg:"b"; content:"/y"; http_uri; '
+        'isdataat:1; byte_test:1,>,2,0,relative; sid:2;)')[0]
+    assert sum(isinstance(o, ByteTest) for o in r2.verify_ops) == 0
+    # an ABSOLUTE byte op after a buffered content is fine (raw-anchored)
+    r3 = parse_snort_rules(
+        'alert tcp any any -> any 80 (msg:"c"; content:"/y"; http_uri; '
+        'byte_test:1,>,2,4; sid:3;)')[0]
+    assert sum(isinstance(o, ByteTest) for o in r3.verify_ops) == 1
+    # a raw content between re-anchors the raw cursor: relative ops OK
+    r4 = parse_snort_rules(
+        'alert tcp any any -> any 80 (msg:"d"; content:"/y"; http_uri; '
+        'content:"Host"; byte_test:1,>,2,0,relative; sid:4;)')[0]
+    assert sum(isinstance(o, ByteTest) for o in r4.verify_ops) == 1
+
+
+def test_cross_buffer_relative_content_stripped_and_flagged():
+    """r4 review 3: distance/within crossing buffer domains is stripped +
+    flagged, never silently mis-anchored."""
+    m = compile_snort(
+        'alert tcp any any -> any 80 (msg:"x"; content:"/admin"; http_uri; '
+        'content:"evil"; distance:0; sid:31;)\n'
+        'alert tcp any any -> any 80 (msg:"y"; content:"GET"; http_method; '
+        'content:"sess"; http_cookie; distance:2; sid:32;)\n'
+    )
+    r31 = m.rules[0]
+    assert r31.verify_ops[1].distance is None       # stripped
+    assert any("crosses buffers" in d for d in r31.unenforced_modifiers)
+    rows = {r["sid"]: r for r in m.enforcement_report()["rules"]}
+    assert rows[31]["status"] == rows[32]["status"] == "partial"
+    # the contents themselves stay enforced: "evil" anywhere + /admin in uri
+    assert 31 in _sids(m, b"GET /admin HTTP/1.1\r\n\r\nevil")
+    assert 31 not in _sids(m, b"GET /admin HTTP/1.1\r\n\r\nfine")
+
+
+def test_dropped_extract_kills_dependent_ops_not_rule():
+    """A byte_extract dropped for buffer anchoring takes its dependents
+    with it (flagged), leaving the contents enforced."""
+    from regex_fpga_tpu.models.snort import ByteTest, parse_snort_rules
+
+    r = parse_snort_rules(
+        'alert tcp any any -> any 80 (msg:"e"; content:"/y"; http_uri; '
+        'byte_extract:1,0,v,relative; byte_test:1,>,v,4; sid:5;)')[0]
+    assert len(r.verify_ops) == 1  # only the content survives
+    m = compile_snort(
+        'alert tcp any any -> any 80 (msg:"e"; content:"/y"; http_uri; '
+        'byte_extract:1,0,v,relative; byte_test:1,>,v,4; sid:5;)')
+    assert 5 in _sids(m, b"GET /y HTTP/1.1\r\n\r\n")
+    row = m.enforcement_report()["rules"][0]
+    assert row["status"] == "partial" and row["byte_ops_unparsed"] == 2
