@@ -2145,6 +2145,7 @@ _MATCH_ENFORCED_OPTS = frozenset({
     "http_uri", "http_raw_uri", "http_method", "http_header",
     "http_raw_header", "http_client_body", "http_cookie",
     "http_raw_cookie",
+    "dsize",  # payload-size predicate (inclusive bounds, Snort 2.9 rules)
 })
 #: options that do not constrain MATCHING on a payload stream (labels,
 #: bookkeeping, performance hints) — a rule carrying only these +
@@ -2312,6 +2313,11 @@ class SnortMatcher:
         rule = self.rules[idx]
         contents = rule.verify_ops or rule.contents
         n = len(raw)
+        dsz = getattr(rule, "dsize", None)
+        if dsz is not None:
+            lo, hi = dsz
+            if (lo is not None and n < lo) or (hi is not None and n > hi):
+                return False
         http_bufs = None
         if any(isinstance(c, SnortContent) and c.buffer for c in contents):
             if http_cache is None:
@@ -2520,6 +2526,8 @@ class SnortMatcher:
                 # case-insensitively via the MPSE — semantics this
                 # pipeline does not reproduce
                 or (nm == "fast_pattern" and v and "only" in v)
+                or (nm == "dsize"
+                    and getattr(r, "dsize", None) is None)
             })
             byte_opt_names = ("byte_test", "byte_jump", "byte_extract",
                               "isdataat")

@@ -31,7 +31,8 @@ conversion, ``relative``, ``bitmask``, and byte_jump's ``multiplier``/
 arithmetic in the ordered verify walk, ``api.SnortMatcher._verify``), plus
 ``byte_extract`` (bind a converted payload value to a NAME usable by later
 byte ops, content windows, and ``isdataat`` in the same rule) and
-``isdataat`` (payload-extent assertion, ``!`` negation, ``relative``).
+``isdataat`` (payload-extent assertion, ``!`` negation, ``relative``) and
+``dsize`` (payload-size predicate; inclusive range per Snort 2.9).
 The verifier backtracks across content occurrences, so a rule matches
 whenever ANY assignment of occurrences satisfies every window
 (greedy-first would wrongly refuse some rules); byte_extract bindings ride
@@ -395,6 +396,11 @@ class SnortRule:
     #: positional — ``relative`` anchors to the op before them).  Empty
     #: for hand-built rules: the matcher falls back to ``contents``.
     verify_ops: tuple = ()
+    #: ``dsize`` payload-size predicate: inclusive (lo, hi) bounds with
+    #: None = unbounded (``>300`` -> (301, None), ``<300`` -> (None, 299),
+    #: ``300`` -> (300, 300), ``300<>400`` -> (300, 400) — Snort 2.9+
+    #: treats the range as inclusive).  None = no constraint.
+    dsize: tuple | None = None
     #: positional content modifiers DROPPED at parse time ("depth:varlen"
     #: strings): the referenced byte_extract variable is undefined, or
     #: defined only AFTER the content the modifier belongs to (the verify
@@ -509,6 +515,7 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
         msg = ""
         sid: int | None = None
         pcre: str | None = None
+        dsize: tuple | None = None
         contents: list[SnortContent] = []
         #: SnortContent | ByteTest | ByteJump | ByteExtract | IsDataAt
         ops: list = []
@@ -579,6 +586,10 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
                 ida = parse_is_data_at(val, var_names)
                 if ida is not None:
                     ops.append(ida)
+            elif name == "dsize" and val is not None:
+                dsize = parse_dsize(val)
+                # unparsed forms stay in options; report flags them via
+                # the option falling outside the enforced set check below
             elif name == "pcre" and val is not None:
                 pcre = _unquote(val)[0]
         ops = _resolve_buffer_anchors(ops, dropped_mods)
@@ -594,9 +605,29 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
                 options=tuple(opts),
                 verify_ops=tuple(ops),
                 unenforced_modifiers=tuple(dropped_mods),
+                dsize=dsize,
             )
         )
     return rules
+
+
+def parse_dsize(val: str) -> tuple | None:
+    """``dsize`` value -> inclusive (lo, hi) bounds, or None if unparsed."""
+    v = val.strip()
+    try:
+        if "<>" in v:
+            a, b = v.split("<>", 1)
+            lo, hi = int(a), int(b)
+            return (lo, hi) if lo <= hi else None
+        if v.startswith(">"):
+            return (int(v[1:]) + 1, None)
+        if v.startswith("<"):
+            n = int(v[1:])
+            return (None, n - 1) if n > 0 else None
+        n = int(v)
+        return (n, n)
+    except ValueError:
+        return None
 
 
 def _resolve_buffer_anchors(ops: list, dropped_mods: list[str]) -> list:

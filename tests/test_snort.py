@@ -1107,3 +1107,35 @@ def test_dropped_extract_kills_dependent_ops_not_rule():
     assert 5 in _sids(m, b"GET /y HTTP/1.1\r\n\r\n")
     row = m.enforcement_report()["rules"][0]
     assert row["status"] == "partial" and row["byte_ops_unparsed"] == 2
+
+
+def test_dsize_enforced():
+    m = compile_snort(
+        'alert tcp any any -> any any (msg:"eq"; content:"A"; dsize:5; sid:41;)\n'
+        'alert tcp any any -> any any (msg:"gt"; content:"A"; dsize:>10; sid:42;)\n'
+        'alert tcp any any -> any any (msg:"lt"; content:"A"; dsize:<4; sid:43;)\n'
+        'alert tcp any any -> any any (msg:"rng"; content:"A"; dsize:3<>6; sid:44;)\n'
+        'alert tcp any any -> any any (msg:"var"; content:"A"; dsize:oops; sid:45;)\n'
+    )
+    assert _sids(m, b"A" * 5) == [41, 44, 45]   # 5: eq, in 3..6 incl.
+    assert _sids(m, b"A" * 3) == [43, 44, 45]   # 3: <4, range lo incl.
+    assert _sids(m, b"A" * 6) == [44, 45]       # 6: range hi inclusive
+    assert _sids(m, b"A" * 11) == [42, 45]      # 11: >10 strict
+    assert _sids(m, b"A" * 10) == [45]
+    # unparsed dsize value: content-only + flagged
+    rows = {r["sid"]: r for r in m.enforcement_report()["rules"]}
+    assert rows[45]["status"] == "partial"
+    assert rows[45]["unenforced_options"] == ["dsize"]
+    assert all(rows[s]["status"] == "enforced" for s in (41, 42, 43, 44))
+
+
+def test_dsize_parser_units():
+    from regex_fpga_tpu.models.snort import parse_dsize
+
+    assert parse_dsize("300") == (300, 300)
+    assert parse_dsize(">300") == (301, None)
+    assert parse_dsize("<300") == (None, 299)
+    assert parse_dsize("300<>400") == (300, 400)
+    assert parse_dsize("400<>300") is None
+    assert parse_dsize("<0") is None
+    assert parse_dsize("abc") is None
