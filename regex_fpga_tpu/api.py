@@ -1632,6 +1632,15 @@ class HostBacktrackMatcher(HostRegexMatcher):
 
     def _make_match(self, raw: bytes, a: int, b: int) -> "Match":
         m = self._bt.match_at(raw, a)
+        if (m is None or m[0] != b) and b > a:
+            # The span may have been produced under the 3.7+ empty-match
+            # iteration ban (finditer resumes AT an empty match's end
+            # with the empty match there refused).  An unbanned re-run
+            # can prefer the empty match (e.g. ``(a)?(?(1)|b??)`` on
+            # ``b"b"`` at 0 → span (0,0) not (0,1)) — retry with the
+            # empty match banned so group extraction tracks the span
+            # actually emitted (advisor r4 finding 3).
+            m = self._bt.match_at(raw, a, ban_empty=True)
         if m is None or m[0] != b:  # defensive: engine is deterministic
             return Match(raw, a, b)
         _, groups, lastindex = m
@@ -1646,7 +1655,11 @@ class HostBacktrackMatcher(HostRegexMatcher):
         m = self._bt.search_spans(raw, pos)
         if m is None:
             return None
-        return self._make_match(raw, m[0], m[1])
+        # groups were already computed by the producing search — no
+        # re-run, no ban_empty mismatch
+        groups, lastindex = m[2], m[3]
+        return Match(raw, m[0], m[1], groups[1:], self._bt.group_names,
+                     lastindex)
 
     def finditer(self, data, limit: int | None = None,
                  pos: int = 0, endpos: int | None = None

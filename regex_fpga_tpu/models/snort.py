@@ -664,6 +664,24 @@ def _resolve_buffer_anchors(ops: list, dropped_mods: list[str]) -> list:
     for op in ops:
         if isinstance(op, SnortContent):
             dom = op.buffer  # None = raw payload
+            # offset/depth referencing a dropped byte_extract can never
+            # resolve (the verify walk would hit the unresolved-variable
+            # sentinel and fail the rule FOREVER — a silent false
+            # negative).  Strip and flag, mirroring distance/within
+            # (advisor r4 finding 1).
+            if any(isinstance(v, str) and v in dead_vars
+                   for v in (op.offset, op.depth)):
+                dropped_mods.append(
+                    f"offset/depth on content {op.pattern!r} "
+                    f"(references a dropped byte_extract)"
+                )
+                op = dataclasses.replace(
+                    op,
+                    offset=(None if isinstance(op.offset, str)
+                            and op.offset in dead_vars else op.offset),
+                    depth=(None if isinstance(op.depth, str)
+                           and op.depth in dead_vars else op.depth),
+                )
             if op.distance is not None or op.within is not None:
                 eff = None if anchor == "raw-start" else anchor
                 dead_mod_vals = {
@@ -673,6 +691,21 @@ def _resolve_buffer_anchors(ops: list, dropped_mods: list[str]) -> list:
                 if eff != dom or dead_mod_vals:
                     why = ("crosses buffers" if eff != dom
                            else "references a dropped byte_extract")
+                    if op.negated:
+                        # Stripping distance/within from a NEGATED
+                        # content would WIDEN the asserted absence from a
+                        # small window to the whole buffer — the rule
+                        # would stop firing whenever the pattern appears
+                        # anywhere (IDS false negative).  Drop the
+                        # negation op entirely instead: match-more,
+                        # flagged (advisor r4 finding 2).  The anchor is
+                        # unchanged — negated contents never move any
+                        # verify cursor.
+                        dropped_mods.append(
+                            f"negated content {op.pattern!r} ({why}; "
+                            f"op dropped, not widened)"
+                        )
+                        continue
                     dropped_mods.append(
                         f"distance/within on content {op.pattern!r} "
                         f"({why})"

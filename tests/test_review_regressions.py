@@ -139,3 +139,20 @@ def test_escaped_high_byte_literal():
 
     m = api.compile_regex(b"\\\xe9+")
     assert m.findall(b"abc\xe9\xe9def\xe9") == [b"\xe9\xe9", b"\xe9"]
+
+
+def test_backtracker_make_match_under_empty_ban_keeps_groups():
+    """Advisor r5 finding 3: a finditer span produced under the 3.7+
+    empty-match ban must still carry capture groups — _make_match
+    re-runs with ban_empty when the unbanned engine prefers the empty
+    match."""
+    import re as _re
+
+    import regex_fpga_tpu.re_compat as rc
+
+    pat = rb"(a)?(?(1)|(b)??)"
+    ours = [(m.span(), m.groups(), m.lastindex)
+            for m in rc.compile(pat).finditer(b"b")]
+    ref = [(m.span(), m.groups(), m.lastindex)
+           for m in _re.finditer(pat, b"b")]
+    assert ours == ref  # incl. ((0,1), (None, b'b'), 2)

@@ -1139,3 +1139,41 @@ def test_dsize_parser_units():
     assert parse_dsize("400<>300") is None
     assert parse_dsize("<0") is None
     assert parse_dsize("abc") is None
+
+
+def test_dead_extract_offset_depth_stripped_not_fatal():
+    """Advisor r5 finding 1: a content whose offset/depth references a
+    DROPPED byte_extract must have those modifiers stripped + flagged —
+    not keep the string var (which the verify walk can never resolve,
+    silently killing the rule)."""
+    from regex_fpga_tpu.models.snort import SnortContent
+
+    src = ('alert tcp any any -> any 80 (msg:"d"; content:"/y"; http_uri; '
+           'byte_extract:1,0,v,relative; content:"zz"; offset:v; sid:61;)')
+    r = parse_snort_rules(src)[0]
+    czz = [op for op in r.verify_ops
+           if isinstance(op, SnortContent) and op.pattern == b"zz"][0]
+    assert czz.offset is None  # stripped, not the dead string var
+    assert any("offset/depth" in d for d in r.unenforced_modifiers)
+    m = compile_snort(src)
+    assert 61 in _sids(m, b"GET /y HTTP/1.1\r\nX: zz\r\n\r\n")
+    row = m.enforcement_report()["rules"][0]
+    assert row["status"] == "partial"
+
+
+def test_negated_cross_buffer_content_dropped_not_widened():
+    """Advisor r5 finding 2: stripping distance/within from a NEGATED
+    content that crosses buffer domains would widen the asserted absence
+    to the whole payload (false negatives whenever the pattern appears
+    anywhere).  The negation op is dropped entirely instead."""
+    src = ('alert tcp any any -> any 80 (msg:"n"; content:"/y"; http_uri; '
+           'content:!"bad"; distance:0; within:3; sid:62;)')
+    r = parse_snort_rules(src)[0]
+    assert not any(getattr(op, "negated", False) for op in r.verify_ops)
+    assert any("negated content" in d for d in r.unenforced_modifiers)
+    m = compile_snort(src)
+    # 'bad' in a HEADER must not suppress the alert (the negation only
+    # ever applied to a 3-byte window after the previous match)
+    assert 62 in _sids(m, b"GET /y HTTP/1.1\r\nX: bad\r\n\r\n")
+    row = m.enforcement_report()["rules"][0]
+    assert row["status"] == "partial"
