@@ -431,24 +431,36 @@ def _measure(state: dict) -> None:
                         runsp()
                         ms1 = _med_spread(runsp, 3, lambda _: None)
                         point["host_spec_single"] = _rate(len(one_h), ms1)
+                        # r5: the router now probes BOTH engines at its
+                        # first contested call and routes on measured
+                        # session rates (ops/router.py calibration
+                        # section) — pass tables + a probe-qualifying
+                        # workload exactly as api._host_backend does
                         point["router_choice"] = choose_scan_backend(
-                            dts.num_states, dts.num_classes, 16
+                            dts.num_states, dts.num_classes, 16,
+                            tables=dts, workload_bytes=1 << 30,
                         )
+                        from regex_fpga_tpu.ops.router import (
+                            session_rates,
+                        )
+
+                        point["router_session"] = {
+                            k: v for k, v in session_rates().items()
+                        }
                         if "k1_counts" in point:
                             devb = point["k1_counts"]["bytes_per_sec"]
                             hostb = point["host_multi"]["bytes_per_sec"]
                             chosen = (hostb
                                       if point["router_choice"] == "host"
                                       else devb)
-                            # 0.5: the documented 2.6x day swing (plus
-                            # 25-30% intra-day drift AND host-load
-                            # variance, measured host_multi 0.43-0.89
-                            # across four r4 sessions) legitimately flips
-                            # the S~400-900 band; the router's contract
-                            # is "never a 2x loser", not "always the
-                            # winner" (ops/router.py header)
+                            # 0.8 (was 0.5 on the static model): the
+                            # runtime probe measures both engines in THIS
+                            # session, so the choice must track the
+                            # measured winner up to probe-vs-bench noise
+                            # (different stream mixes + drift within the
+                            # session)
                             point["router_ok"] = bool(
-                                chosen >= 0.5 * max(devb, hostb)
+                                chosen >= 0.8 * max(devb, hostb)
                             )
                 except Exception as e:
                     print(f"# router point skipped: {e}", file=sys.stderr)

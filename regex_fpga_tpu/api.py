@@ -426,11 +426,15 @@ class DfaMatcher:
     #: report it.  NfaMatcher keeps strict reference semantics.
     include_final_match: bool = True
 
-    def _host_backend(self, n_streams: int) -> bool:
+    def _host_backend(self, n_streams: int,
+                      workload_bytes: int = 0) -> bool:
         """True when the engine router sends this counting/histogram scan
         to the native multi-cursor walker instead of the device (measured
         large-S crossover, ``ops/router.py``; the same discipline as the
-        k-gram S-gate one level down)."""
+        k-gram S-gate one level down).  ``workload_bytes`` lets the
+        router fire its per-session runtime probe when enough work is at
+        stake to amortize it (r4 verdict item 1: the static day-mean
+        model measurably mis-routed >2x under rig variance)."""
         from .ops.router import choose_scan_backend
         from .utils.native import native_available
 
@@ -438,7 +442,8 @@ class DfaMatcher:
         if mode == "device":
             return False
         choice = choose_scan_backend(
-            self.tables.num_states, self.tables.num_classes, n_streams, mode
+            self.tables.num_states, self.tables.num_classes, n_streams,
+            mode, tables=self.tables, workload_bytes=workload_bytes,
         )
         return choice == "host" and native_available()
 
@@ -475,7 +480,8 @@ class DfaMatcher:
         positions: list = []
         iters = 0
         converged = True
-        if len(streams) and self._host_backend(len(streams)):
+        if len(streams) and self._host_backend(
+                len(streams), sum(len(s_) for s_ in streams)):
             from .utils.native import dfa_scan_native
 
             with Timer() as t:
@@ -631,7 +637,7 @@ class DfaMatcher:
         # measured-crossover discipline as the kgram gate, one level up
         # (ops/router.py; r3 verdict item 3)
         if streams and self._kgram() is None and self._host_backend(
-                len(streams)):
+                len(streams), sum(len(s_) for s_ in streams)):
             counts, finals = self._host_scan_counts(streams)
             total = int(counts.sum())
             if self.include_final_match:
@@ -1785,7 +1791,7 @@ class LiteralSetMatcher(DfaMatcher):
 
     def scan_patterns(self, data) -> LiteralReport:
         rep = self.scan(data)
-        per = rep.counts @ self.ac.member.astype(np.int64)
+        per = self.ac.pattern_counts(rep.counts)
         return LiteralReport(pattern_counts=per, report=rep)
 
     def finditer(self, data, limit: int | None = None,
@@ -2213,6 +2219,13 @@ class SnortMatcher:
                     # must not prefilter the rule away; _verify alone
                     # enforces it
                     continue
+                if c.buffer == "uri":
+                    # http_uri matches the NORMALIZED buffer: its decoded
+                    # form need not occur literally in the raw stream
+                    # ("/%61dmin" normalizes to "/admin"), so it cannot
+                    # gate the raw-stream prefilter without false
+                    # negatives; _verify fast-fails on the buffer find
+                    continue
                 if c.nocase:
                     key = c.pattern.lower()
                     pid = fold.setdefault(key, len(fold))
@@ -2437,17 +2450,35 @@ class SnortMatcher:
             # per-buffer cursor (Snort per-buffer DOE; models/http.py).
             # A payload that isn't a parseable HTTP request has no
             # buffers, so buffered contents fail (Snort: buffer absent).
+            bhay = None  # non-None: buffer-local haystack (normalized URI)
             if c.buffer is not None:
-                span = (getattr(http_bufs, c.buffer)
-                        if http_bufs is not None else None)
-                if span is None:
+                if http_bufs is None:
                     return False
-                base_off, buf_end = span
-                blen = buf_end - base_off
+                if c.buffer == "uri" and http_bufs.uri_norm is not None:
+                    # http_uri matches the NORMALIZED buffer (r4 verdict
+                    # item 9): percent-decoded + path-compressed bytes,
+                    # buffer-relative coordinates, per-buffer DOE cursor.
+                    # No raw span exists for these matches; the alert
+                    # surface carries rule ids, not spans, so nothing is
+                    # lost.  http_raw_uri stays the verbatim slice.
+                    norm = http_bufs.uri_norm
+                    if c.nocase:
+                        if "uri_norm_low" not in http_cache:
+                            http_cache["uri_norm_low"] = norm.lower()
+                        bhay = http_cache["uri_norm_low"]
+                    else:
+                        bhay = norm
+                    base_off, blen = 0, len(norm)
+                else:
+                    span = getattr(http_bufs, c.buffer)
+                    if span is None:
+                        return False
+                    base_off, buf_end = span
+                    blen = buf_end - base_off
                 cur = bufpos.get(c.buffer, 0)
             else:
                 base_off, blen, cur = 0, n, prev_end
-            hay = low if c.nocase else raw
+            hay = bhay if bhay is not None else (low if c.nocase else raw)
             needle = c.pattern.lower() if c.nocase else c.pattern
             relative = c_dist is not None or c_win is not None
             absolute = (

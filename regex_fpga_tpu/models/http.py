@@ -10,10 +10,18 @@ CONSERVATIVE subset that is exact without either:
 * one request per payload, parsed at payload start: request line
   ``METHOD SP URI SP HTTP/x[.y]`` (known methods only), header block up
   to the first blank line, body = the rest;
-* every buffer is a verbatim SLICE of the payload (no URI decoding, no
-  header folding, no chunked-encoding reassembly) — so a buffered
-  content is always a literal substring of the payload, which keeps the
-  raw-stream AC prefilter a sound superset;
+* ``http_uri`` matches the NORMALIZED URI (percent-decode + path
+  compression via :func:`normalize_uri` — Snort's default-config
+  normalizations; rules are written against this form, r4 verdict
+  item 9), while ``http_raw_uri`` and every other buffer are verbatim
+  SLICES of the payload.  Because a normalized-buffer match need not
+  appear literally in the raw stream, ``api.SnortMatcher`` excludes
+  uri-buffered contents from the raw-stream AC prefilter gate (the
+  slice buffers keep it a sound superset);
+* normalizations NOT applied (Snort non-default options): double/IIS
+  u-encoding, ``iis_backslash`` (``\\`` → ``/``), ``+`` → space in the
+  query, UTF-8 codepoint folding — rules relying on those match the
+  single-pass-decoded form here;
 * a payload that does not parse as an HTTP request has NO buffers, and
   buffered contents then fail (Snort: the buffer is absent).
 
@@ -27,7 +35,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-__all__ = ["HttpBuffers", "parse_http_request", "HTTP_METHODS"]
+__all__ = ["HttpBuffers", "parse_http_request", "normalize_uri",
+           "HTTP_METHODS"]
 
 HTTP_METHODS = frozenset({
     b"GET", b"POST", b"HEAD", b"PUT", b"DELETE", b"OPTIONS", b"TRACE",
@@ -39,13 +48,70 @@ HTTP_METHODS = frozenset({
 
 class HttpBuffers(NamedTuple):
     """(start, end) payload spans per buffer; a span of None = absent.
-    Spans (not copies) so verifiers can report payload offsets."""
+    Spans (not copies) so verifiers can report payload offsets.
+
+    ``uri``/``raw_uri`` share the same raw span; ``uri_norm`` carries the
+    normalized URI BYTES when normalization changed anything (None = the
+    raw slice already is the normalized form, so the span path stays
+    exact and span-bearing).  ``http_uri`` contents match ``uri_norm``
+    when present; ``http_raw_uri`` always matches the raw slice."""
 
     method: tuple[int, int]
     uri: tuple[int, int]
     header: tuple[int, int] | None       # raw header block (after req line)
     client_body: tuple[int, int] | None
     cookie: tuple[int, int] | None       # first Cookie: header's value
+    raw_uri: tuple[int, int] | None = None   # == uri span (http_raw_uri)
+    uri_norm: bytes | None = None            # normalized URI, if != raw
+
+
+def _pct_decode(seg: bytes) -> bytes:
+    """Single-pass percent-decode; malformed ``%`` sequences pass through
+    verbatim (Snort flags them but still inspects the literal bytes)."""
+    if b"%" not in seg:
+        return seg
+    out = bytearray()
+    i, n = 0, len(seg)
+    hexd = b"0123456789abcdefABCDEF"
+    while i < n:
+        c = seg[i]
+        if c == 0x25 and i + 2 < n and seg[i + 1] in hexd \
+                and seg[i + 2] in hexd:
+            out.append(int(seg[i + 1:i + 3], 16))
+            i += 3
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out)
+
+
+def normalize_uri(raw: bytes) -> bytes:
+    """Snort default-config URI normalization: single-pass percent-decode
+    (path + query), then directory compression on the PATH — ``//`` →
+    ``/``, ``/./`` removed, ``/../`` pops one segment (clamped at root,
+    as http_inspect does after flagging the traversal).  The query
+    string (from the first ``?``) is decoded but not path-compressed.
+    Non-default normalizations are documented in the module header."""
+    q = raw.find(b"?")
+    path, query = (raw, b"") if q == -1 else (raw[:q], raw[q:])
+    path = _pct_decode(path)
+    # compress only origin-form paths: proxy-form ("http://host/..") and
+    # asterisk-form URIs keep their bytes (the "//" there is not a
+    # directory separator)
+    if path.startswith(b"/") and (b"//" in path or b"/." in path):
+        segs: list[bytes] = []
+        for seg in path.split(b"/"):
+            if seg == b"" or seg == b".":
+                continue
+            if seg == b"..":
+                if segs:
+                    segs.pop()
+                continue
+            segs.append(seg)
+        trail = b"/" if segs and path.endswith((b"/", b"/.", b"/..")) \
+            else b""
+        path = (b"/" + b"/".join(segs) + trail) if segs else b"/"
+    return path + _pct_decode(query)
 
 
 def parse_http_request(payload: bytes) -> HttpBuffers | None:
@@ -69,8 +135,12 @@ def parse_http_request(payload: bytes) -> HttpBuffers | None:
     uri = (sp1 + 1, sp2)
     if uri[0] >= uri[1]:
         return None
+    raw_slice = payload[uri[0]:uri[1]]
+    norm = normalize_uri(raw_slice)
+    uri_norm = None if norm == raw_slice else norm
     if eol == -1:
-        return HttpBuffers(method, uri, None, None, None)
+        return HttpBuffers(method, uri, None, None, None,
+                           raw_uri=uri, uri_norm=uri_norm)
 
     # header block: up to the first blank line
     hdr_start = eol + 1
@@ -122,4 +192,5 @@ def parse_http_request(payload: bytes) -> HttpBuffers | None:
                 break
             pos = j + 1
 
-    return HttpBuffers(method, uri, header, client_body, cookie)
+    return HttpBuffers(method, uri, header, client_body, cookie,
+                       raw_uri=uri, uri_norm=uri_norm)

@@ -42,16 +42,39 @@ class AhoCorasick:
     patterns: list[bytes]
     #: outputs[s] = tuple of pattern indices ending at state s (suffix chain)
     outputs: tuple[tuple[int, ...], ...]
-    #: (S, P) uint8 membership matrix: member[s, p] = 1 iff p in outputs[s]
-    member: np.ndarray
+    #: CSR of ``outputs`` (indptr (S+1,), indices (nnz,)): community-scale
+    #: rulesets reach S~10^5, P~10^4 — the former dense (S, P) membership
+    #: matrix would be ~1 GB and make per-payload attribution an O(S*P)
+    #: matmul; the sparse fold is O(active states) per payload
+    out_indptr: np.ndarray
+    out_indices: np.ndarray
 
     @property
     def num_states(self) -> int:
         return self.dfa.num_states
 
+    @property
+    def member(self) -> np.ndarray:
+        """(S, P) uint8 membership matrix, built on demand (small sets
+        only — property-test/diagnostic surface, not the scan path)."""
+        m = np.zeros((self.num_states, len(self.patterns)), dtype=np.uint8)
+        for s, o in enumerate(self.outputs):
+            m[s, list(o)] = 1
+        return m
+
     def pattern_counts(self, state_counts: np.ndarray) -> np.ndarray:
-        """Fold a per-state match histogram into per-pattern counts."""
-        return np.asarray(state_counts, dtype=np.int64) @ self.member
+        """Fold per-state match histogram(s) into per-pattern counts.
+        Accepts (S,) or (n, S); sparse accumulation over NONZERO states
+        (a payload visits few accept states, so this is O(hits))."""
+        sc = np.asarray(state_counts, dtype=np.int64)
+        if sc.ndim == 1:
+            return self.pattern_counts(sc[None])[0]
+        out = np.zeros((sc.shape[0], len(self.patterns)), dtype=np.int64)
+        for r in range(sc.shape[0]):
+            for s in np.nonzero(sc[r])[0]:
+                a, b = self.out_indptr[s], self.out_indptr[s + 1]
+                out[r, self.out_indices[a:b]] += sc[r, s]
+        return out
 
 
 def build_aho_corasick(patterns) -> AhoCorasick:
@@ -111,9 +134,12 @@ def build_aho_corasick(patterns) -> AhoCorasick:
         table[:, s] = row_f
 
     accept = np.array([bool(o) for o in out], dtype=bool)
-    member = np.zeros((n, len(pats)), dtype=np.uint8)
+    indptr = np.zeros(n + 1, dtype=np.int64)
     for s, o in enumerate(out):
-        member[s, list(o)] = 1
+        indptr[s + 1] = indptr[s] + len(o)
+    indices = np.fromiter(
+        (pid for o in out for pid in o), dtype=np.int64, count=int(indptr[-1])
+    )
     dfa = CompiledDfa(
         table=table, accept=accept, start=0, dead=-1, accept_eof=None
     )
@@ -121,5 +147,6 @@ def build_aho_corasick(patterns) -> AhoCorasick:
         dfa=dfa,
         patterns=pats,
         outputs=tuple(tuple(o) for o in out),
-        member=member,
+        out_indptr=indptr,
+        out_indices=indices,
     )

@@ -172,7 +172,11 @@ class ByteJump:
 #: raw_ forms alias the cooked ones: every buffer here is already a
 #: verbatim payload slice (no normalization stage exists to differ from).
 HTTP_BUFFER_OPTS = {
-    "http_uri": "uri", "http_raw_uri": "uri",
+    # http_uri matches the NORMALIZED URI (percent-decode + path
+    # compression, models/http.py::normalize_uri — Snort default
+    # config); http_raw_uri is the verbatim payload slice.  They are
+    # distinct buffer domains with separate DOE cursors.
+    "http_uri": "uri", "http_raw_uri": "raw_uri",
     "http_method": "method",
     "http_header": "header", "http_raw_header": "header",
     "http_client_body": "client_body",

@@ -53,13 +53,25 @@ separately in the bench (``router`` section).
 
 from __future__ import annotations
 
+import time
+
+import numpy as np
+
 __all__ = [
     "DEVICE_TILE_BPS",
     "HOST_SINGLE_BPS",
     "HOST_MULTI_BPS",
+    "PROBE_BAND",
+    "PROBE_MIN_WORKLOAD",
     "device_count_bps",
     "host_count_bps",
     "choose_scan_backend",
+    "probe_host",
+    "probe_device",
+    "session_rates",
+    "record_device_rate",
+    "record_host_rate",
+    "reset_session",
 ]
 
 #: device per-step cost normalization: measured bytes/s * padded MXU tiles
@@ -85,26 +97,223 @@ def device_count_bps(num_states: int, num_classes: int) -> float:
     from .dfa_fast import step_orientation_costs
 
     cur, tr, _, _ = step_orientation_costs(num_classes, num_states)
-    return DEVICE_TILE_BPS / (min(cur, tr) + 1)
+    tile_bps = _session.get("device_tile_bps", DEVICE_TILE_BPS)
+    return tile_bps / (min(cur, tr) + 1)
 
 
 def host_count_bps(n_streams: int) -> float:
     """Modeled native-walker rate: multi-cursor aggregate when streams
     fill the interleave width, else the speculative segmented
-    single-stream walk (api._host_scan_counts routes accordingly)."""
-    return HOST_MULTI_BPS if n_streams >= 4 else HOST_SINGLE_BPS
+    single-stream walk (api._host_scan_counts routes accordingly).
+    Session-measured when a probe has run, static prior before."""
+    if n_streams >= 4:
+        return _session.get("host_multi_bps", HOST_MULTI_BPS)
+    return _session.get("host_single_bps", HOST_SINGLE_BPS)
+
+
+# --------------------------------------------------------------------------
+# Per-session runtime calibration (r4 verdict item 1)
+#
+# The static constants above are DAY-MEAN priors; the chip's absolute rate
+# swings 2.6x across days and 25-30% within one, and the host walker's
+# 0.43-0.89 GB/s load variance adds to that — r4's own bench artifacts
+# show the static model choosing a >2x loser in 2 of 3 sessions
+# (docs/bench_r04_builder_run.jsonl, S=440: device 0.428 chosen vs host
+# 0.889).  The fix: measure BOTH engines once per process on a small
+# synthetic chunk the first time a contested scan arrives, cache the
+# measured rates, and route on them.  The static model stays as the
+# pre-probe prior (and for small workloads where a probe costs more than
+# a mis-route), ``scan_backend`` force still bypasses everything.
+#
+# Probe discipline on this rig (CLAUDE.md tunnel hazards):
+# * the device probe uploads its class stream ONCE outside the timed
+#   region (the tunnel's erratic host->device link would otherwise BE the
+#   measurement) and uses one canonical (shape, num_blocks) so the remote
+#   compile is paid once per table shape per process;
+# * ``block_until_ready`` does not sync through the tunnel — reps sync by
+#   materializing the small counts output with ``np.asarray``;
+# * the per-call sync latency floor (~0.25 s on bad days) is measured
+#   with a trivial jitted op and SUBTRACTED, so the probe estimates the
+#   compute rate the chunked big-scan loop actually sees (its chunks
+#   amortize the sync that a small probe cannot);
+# * engine costs are data-independent (dense GEMMs / table walks), so a
+#   uniform-random probe stream is representative.
+# --------------------------------------------------------------------------
+
+#: contested band: below, the device's padded-tile cost is tiny and it
+#: wins by >2x on any day; above, the host walker wins everywhere
+#: (measured r4 sweep, PARITY.md) — probing outside the band buys nothing
+PROBE_BAND = (200, 1500)
+#: probe only when at least this much work is at stake: below it, a
+#: mis-route costs less than the probe itself (device probe: one-time
+#: remote compile + 16 MiB upload on this rig's tunnel)
+PROBE_MIN_WORKLOAD = 32 << 20
+PROBE_HOST_BYTES = 16 << 20
+PROBE_DEVICE_BYTES = 16 << 20
+PROBE_DEVICE_BLOCKS = 16384  # measured k=1 counts optimum (PARITY.md)
+PROBE_REPS = 3
+
+#: process-wide measured rates; keys: "device_tile_bps",
+#: "host_multi_bps", "host_single_bps", "sync_floor_s"
+_session: dict = {}
+
+
+def session_rates() -> dict:
+    """Copy of the session's measured-rate cache (bench reporting)."""
+    return dict(_session)
+
+
+def reset_session() -> None:
+    _session.clear()
+
+
+def record_device_rate(num_states: int, num_classes: int,
+                       bytes_per_sec: float) -> None:
+    """Fold an OBSERVED device k=1 counting rate into the session cache.
+
+    Normalized to rate-per-padded-tile via the engine's own cost model,
+    so one observation at any (S, C) calibrates the whole band."""
+    from .dfa_fast import step_orientation_costs
+
+    cur, tr, _, _ = step_orientation_costs(num_classes, num_states)
+    _session["device_tile_bps"] = float(bytes_per_sec) * (min(cur, tr) + 1)
+
+
+def record_host_rate(n_streams: int, bytes_per_sec: float) -> None:
+    key = "host_multi_bps" if n_streams >= 4 else "host_single_bps"
+    _session[key] = float(bytes_per_sec)
+
+
+def _sync_floor() -> float:
+    """Median wall time of a no-op device round trip (dispatch + sync)."""
+    if "sync_floor_s" in _session:
+        return _session["sync_floor_s"]
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.int32)
+    np.asarray(tiny(x))  # compile
+    ts = []
+    for _ in range(PROBE_REPS):
+        t0 = time.perf_counter()
+        np.asarray(tiny(x))
+        ts.append(time.perf_counter() - t0)
+    _session["sync_floor_s"] = float(np.median(ts))
+    return _session["sync_floor_s"]
+
+
+def probe_host(tables, n_streams: int) -> float:
+    """Measure the native walker on a synthetic stream; cache + return
+    bytes/s.  ~50-150 ms on this host (rig-stable engine)."""
+    from ..utils.native import (
+        dfa_scan_multi_native, dfa_scan_speculative_native,
+    )
+
+    key = "host_multi_bps" if n_streams >= 4 else "host_single_bps"
+    if key in _session:
+        return _session[key]
+    tab = np.asarray(tables.table)
+    cls = np.asarray(tables.class_of)
+    acc = np.asarray(tables.accept)
+    data = np.random.default_rng(0).integers(
+        0, 256, PROBE_HOST_BYTES, dtype=np.uint8
+    )
+    if n_streams >= 4:
+        parts = np.array_split(data, 16)
+        run = lambda: dfa_scan_multi_native(tab, cls, acc, parts)
+    else:
+        run = lambda: dfa_scan_speculative_native(tab, cls, acc, data)
+    run()  # warm (thread pool, table into cache)
+    ts = []
+    for _ in range(PROBE_REPS):
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    bps = PROBE_HOST_BYTES / float(np.median(ts))
+    _session[key] = bps
+    return bps
+
+
+def probe_device(tables) -> float:
+    """Measure the fast device engine's k=1 counting rate; cache (as a
+    normalized tile rate) + return bytes/s at THIS (S, C).
+
+    Upload happens once outside the timed region; reps sync via a small
+    ``np.asarray`` readback; the measured sync floor is subtracted
+    (clamped to half the rep time so a degraded tunnel cannot produce a
+    negative or wild estimate)."""
+    from .dfa_fast import dfa_scan_fast, step_orientation_costs
+
+    s, c = tables.num_states, tables.num_classes
+    cur, tr, _, _ = step_orientation_costs(c, s)
+    tiles = min(cur, tr) + 1
+    if "device_tile_bps" in _session:
+        return _session["device_tile_bps"] / tiles
+    import jax
+    import jax.numpy as jnp
+
+    classes = np.random.default_rng(0).integers(
+        0, c, PROBE_DEVICE_BYTES, dtype=np.int32
+    )
+    cj = jax.device_put(jnp.asarray(classes))
+    run = lambda: np.asarray(
+        dfa_scan_fast(tables, cj, num_blocks=PROBE_DEVICE_BLOCKS,
+                      emit="counts").counts
+    )
+    run()  # compile (cached per table shape for the rest of the session)
+    floor = _sync_floor()
+    ts = []
+    for _ in range(PROBE_REPS):
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    rep = float(np.median(ts))
+    bps = PROBE_DEVICE_BYTES / max(rep - min(floor, rep / 2), 1e-9)
+    _session["device_tile_bps"] = bps * tiles
+    return bps
 
 
 def choose_scan_backend(num_states: int, num_classes: int,
-                        n_streams: int = 1, mode: str = "auto") -> str:
+                        n_streams: int = 1, mode: str = "auto",
+                        tables=None, workload_bytes: int | None = None,
+                        ) -> str:
     """``"device"`` or ``"host"`` for a counting/histogram scan.
 
     ``mode`` is ``EngineConfig.scan_backend``: "auto" applies the
-    measured-crossover model above; "device"/"host" force.  The host
-    side additionally requires the native library (the caller falls back
-    to device when it is unavailable)."""
+    measured rates (session probe cache first, static day-mean priors
+    before any probe has run); "device"/"host" force.  The host side
+    additionally requires the native library (the caller falls back to
+    device when it is unavailable).
+
+    When ``tables`` is supplied, the decision falls in the contested
+    band, ``workload_bytes`` is large enough to amortize a probe, and no
+    measured rate is cached yet, both engines are probed NOW (~150 ms
+    host + one compile-then-milliseconds device chunk) and the measured
+    rates decide — the r4 static model measurably chose a >2x loser in
+    2 of 3 sessions (docs/bench_r04_builder_run.jsonl)."""
     if mode in ("device", "host"):
         return mode
+    host_key = "host_multi_bps" if n_streams >= 4 else "host_single_bps"
+    if tables is not None and PROBE_BAND[0] <= num_states <= PROBE_BAND[1] \
+            and (workload_bytes or 0) >= PROBE_MIN_WORKLOAD \
+            and ("device_tile_bps" not in _session
+                 or host_key not in _session):
+        from ..utils.native import native_available
+
+        if native_available():
+            if host_key not in _session:
+                try:
+                    probe_host(tables, n_streams)
+                except Exception:
+                    pass
+            if "device_tile_bps" not in _session:
+                try:
+                    probe_device(tables)
+                except Exception:
+                    pass
+    # session-measured rates when a probe (or an explicit record_*) has
+    # run, static day-mean priors otherwise
     if device_count_bps(num_states, num_classes) >= host_count_bps(n_streams):
         return "device"
     return "host"

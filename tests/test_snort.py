@@ -932,7 +932,7 @@ def test_byte_op_verify_fuzz_vs_bruteforce_oracle():
 
 
 HTTP_RULES = r'''
-alert tcp any any -> any 80 (msg:"uri traversal"; content:"../"; http_uri; sid:9600;)
+alert tcp any any -> any 80 (msg:"uri traversal"; content:"../"; http_raw_uri; sid:9600;)
 alert tcp any any -> any 80 (msg:"method"; content:"POST"; http_method; sid:9601;)
 alert tcp any any -> any 80 (msg:"hdr agent"; content:"User-Agent: evil"; http_header; nocase; sid:9602;)
 alert tcp any any -> any 80 (msg:"body cmd"; content:"cmd="; http_client_body; sid:9603;)
@@ -956,7 +956,9 @@ def _req(method=b"GET", uri=b"/index.html", headers=b"Host: x\r\n",
 
 
 def test_http_uri_buffer_scoping(http_matcher):
-    # ../ in the URI alerts; the same bytes in the BODY must not
+    # ../ in the RAW URI alerts (Snort-default http_uri normalizes the
+    # traversal away — real traversal rules target http_raw_uri); the
+    # same bytes in the BODY must not
     assert 9600 in _sids(http_matcher, _req(uri=b"/a/../etc/passwd"))
     assert 9600 not in _sids(http_matcher, _req(body=b"see ../ here"))
     # non-HTTP payload: buffer absent, rule cannot fire
@@ -1177,3 +1179,94 @@ def test_negated_cross_buffer_content_dropped_not_widened():
     assert 62 in _sids(m, b"GET /y HTTP/1.1\r\nX: bad\r\n\r\n")
     row = m.enforcement_report()["rules"][0]
     assert row["status"] == "partial"
+
+
+# --------------------------- http_uri normalization (r5 verdict item 9)
+
+
+def test_normalize_uri_unit():
+    from regex_fpga_tpu.models.http import normalize_uri
+
+    assert normalize_uri(b"/admin") == b"/admin"
+    assert normalize_uri(b"/%61dmin") == b"/admin"
+    assert normalize_uri(b"/a//b") == b"/a/b"
+    assert normalize_uri(b"/a/./b") == b"/a/b"
+    assert normalize_uri(b"/a/../b") == b"/b"
+    assert normalize_uri(b"/a/b/..") == b"/a/"
+    assert normalize_uri(b"/..") == b"/"
+    assert normalize_uri(b"//") == b"/"
+    assert normalize_uri(b"/a/b/../../../c") == b"/c"  # clamped at root
+    assert normalize_uri(b"/x/%2e%2e/y") == b"/y"      # decode THEN compress
+    # query: decoded, never path-compressed
+    assert normalize_uri(b"/p?a=%41&b=..//x") == b"/p?a=A&b=..//x"
+    # malformed %-sequences pass through verbatim
+    assert normalize_uri(b"/a%zz%4") == b"/a%zz%4"
+    # proxy-form and asterisk-form URIs keep their bytes
+    assert normalize_uri(b"http://h//x") == b"http://h//x"
+    assert normalize_uri(b"*") == b"*"
+
+
+def test_http_uri_matches_normalized_form():
+    """A rule written in normalized form must hit percent-encoded and
+    traversal-obfuscated traffic (the Snort false-negative class the r4
+    verdict flagged)."""
+    src = ('alert tcp any any -> any 80 (msg:"u"; content:"/admin/login"; '
+           'http_uri; sid:71;)')
+    m = compile_snort(src)
+    assert 71 in _sids(m, b"GET /admin/login HTTP/1.1\r\n\r\n")
+    assert 71 in _sids(m, b"GET /%61dmin/login HTTP/1.1\r\n\r\n")
+    assert 71 in _sids(m, b"GET /x/../admin/./login HTTP/1.1\r\n\r\n")
+    # and the content is genuinely URI-scoped: same bytes in a header
+    # must not fire
+    assert 71 not in _sids(
+        m, b"GET /other HTTP/1.1\r\nX: /admin/login\r\n\r\n")
+
+
+def test_http_raw_uri_stays_raw():
+    src = ('alert tcp any any -> any 80 (msg:"r"; content:"%61dmin"; '
+           'http_raw_uri; sid:72;)\n'
+           'alert tcp any any -> any 80 (msg:"n"; content:"admin"; '
+           'http_uri; sid:73;)')
+    m = compile_snort(src)
+    got = _sids(m, b"GET /%61dmin HTTP/1.1\r\n\r\n")
+    assert 72 in got and 73 in got  # raw sees the encoding, norm decodes
+    got2 = _sids(m, b"GET /admin HTTP/1.1\r\n\r\n")
+    assert 72 not in got2 and 73 in got2
+
+
+def test_http_uri_nocase_and_windows_in_normalized_coords():
+    src = ('alert tcp any any -> any 80 (msg:"nc"; content:"ADMIN"; '
+           'http_uri; nocase; sid:74;)\n'
+           'alert tcp any any -> any 80 (msg:"w"; content:"/a"; http_uri; '
+           'content:"secret"; http_uri; distance:0; within:8; sid:75;)')
+    m = compile_snort(src)
+    assert 74 in _sids(m, b"GET /%41dMiN HTTP/1.1\r\n\r\n")
+    # normalized "/a__secret": distance/within measured in DECODED bytes
+    assert 75 in _sids(m, b"GET /%61__secret HTTP/1.1\r\n\r\n")
+    # 9 bytes between: outside within:8 in normalized coords
+    assert 75 not in _sids(
+        m, b"GET /%61_________secret HTTP/1.1\r\n\r\n")
+
+
+def test_uri_content_not_in_raw_prefilter_gate():
+    """uri-buffered contents must not gate the raw-stream prefilter: the
+    decoded form need not occur literally in the payload."""
+    src = ('alert tcp any any -> any 80 (msg:"p"; content:"/hidden"; '
+           'http_uri; sid:76;)')
+    m = compile_snort(src)
+    # raw payload does NOT contain "/hidden" anywhere
+    payload = b"GET /%68idden HTTP/1.1\r\n\r\n"
+    assert b"/hidden" not in payload
+    assert 76 in _sids(m, payload)
+
+
+def test_negated_http_uri_checked_in_normalized_buffer():
+    src = ('alert tcp any any -> any 80 (msg:"ng"; content:"/app"; '
+           'http_uri; content:!"debug"; http_uri; sid:77;)')
+    m = compile_snort(src)
+    assert 77 in _sids(m, b"GET /app/run HTTP/1.1\r\n\r\n")
+    # encoded "debug" decodes into the normalized buffer -> absence fails
+    assert 77 not in _sids(m, b"GET /app/%64ebug HTTP/1.1\r\n\r\n")
+    # "debug" in a header does not poison the URI-scoped negation
+    assert 77 in _sids(
+        m, b"GET /app HTTP/1.1\r\nX: debug\r\n\r\n")
