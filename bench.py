@@ -40,22 +40,33 @@ def _remaining() -> float:
     return _BUDGET - (time.perf_counter() - _T0)
 
 
-def _med_spread(fn, reps: int, force) -> dict:
+def _med_spread(fn, reps: int, force, discard_first: bool = False) -> dict:
     """Median + spread of ``reps`` individually timed ``fn()`` calls.
     ``force(result)`` must block until the work is really done (tunnel:
-    a small host transfer)."""
+    a small host transfer).  ``discard_first`` times one extra leading
+    rep and excludes it from the stats (recorded as ``first_s``): the
+    first post-compile rep through the tunnel measured up to 6-10x the
+    median in r4 sessions (r4 verdict weak #5)."""
     times = []
-    for _ in range(reps):
+    first = None
+    for i in range(reps + (1 if discard_first else 0)):
         t0 = time.perf_counter()
         force(fn())
-        times.append(time.perf_counter() - t0)
+        dt_ = time.perf_counter() - t0
+        if discard_first and i == 0:
+            first = dt_
+            continue
+        times.append(dt_)
     times.sort()
-    return {
+    out = {
         "median_s": times[len(times) // 2],
         "min_s": times[0],
         "max_s": times[-1],
         "reps": reps,
     }
+    if first is not None:
+        out["first_s"] = first
+    return out
 
 
 def _rate(nbytes: int, ms: dict) -> dict:
@@ -151,9 +162,11 @@ def _measure(state: dict) -> None:
 
         def _do():
             try:
+                t0u = time.perf_counter()
                 arr = jnp.asarray(class_lut[text_])
                 np.asarray(arr[:8])  # force through the tunnel
                 box["arr"] = arr
+                box["seconds"] = time.perf_counter() - t0u
             except Exception as e:  # pragma: no cover - tunnel errors
                 box["err"] = e
 
@@ -163,6 +176,9 @@ def _measure(state: dict) -> None:
         if "err" in box:  # a REAL error, not a stall — surface it
             print(f"# upload raised (not a stall): {box['err']!r}",
                   file=sys.stderr)
+        if "seconds" in box:
+            state["upload_bps"] = round(nbytes / box["seconds"], 1)
+            state["upload_seconds"] = round(box["seconds"], 3)
         return box.get("arr"), text_
 
     l = 1 << 26  # 64 MiB per timed pass
@@ -230,6 +246,50 @@ def _measure(state: dict) -> None:
         conf["conf_walker"] = _rate(total, ms)
     except Exception as e:
         print(f"# conformance check skipped: {e}", file=sys.stderr)
+
+    # ---- community-scale Snort front-end (r4 verdict item 2): host-only,
+    # chip idle.  Offline corpus at the reference ruleset's OWN scale
+    # (models/snort_corpus.py, ~3k rules / >10k AC states vs the .coe's
+    # 9,514) — build cost, enforcement coverage, traffic scan rate, recall
+    try:
+        import time as _t
+
+        from regex_fpga_tpu.api import compile_snort
+        from regex_fpga_tpu.models.snort_corpus import (
+            gen_community_rules, gen_traffic,
+        )
+
+        _t0s = _t.perf_counter()
+        rules_text = gen_community_rules()
+        sm = compile_snort(rules_text)
+        build_s = _t.perf_counter() - _t0s
+        payloads, planted = gen_traffic()
+        sm.scan(payloads[:4])  # warm caches
+        _t1s = _t.perf_counter()
+        rep = sm.scan(payloads)
+        scan_s = _t.perf_counter() - _t1s
+        recall = sum(
+            1 for idx, sid in planted.items()
+            if sid in [a.sid for a in rep.alerts[idx]]
+        )
+        es = sm.enforcement_report()["summary"]
+        conf["snort_scale"] = {
+            "n_rules": sm.num_rules,
+            "build_seconds": round(build_s, 3),
+            "ac_states": int(
+                sm._exact.num_states + sm._fold.num_states
+                + sm._uri_exact.num_states + sm._uri_fold.num_states
+            ),
+            "enforced_pct": round(100.0 * es["enforced"] / es["total"], 1),
+            "scan_ms_per_payload": round(
+                scan_s / len(payloads) * 1e3, 3),
+            "payload_bytes_per_sec": round(
+                sum(len(p) for p in payloads) / scan_s),
+            "recall": f"{recall}/{len(planted)}",
+            "alerts": sum(len(a) for a in rep.alerts),
+        }
+    except Exception as e:
+        print(f"# snort_scale skipped: {e}", file=sys.stderr)
 
     # ---- everything else runs on a worker thread behind a hard deadline
     # (a hung tunnel call inside a section must not eat the JSON line);
@@ -336,7 +396,8 @@ def _measure(state: dict) -> None:
                     if emit == "counts":
                         k1_total = int(np.asarray(rs.counts).sum())
                     ms = _med_spread(
-                        runs, 3, lambda rr: np.asarray(rr.final_state)
+                        runs, 5, lambda rr: np.asarray(rr.final_state),
+                        discard_first=True,
                     )
                     point[f"k1_{emit}"] = _rate(l_s, ms)
                 kgs = build_kgram(dts, levels=2, max_classes=1 << 14)
@@ -422,14 +483,16 @@ def _measure(state: dict) -> None:
                             tabh, clsh, acch, parts
                         )
                         runh()  # warm (thread pool, caches)
-                        ms = _med_spread(runh, 3, lambda _: None)
+                        ms = _med_spread(runh, 5, lambda _: None,
+                                         discard_first=True)
                         point["host_multi"] = _rate(nb_h, ms)
                         one_h = np.ascontiguousarray(text_s[: 1 << 23])
                         runsp = lambda: dfa_scan_speculative_native(
                             tabh, clsh, acch, one_h
                         )
                         runsp()
-                        ms1 = _med_spread(runsp, 3, lambda _: None)
+                        ms1 = _med_spread(runsp, 5, lambda _: None,
+                                          discard_first=True)
                         point["host_spec_single"] = _rate(len(one_h), ms1)
                         # r5: the router now probes BOTH engines at its
                         # first contested call and routes on measured
@@ -469,6 +532,34 @@ def _measure(state: dict) -> None:
                       f"t={time.perf_counter()-_T0:.0f}s", file=sys.stderr)
         except Exception as e:
             print(f"# size sweep skipped: {e}", file=sys.stderr)
+
+        # large-S on-silicon record (r4 verdict item 4): the >=1 GB/s at
+        # S>=440 claim must be a measurement, not 0.44 x 2.6 day-factor
+        # arithmetic.  Stamp THIS session's measured large-S k=1 rates
+        # with the session's day band (tokenizer kgram rate vs the 6.16
+        # GB/s good-day reference) so a good-day driver run produces the
+        # missing artifact automatically.
+        try:
+            kg_bps = (ext.get("kgram") or {}).get("bytes_per_sec", 0)
+            rows = [p for p in ext.get("size_sweep", [])
+                    if p.get("S", 0) >= 440 and "k1_counts" in p]
+            if rows:
+                ext["good_day_sweep"] = {
+                    "session_kgram_gbps": round(kg_bps / 1e9, 3),
+                    "good_day_band": bool(kg_bps >= 4e9),
+                    "points": [
+                        {
+                            "S": p["S"],
+                            "k1_counts_gbps": round(
+                                p["k1_counts"]["bytes_per_sec"] / 1e9, 3),
+                            "ge_1gbps": bool(
+                                p["k1_counts"]["bytes_per_sec"] >= 1e9),
+                        }
+                        for p in rows
+                    ],
+                }
+        except Exception as e:
+            print(f"# good-day sweep stamp skipped: {e}", file=sys.stderr)
 
         # finditer with device-compacted position readback (r2 verdict #3):
         # target = span extraction within ~3x of the raw scan wall time
@@ -568,6 +659,17 @@ def _measure(state: dict) -> None:
                         + int(np.asarray(rr.counts).sum())}
 
             scan_chunk(prepare(big[:chunk_b]), None)  # warm the chunk shape
+            # self-diagnosis (r4 weak #2/item 8): on a tunnel-degraded day
+            # the upload dominates BOTH arms and parity is expected —
+            # measure the two phases so the artifact says which regime it
+            # measured instead of reading as an overlap regression
+            t1 = time.perf_counter()
+            one_dev = prepare(big[:chunk_b])
+            np.asarray(one_dev[:8])
+            t_prep = time.perf_counter() - t1
+            t1 = time.perf_counter()
+            scan_chunk(one_dev, None)
+            t_scan1 = time.perf_counter() - t1
             t_ser, t_ovl = [], []
             tot_ser = tot_ovl = None
             for _ in range(3):
@@ -594,9 +696,15 @@ def _measure(state: dict) -> None:
                     round(max(t_ser) / min(t_ovl), 3),
                 ],
                 "reps": 3,
+                "upload_s_per_chunk": round(t_prep, 3),
+                "scan_s_per_chunk": round(t_scan1, 3),
+                "upload_bound": bool(t_prep > 1.5 * t_scan1),
                 "note": "median of 3 interleaved serial/overlapped pairs; "
                         "prefetch overlaps class-map+upload of chunk k+1 "
-                        "with the scan of chunk k",
+                        "with the scan of chunk k; when upload_bound, "
+                        "speedup ~1.0 is the expected ceiling (the "
+                        "overlapped arm is serialized on the same link), "
+                        "not an overlap regression",
             }
         except Exception as e:
             print(f"# ingest overlap skipped: {e}", file=sys.stderr)
@@ -645,6 +753,8 @@ def _measure(state: dict) -> None:
             "kgram4_converged": ext.get("kgram_converged"),
             "stream_bytes": l,
             "degraded_upload": degraded,
+            "upload_bps": state.get("upload_bps"),
+            "upload_seconds": state.get("upload_seconds"),
             "num_blocks": nb,
             "kgram_num_blocks": 16384,
             "jacobi_iterations": iters,
@@ -655,6 +765,7 @@ def _measure(state: dict) -> None:
             "vs_reference_fpga": round(bps / 129e3, 1),
             "conformance_exact": conf.get("conf_ok"),
             "snort16_conformance_walker": walker,
+            "snort_scale": conf.get("snort_scale"),
             "snort16_vs_reference_fpga": (
                 round(walker["bytes_per_sec"] / 37e3, 1) if walker else None
             ),
@@ -671,7 +782,8 @@ def _measure(state: dict) -> None:
         },
     }
     state["json_detail"] = json.dumps(out)
-    state["json"] = _compact_line(bps, target, full, ext, conf, walker, degraded)
+    state["json"] = _compact_line(bps, target, full, ext, conf, walker,
+                                  degraded, state)
     # main() prints the lines and then os._exit()s — a daemon worker may
     # still hold a hung tunnel call and must not outlive the budget
 
@@ -682,7 +794,7 @@ def _r3(x):
 
 
 def _compact_line(bps, target, full, ext, conf, walker,
-                  degraded: bool = False) -> str:
+                  degraded: bool = False, state: dict | None = None) -> str:
     """The FINAL stdout line: every load-bearing number in <=1,500 chars so
     the driver's tail capture parses it (r3 verdict item 1).  Rates are
     GB/s [min,max] spreads; the size sweep is collapsed to its endpoints
@@ -726,6 +838,13 @@ def _compact_line(bps, target, full, ext, conf, walker,
         ),
         "conformance_exact": conf.get("conf_ok"),
         "snort16_walker_gbps": _r3(walker["bytes_per_sec"]) if walker else None,
+        "snort_scale": (lambda ss: {
+            "ms_per_payload": ss["scan_ms_per_payload"],
+            "recall": ss["recall"],
+            "enforced_pct": ss["enforced_pct"],
+        } if ss else None)(conf.get("snort_scale")),
+        "large_s": ext.get("good_day_sweep"),
+        "upload_bps": (state or {}).get("upload_bps"),
         "vs_reference_fpga": round(bps / 129e3, 1),
         "rig_note": ("tunneled v5e, 2.6x day-to-day swing — same-day "
                      "A/B only"

@@ -409,7 +409,6 @@ class DfaMatcher:
         self._anchored_np: tuple | None = None
         self._anchored_start: int = 0
         self._capture_prog = None  # lazy CaptureProgram (False = no groups)
-        self._mask2 = None  # lazy pair-composed mask tables (False = n/a)
 
     @property
     def num_states(self) -> int:
@@ -418,7 +417,7 @@ class DfaMatcher:
     #: class-level defaults: subclasses that bypass ``__init__`` (e.g.
     #: TokenizerMatcher) still get working ``_make_match`` / mask engines
     _capture_prog = None
-    _mask2 = None
+    _stall_tables = None  # lazy stall-extended tables (ragged batching)
 
     #: include a match whose accept state is entered by the very last byte.
     #: The reference timing drops it (SURVEY.md SS3.3 item 4: the harness
@@ -534,6 +533,31 @@ class DfaMatcher:
                         counts[i, cur[i]] += 1
             m = RunMetrics(
                 engine="dfa-fast-batch",
+                bytes_scanned=sum(len(s_) for s_ in streams),
+                streams=len(streams),
+                matches=int(counts.sum()),
+                wall_seconds=t.seconds,
+                iterations=iters,
+                converged=converged,
+            )
+            return ScanReport(counts=counts, total=int(counts.sum()),
+                              match_positions=None, metrics=m)
+        if (not collect_positions and len(streams) > 1
+                and any(len(s_) for s_ in streams)):
+            # RAGGED batch (r4 verdict item 3): variable-length streams
+            # pad with the stall class and ride the same one-GEMM-chain
+            # lane batching — N independent variable-length flows is the
+            # reference's actual workload generalized (FPGA.v:54-57); the
+            # old serial loop paid one scan dispatch per stream
+            with Timer() as t:
+                c, iters, converged, cur = self._scan_ragged_counts(streams)
+                counts[:] = c
+                for i, stream in enumerate(streams):
+                    if (self.include_final_match and len(stream)
+                            and self._accept_eof[cur[i]]):
+                        counts[i, cur[i]] += 1
+            m = RunMetrics(
+                engine="dfa-fast-batch-ragged",
                 bytes_scanned=sum(len(s_) for s_ in streams),
                 streams=len(streams),
                 matches=int(counts.sum()),
@@ -729,58 +753,16 @@ class DfaMatcher:
         self._last_final = cur
         return states, mask, iters, converged
 
-    def _ensure_mask2(self):
-        """Lazy pair-composed mask tables (``ops.kgram.build_mask2``): the
-        backward/mask scans run 2 bytes per step with per-position accept
-        bits preserved.  As of r4 this is GATED OFF everywhere
-        (``ops.kgram.MASK2_MAX_STATES`` = 0): the on-chip A/B measured the
-        transposed k=1 mask engine faster at EVERY size (mask2 0.74-0.78x,
-        docs/probe_mask2_r04.json) — the k=1 orientation fix outran the
-        halved step count.  The machinery stays behind the constant for
-        future chips; the mask path simply always takes
-        ``dfa_scan_fast(emit="mask")`` now."""
-        if self._mask2 is None:
-            from .ops.kgram import MASK2_MAX_STATES, build_mask2
-
-            if self.tables.num_states > MASK2_MAX_STATES:
-                self._mask2 = False
-                return False
-            m2 = build_mask2(self.tables)
-            self._mask2 = (
-                (m2, jnp.asarray(m2.table), jnp.asarray(m2.acc_table))
-                if m2 is not None else False
-            )
-        return self._mask2
-
     def _mask_chunk_device(self, raw_chunk, cur: int):
         """One chunk's (match_mask device/host array, final_state, converged)
-        via the fastest applicable engine: the 2-byte mask2 scan when its
-        tables exist and the chunk is even-length, else the k=1 mask scan.
-        Byte classes are mapped lazily — the mask2 path maps raw bytes to
-        pair classes itself, so the k=1 class LUT pass is skipped there.
-        Non-convergence falls back to the exact path (host mask)."""
-        from .ops.kgram import dfa_scan_mask2, map_kgram_classes
-
-        m2 = self._ensure_mask2()
+        via the transposed k=1 mask scan.  (The 2-byte pair-composed
+        "mask2" engine that used to ride here lost its r4 on-chip A/B at
+        every size — 0.74-0.78x of the k=1 mask engine,
+        docs/probe_mask2_r04.json — and was pruned in r5;
+        docs/ENGINE_GRAVEYARD.md records the verdict and the commit that
+        still carries the code.)  Non-convergence falls back to the
+        exact path (host mask)."""
         n = len(raw_chunk)
-        if m2 is not False and n >= 2 and n % 2 == 0:
-            kg2, tj, mj = m2
-            ck = map_kgram_classes(kg2, np.asarray(raw_chunk))
-            nb = self._pick_blocks(len(ck))
-            res = dfa_scan_mask2(
-                tj, mj, jnp.asarray(ck), num_blocks=nb, start=cur,
-                max_iters=self.config.max_iters,
-            )
-            fs = int(res.final_state)
-            if not 0 <= fs < self.num_states:
-                # SS5.2 guard parity with the k=1 path's domain_ok: a
-                # corrupt/inexact table must raise, not seed the next chunk
-                raise RuntimeError(
-                    "device mask2 pass produced an out-of-domain state id "
-                    "(SURVEY.md SS5.2 guard)"
-                )
-            if bool(res.converged):
-                return res.match_mask, fs, True
         chunk_cls = self._class_lut[raw_chunk]
         nb = self._pick_blocks(n)
         res = dfa_scan_fast(
@@ -805,9 +787,7 @@ class DfaMatcher:
         the full-mask readback cost 19-27 s vs 0.6-1.7 s scan through the
         ~6 MB/s tunnel on a 32 MiB match-dense corpus).  Chunks denser than
         cap/chunk fall back to mask readback (cheaper at that density).
-        Even-length chunks run the 2-byte pair-composed mask engine
-        (``dfa_scan_mask2``) when its tables exist.  Sets
-        ``self._last_final``.  Returns ascending int64 offsets."""
+        Sets ``self._last_final``.  Returns ascending int64 offsets."""
         from .ops.dfa_fast import mask_positions
 
         start = self.start if start is None else start
@@ -884,6 +864,78 @@ class DfaMatcher:
                 cur = np.asarray(res.final_states).copy()
             iters = max(iters, int(res.iterations))
             off += cb
+        return counts, iters, converged, cur
+
+    def _scan_ragged_counts(self, streams):
+        """Variable-length batch in ONE multi-lane chain (r4 verdict
+        item 3): streams pad to a common bucket with the STALL class
+        (identity table column, ``ops.tables.stall_extend``), run through
+        ``dfa_scan_fast_multi`` with per-lane pinned entries exactly like
+        the equal-length path, and the frozen final state's padded visits
+        are subtracted exactly afterwards (the stall column freezes the
+        lane, so the overcount is precisely ``pad_steps`` visits of the
+        final state).  Replaces the serial per-stream loop that paid one
+        full scan dispatch per stream (~0.25 s sync each through this
+        rig's tunnel).  Returns (counts (N, S) int64, iters, converged,
+        finals (N,))."""
+        from .ops.dfa_fast import dfa_scan_fast_multi
+        from .ops.tables import stall_extend
+
+        if self._stall_tables is None:
+            self._stall_tables = stall_extend(self.tables)
+        stall_id = self.tables.num_classes
+        n = len(streams)
+        lens = np.array([len(s_) for s_ in streams], dtype=np.int64)
+        lmax = int(lens.max())
+        counts = np.zeros((n, self.num_states), dtype=np.int64)
+        cur = np.full(n, self.start, dtype=np.int32)
+        iters, converged = 0, True
+        accept_np = np.asarray(self.tables.accept)
+        off = 0
+        cb = self.config.chunk_bytes
+        while off < lmax:
+            w = min(cb, lmax - off)
+            nb = self.config.num_blocks
+            while nb > 1 and w // nb < self.config.min_block_bytes:
+                nb //= 2
+            w_pad = -(-w // nb) * nb  # round up to a block multiple
+            chunk = np.full((n, w_pad), stall_id, dtype=np.int32)
+            real = np.clip(lens - off, 0, w_pad).astype(np.int64)
+            for i, s_ in enumerate(streams):
+                if real[i]:
+                    chunk[i, : real[i]] = self._class_lut[
+                        s_[off : off + real[i]]
+                    ]
+            res = dfa_scan_fast_multi(
+                self._stall_tables, jnp.asarray(chunk), num_blocks=nb,
+                starts=jnp.asarray(cur), max_iters=self.config.max_iters,
+                emit="counts",
+            )
+            if not bool(res.converged):
+                converged = False
+                for i, s_ in enumerate(streams):
+                    if real[i] == 0:
+                        continue
+                    r = self._exact_fallback(
+                        s_[off : off + real[i]], int(cur[i])
+                    )
+                    counts[i] += np.bincount(
+                        np.asarray(r.states)[np.asarray(r.match_mask)],
+                        minlength=self.num_states,
+                    )
+                    cur[i] = r.final_state
+            else:
+                c = np.asarray(res.counts, dtype=np.int64)
+                finals = np.asarray(res.final_states)
+                # exact stall correction: the frozen state was counted
+                # once per padded step
+                pad = w_pad - real
+                stall_hit = pad * accept_np[finals]
+                c[np.arange(n), finals] -= stall_hit
+                counts += c
+                cur = finals.astype(np.int32).copy()
+            iters = max(iters, int(res.iterations))
+            off += w_pad
         return counts, iters, converged, cur
 
     def _scan_stream_counts(self, stream: np.ndarray, start=None):
@@ -2165,6 +2217,7 @@ _MATCH_ENFORCED_OPTS = frozenset({
     "http_raw_header", "http_client_body", "http_cookie",
     "http_raw_cookie",
     "dsize",  # payload-size predicate (inclusive bounds, Snort 2.9 rules)
+    "urilen",  # URI-length predicate (normalized by default, ",raw" raw)
 })
 #: options that do not constrain MATCHING on a payload stream (labels,
 #: bookkeeping, performance hints) — a rule carrying only these +
@@ -2177,6 +2230,15 @@ _METADATA_OPTS = frozenset({
     "msg", "sid", "rev", "gid", "classtype", "reference", "metadata",
     "priority", "service", "rem", "target", "fast_pattern",
 })
+#: session-scope predicates: constrain WHICH stream/direction the rule
+#: applies to (like the header's addresses/ports), not what the payload
+#: must contain — a single-payload matcher can't evaluate them and Snort
+#: wouldn't either without the TCP/session context.  Reported per rule
+#: as ``scope_options`` (visible, not silently ignored) but not counted
+#: against payload-level enforcement.  ``flowbits`` is NOT here: isset/
+#: set gate alerting across packets, so ignoring them would change
+#: match output (they classify as partial).
+_SCOPE_OPTS = frozenset({"flow"})
 
 
 class SnortMatcher:
@@ -2202,9 +2264,17 @@ class SnortMatcher:
 
         self.rules = list(rules)
         self.config = config
-        # dedupe content literals across rules, split by case sensitivity
+        # dedupe content literals across rules, split by case sensitivity;
+        # uri-buffered contents get their OWN automata scanned over the
+        # normalized URI (their decoded form need not occur literally in
+        # the raw stream — "/%61dmin" normalizes to "/admin" — so they
+        # cannot gate the raw-stream prefilter; without any gate every
+        # http_uri rule reached _verify on every payload, measured
+        # 22 ms/payload at community scale)
         exact: dict[bytes, int] = {}
         fold: dict[bytes, int] = {}
+        uri_exact: dict[bytes, int] = {}
+        uri_fold: dict[bytes, int] = {}
         self._rule_contents: list[list[tuple[str, int, bool]]] = []
         for r in self.rules:
             entries = []
@@ -2220,11 +2290,14 @@ class SnortMatcher:
                     # enforces it
                     continue
                 if c.buffer == "uri":
-                    # http_uri matches the NORMALIZED buffer: its decoded
-                    # form need not occur literally in the raw stream
-                    # ("/%61dmin" normalizes to "/admin"), so it cannot
-                    # gate the raw-stream prefilter without false
-                    # negatives; _verify fast-fails on the buffer find
+                    if c.nocase:
+                        pid = uri_fold.setdefault(c.pattern.lower(),
+                                                  len(uri_fold))
+                        entries.append(("uri_fold", pid, c.negated))
+                    else:
+                        pid = uri_exact.setdefault(c.pattern,
+                                                   len(uri_exact))
+                        entries.append(("uri_exact", pid, c.negated))
                     continue
                 if c.nocase:
                     key = c.pattern.lower()
@@ -2238,21 +2311,65 @@ class SnortMatcher:
                        if exact else None)
         self._fold = (compile_literals(list(fold), config)
                       if fold else None)
+        # normalized-URI prefilter automata: URIs are tens of bytes, so
+        # these are walked host-side per carved request (models/literals
+        # AC; the walk is O(len(uri)))
+        from .models.literals import build_aho_corasick
+
+        self._uri_exact = (build_aho_corasick(list(uri_exact))
+                           if uri_exact else None)
+        self._uri_fold = (build_aho_corasick(list(uri_fold))
+                          if uri_fold else None)
+        # vectorized gate arrays: the per-rule Python entry loop measured
+        # 0.5 us * n_rules * n_payloads (0.66 s for 3k rules x 400
+        # payloads); one fancy-indexed compare per automaton replaces it
+        self._gate: dict[str, tuple] = {}
+        for kind in ("exact", "fold", "uri_exact", "uri_fold"):
+            rows, pids, negs = [], [], []
+            for ri, entries in enumerate(self._rule_contents):
+                for k, pid, neg in entries:
+                    if k == kind:
+                        rows.append(ri)
+                        pids.append(pid)
+                        negs.append(neg)
+            if rows:
+                self._gate[kind] = (np.asarray(rows), np.asarray(pids),
+                                    np.asarray(negs, dtype=bool))
         self._lower_lut = np.arange(256, dtype=np.uint8)
         self._lower_lut[ord("A"):ord("Z") + 1] += 32
         self._pcre_cache: dict[int, tuple | None] = {}
+        self._pcre_by_text: dict[str, tuple | None] = {}
 
     @property
     def num_rules(self) -> int:
         return len(self.rules)
 
+    @staticmethod
+    def _ac_presence(ac, data: bytes) -> np.ndarray:
+        """Per-pattern occurrence counts of an AC automaton host-walked
+        over a short derived buffer (normalized URI — tens of bytes, so
+        a Python table walk beats any engine dispatch)."""
+        table, accept = ac.dfa.table, ac.dfa.accept
+        sc = np.zeros(ac.num_states, np.int64)
+        s = 0
+        for b in data:
+            s = int(table[b, s])
+            if accept[s]:
+                sc[s] += 1
+        return ac.pattern_counts(sc)
+
     def _pcre_tables(self, idx: int):
         """(table, accept, eof) for rule idx's pcre in scanning mode, or
-        None when absent/outside the subset."""
+        None when absent/outside the subset.  Compiled objects are shared
+        across rules with identical pcre TEXT (community rulesets repeat
+        boilerplate patterns; compiling per rule measured redundant)."""
         if idx not in self._pcre_cache:
             from .models.snort import pcre_to_pattern
 
             r = self.rules[idx]
+            if r.pcre is not None and r.pcre in self._pcre_by_text:
+                self._pcre_cache[idx] = self._pcre_by_text[r.pcre]
+                return self._pcre_cache[idx]
             out = None
             if r.pcre is not None:
                 pat = pcre_to_pattern(r.pcre)
@@ -2270,16 +2387,32 @@ class SnortMatcher:
                         except Exception:
                             out = None
             self._pcre_cache[idx] = out
+            if r.pcre is not None:
+                self._pcre_by_text[r.pcre] = out
         return self._pcre_cache[idx]
 
-    def _pcre_hit(self, idx: int, raw: bytes) -> bool | None:
-        """True/False = verified; None = pcre absent or outside subset."""
+    def _pcre_hit(self, idx: int, raw: bytes,
+                  memo: dict | None = None) -> bool | None:
+        """True/False = verified; None = pcre absent or outside subset.
+        ``memo`` (per stream) dedupes by pcre TEXT: content-less pcre
+        rules are always prefilter candidates, and community corpora
+        repeat the same pattern across many rules — unmemoized this
+        measured 26k native scans for 400 payloads."""
         r = self.rules[idx]
         if r.pcre is None:
             return None
+        if memo is not None and r.pcre in memo:
+            return memo[r.pcre]
         t = self._pcre_tables(idx)
         if t is None:
             return None
+        res = self._pcre_run(t, raw)
+        if memo is not None:
+            memo[r.pcre] = res
+        return res
+
+    @staticmethod
+    def _pcre_run(t, raw: bytes) -> bool:
         if t[0] == "host":  # \b/\B patterns: Pike-VM match existence
             return bool(t[1].finditer_spans(raw, limit=1))
         _, table, accept, eof, start = t
@@ -2345,7 +2478,9 @@ class SnortMatcher:
             if (lo is not None and n < lo) or (hi is not None and n > hi):
                 return False
         http_bufs = None
-        if any(isinstance(c, SnortContent) and c.buffer for c in contents):
+        ul = getattr(rule, "urilen", None)
+        if ul is not None or any(
+                isinstance(c, SnortContent) and c.buffer for c in contents):
             if http_cache is None:
                 http_cache = {}
             if "bufs" not in http_cache:  # carve once per stream
@@ -2353,6 +2488,21 @@ class SnortMatcher:
 
                 http_cache["bufs"] = parse_http_request(raw)
             http_bufs = http_cache["bufs"]
+        if ul is not None:
+            # urilen: inclusive URI-length predicate against the
+            # normalized (default) or raw URI; no parseable request ->
+            # no URI -> the rule cannot fire (Snort: buffer absent)
+            if http_bufs is None:
+                return False
+            lo, hi, mode = ul
+            u0, u1 = http_bufs.uri
+            if mode == "norm" and http_bufs.uri_norm is not None:
+                ulen = len(http_bufs.uri_norm)
+            else:
+                ulen = u1 - u0
+            if (lo is not None and ulen < lo) \
+                    or (hi is not None and ulen > hi):
+                return False
         # later_relative[i]: some op at index >= i anchors to the cursor
         # (distance/within content, or a relative byte op); queried at
         # [ci + 1] to ask "does any LATER op depend on where op ci ended?"
@@ -2561,10 +2711,12 @@ class SnortMatcher:
 
         rows = []
         for i, r in enumerate(self.rules):
+            scope = sorted({nm for nm, _ in r.options if nm in _SCOPE_OPTS})
             unenforced = sorted({
                 nm for nm, v in r.options
                 if (nm not in _MATCH_ENFORCED_OPTS
-                    and nm not in _METADATA_OPTS)
+                    and nm not in _METADATA_OPTS
+                    and nm not in _SCOPE_OPTS)
                 # fast_pattern:only is NOT a pure hint: Snort then skips
                 # the rule-option content check and matches it
                 # case-insensitively via the MPSE — semantics this
@@ -2572,6 +2724,8 @@ class SnortMatcher:
                 or (nm == "fast_pattern" and v and "only" in v)
                 or (nm == "dsize"
                     and getattr(r, "dsize", None) is None)
+                or (nm == "urilen"
+                    and getattr(r, "urilen", None) is None)
             })
             byte_opt_names = ("byte_test", "byte_jump", "byte_extract",
                               "isdataat")
@@ -2596,6 +2750,7 @@ class SnortMatcher:
                 "sid": r.sid,
                 "status": "enforced" if full else "partial",
                 "unenforced_options": unenforced,
+                "scope_options": scope,
                 "byte_ops_unparsed": byte_unparsed,
                 "dropped_modifiers": dropped_mods,
                 "pcre": pcre_state,
@@ -2604,6 +2759,9 @@ class SnortMatcher:
             "total": len(rows),
             "enforced": sum(r["status"] == "enforced" for r in rows),
             "partial": sum(r["status"] == "partial" for r in rows),
+            "with_scope_options": sum(
+                bool(r["scope_options"]) for r in rows
+            ),
             "pcre_outside_subset": sum(
                 r["pcre"] == "outside-subset" for r in rows
             ),
@@ -2618,30 +2776,62 @@ class SnortMatcher:
         streams = _as_streams(data)
         alerts, cands = [], []
         content_report = None
-        for stream in streams:
+        # prefilter the WHOLE batch in one engine call per automaton:
+        # per-payload dispatch (router + native-call setup) measured
+        # ~5 ms/payload of pure overhead at community scale (400
+        # payloads, 3k rules) — the multi-stream engines amortize it
+        ecs = fcs = None
+        if streams:
+            if self._exact is not None:
+                ecs = self._exact.scan_patterns(streams).pattern_counts
+            if self._fold is not None:
+                lows = [self._lower_lut[s] for s in streams]
+                fcs = self._fold.scan_patterns(lows).pattern_counts
+        for si, stream in enumerate(streams):
             raw = bytes(stream)
             low = bytes(self._lower_lut[stream])
             http_cache: dict = {}  # per-stream carve memo (_verify fills
             # it on the FIRST buffered rule that survives the prefilter)
-            ec = (self._exact.scan_patterns(raw).pattern_counts[0]
-                  if self._exact else None)
-            fc = (self._fold.scan_patterns(low).pattern_counts[0]
-                  if self._fold else None)
-            hits: list[int] = []
+            pcre_memo: dict = {}   # per-stream pcre-text result memo
+            ec = ecs[si] if ecs is not None else None
+            fc = fcs[si] if fcs is not None else None
+            uce = ucf = None
+            if self._uri_exact is not None or self._uri_fold is not None:
+                # normalized-URI prefilter: carve once (shared with
+                # _verify via http_cache), walk the short buffer through
+                # the uri AC automata host-side
+                from .models.http import parse_http_request
+
+                carve = parse_http_request(raw)
+                http_cache["bufs"] = carve
+                if carve is not None:
+                    u0, u1 = carve.uri
+                    ub = (carve.uri_norm if carve.uri_norm is not None
+                          else raw[u0:u1])
+                    if self._uri_exact is not None:
+                        uce = self._ac_presence(self._uri_exact, ub)
+                    if self._uri_fold is not None:
+                        ucf = self._ac_presence(self._uri_fold,
+                                                ub.lower())
+            vecs = {"exact": ec, "fold": fc,
+                    "uri_exact": uce, "uri_fold": ucf}
+            ok = np.ones(len(self.rules), dtype=bool)
+            for kind, (rows, pids, negs) in self._gate.items():
+                vec = vecs[kind]
+                # an absent vector = the haystack itself is absent (no
+                # HTTP request -> no uri buffer): non-negated contents
+                # there can never match
+                present = (np.zeros(len(pids), dtype=bool) if vec is None
+                           else np.asarray(vec)[pids] > 0)
+                # a rule fails when a content's presence equals its
+                # negation flag ((n == 0) != negated in scalar form)
+                ok[rows[present == negs]] = False
             out: list[SnortAlert] = []
-            for i, entries in enumerate(self._rule_contents):
-                ok = True
-                for kind, pid, negated in entries:
-                    n = int((ec if kind == "exact" else fc)[pid])
-                    if (n == 0) != negated:
-                        ok = False
-                        break
-                if not ok:
-                    continue
-                hits.append(i)
+            hits = np.nonzero(ok)[0].tolist()
+            for i in hits:
                 if not self._verify(i, raw, low, http_cache=http_cache):
                     continue
-                ph = self._pcre_hit(i, raw)
+                ph = self._pcre_hit(i, raw, memo=pcre_memo)
                 if ph is False:
                     continue
                 r = self.rules[i]

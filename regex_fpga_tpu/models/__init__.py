@@ -1,6 +1,7 @@
 from .coe import read_coe, write_coe
 from .l7 import L7Pattern, load_l7_dir, load_l7_pattern, parse_l7_pattern
-from .csr import CsrAutomaton, byte_classes, from_words, load_coe, split_words
+from .csr import (CsrAutomaton, byte_classes, from_words, load_coe,
+                  prefix_automaton, split_words)
 from .literals import AhoCorasick, build_aho_corasick
 from .snort import (
     ByteExtract,
@@ -23,6 +24,7 @@ from .tokenizer_dfa import (
 )
 
 __all__ = [
+    "prefix_automaton",
     "GOLDEN_KEYS",
     "load_golden_histograms",
     "AhoCorasick",

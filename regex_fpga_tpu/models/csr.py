@@ -24,7 +24,8 @@ import numpy as np
 
 from .coe import read_coe
 
-__all__ = ["CsrAutomaton", "split_words", "from_words", "load_coe", "byte_classes"]
+__all__ = ["CsrAutomaton", "split_words", "from_words", "load_coe", "byte_classes",
+           "prefix_automaton"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,3 +141,32 @@ def byte_classes(aut: CsrAutomaton) -> tuple[np.ndarray, int]:
             sigs[sig] = len(sigs)
         class_of[b] = sigs[sig]
     return class_of, len(sigs)
+
+
+def prefix_automaton(aut: CsrAutomaton, k: int) -> CsrAutomaton:
+    """Self-consistent sub-automaton over ``aut``'s first ``k`` states.
+
+    Transitions targeting states >= k are DROPPED, so this is NOT
+    language-equivalent to ``aut`` (dropping edges can even flip a state
+    to accepting under the out-degree-0 rule) — it is a shape-faithful
+    slice of a real ruleset for validating engines at realistic state
+    counts (e.g. the TP axis dryrun against ``CSR_BlockMem.coe``
+    prefixes, r4 verdict item 7) where the ground truth is the same
+    sub-automaton run through the golden oracle."""
+    assert 0 < k <= aut.num_states
+    keep = aut.trans_target < k
+    new_off = np.zeros(k + 1, dtype=np.int64)
+    chars, tgts = [], []
+    for s in range(k):
+        lo, hi = int(aut.offsets[s]), int(aut.offsets[s + 1])
+        m = keep[lo:hi]
+        chars.append(aut.trans_char[lo:hi][m])
+        tgts.append(aut.trans_target[lo:hi][m])
+        new_off[s + 1] = new_off[s] + int(m.sum())
+    return CsrAutomaton(
+        offsets=new_off,
+        trans_char=(np.concatenate(chars) if chars
+                    else np.empty(0, np.uint8)).astype(np.uint8),
+        trans_target=(np.concatenate(tgts) if tgts
+                      else np.empty(0, np.int32)).astype(np.int32),
+    )

@@ -405,6 +405,14 @@ class SnortRule:
     #: ``300`` -> (300, 300), ``300<>400`` -> (300, 400) — Snort 2.9+
     #: treats the range as inclusive).  None = no constraint.
     dsize: tuple | None = None
+    #: ``urilen`` URI-length predicate: (lo, hi, mode) with inclusive
+    #: bounds (None = unbounded) parsed like ``dsize``; ``mode`` is
+    #: ``"norm"`` (default, the Snort 2.9 http_inspect normalized-URI
+    #: buffer — models/http.py::normalize_uri) or ``"raw"`` (the verbatim
+    #: URI slice).  None = no constraint (unparsed forms are flagged by
+    #: ``enforcement_report``).  A payload with no parseable HTTP request
+    #: has no URI, so the rule cannot fire (Snort: buffer absent).
+    urilen: tuple | None = None
     #: positional content modifiers DROPPED at parse time ("depth:varlen"
     #: strings): the referenced byte_extract variable is undefined, or
     #: defined only AFTER the content the modifier belongs to (the verify
@@ -520,6 +528,7 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
         sid: int | None = None
         pcre: str | None = None
         dsize: tuple | None = None
+        urilen: tuple | None = None
         contents: list[SnortContent] = []
         #: SnortContent | ByteTest | ByteJump | ByteExtract | IsDataAt
         ops: list = []
@@ -594,6 +603,8 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
                 dsize = parse_dsize(val)
                 # unparsed forms stay in options; report flags them via
                 # the option falling outside the enforced set check below
+            elif name == "urilen" and val is not None:
+                urilen = parse_urilen(val)
             elif name == "pcre" and val is not None:
                 pcre = _unquote(val)[0]
         ops = _resolve_buffer_anchors(ops, dropped_mods)
@@ -610,6 +621,7 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
                 verify_ops=tuple(ops),
                 unenforced_modifiers=tuple(dropped_mods),
                 dsize=dsize,
+                urilen=urilen,
             )
         )
     return rules
@@ -632,6 +644,24 @@ def parse_dsize(val: str) -> tuple | None:
         return (n, n)
     except ValueError:
         return None
+
+
+def parse_urilen(val: str) -> tuple | None:
+    """``urilen`` value -> (lo, hi, mode) inclusive bounds, or None.
+
+    Grammar (Snort 2.9): ``int | >int | <int | int<>int [, norm|raw]``;
+    the buffer defaults to the NORMALIZED URI."""
+    v = val.strip()
+    mode = "norm"
+    if "," in v:
+        v, m = (t.strip() for t in v.split(",", 1))
+        if m not in ("norm", "raw"):
+            return None
+        mode = m
+    rng = parse_dsize(v)
+    if rng is None:
+        return None
+    return (rng[0], rng[1], mode)
 
 
 def _resolve_buffer_anchors(ops: list, dropped_mods: list[str]) -> list:

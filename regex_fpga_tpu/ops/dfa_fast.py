@@ -47,7 +47,6 @@ __all__ = [
     "mm_precision",
     "table_domain_ok",
     "transposed_step",
-    "use_int8_split",
 ]
 
 
@@ -125,68 +124,16 @@ def split_states(num_states: int) -> bool:
     )
 
 
-#: experimental: run the one-hot lookups as s8 x s8 -> s32 matmuls (the
-#: int8 MXU path executes at ~2x the bf16 MAC rate on v5e) whenever every
-#: table value fits int8.  Integer operands, integer accumulate — exact by
-#: construction.  MEASURED on v5e (scripts/tpu_int8_probe.py, 2026-08-20,
-#: tokenizer k-gram C=221 S=23, 64 MiB, nb=16384): bf16 2.27 GB/s vs int8
-#: 2.24 GB/s vs mixed 2.02 GB/s, all exact — NO win.  At these shapes the
-#: one-hot GEMMs pad to a handful of 128x128 tiles and the chain step is
-#: op-issue-bound, not MAC-rate-bound, so doubling the MAC rate does not
-#: move the bottleneck.  Kept OFF; the code path stays for future chips /
-#: larger C*S where the MXU actually saturates.
-INT8_ONEHOT = False
-
-
-def use_int8(max_value: int) -> bool:
-    """True when the experimental int8 MXU path applies (see INT8_ONEHOT)."""
-    return (
-        INT8_ONEHOT and 0 <= max_value < 128
-        and jax.default_backend() == "tpu"
-    )
-
-
-#: OFFSET-CORRECTED int8 byte-split route for S in (256, 65536] — the r3
-#: verdict's one identified lever on the large-S padded-tile wall, where
-#: the step IS MAC-bound (S=836 measured 0.16 GB/s ~= the bf16 padded
-#: ceiling, kgram_step_cost).  The split halves T%256 / T//256 hold values
-#: 0..255, one past s8's range — but a one-hot row sums to EXACTLY 1, so
-#: storing ``T_split - 128`` (range -128..127, exact s8) shifts every
-#: select-reduce result by a known scalar:
-#:
-#:     lo_raw + 256*hi_raw + (128 + 256*128) == lo + 256*hi == T[c, s]
-#:
-#: one constant add per step, exact integer arithmetic end to end (s8 x s8
-#: -> s32 MXU GEMM at 2x the bf16 MAC rate on v5e, s32 select-reduce).
-#: Values: False = off, "auto" = on when the backend is TPU, "always" =
-#: every backend (CPU exactness tests).
-#:
-#: MEASURED on v5e, same-day A/Bs, exact totals throughout
-#: (scripts/tpu_int8_split_probe.py + tpu_transposed_probe.py,
-#: 2026-08-20, 32 MiB, docs/probe_*_r04.json): NO win in either
-#: orientation — class-contracted S=440 0.963x / S=836 1.031x, and on
-#: the (faster) state-contracted route 0.95-0.98x.  The r3 theory that
-#: the large-S step is MAC-bound was WRONG: nb=65536's (NB, 2S) f32 rows
-#: intermediate collapsed the class-contracted rate 4x (0.186 -> 0.047
-#: GB/s), proving the step is bound by the rows intermediate, which int8
-#: does not shrink (s32 accumulators are still 4 B) — the fix that DID
-#: work is the transposed orientation (``transposed_step`` below).
-#: Kept OFF; the path stays exact and tested for future chips.
-INT8_SPLIT = False
-
-
-def use_int8_split(num_states: int) -> bool:
-    """True when the offset-corrected int8 byte-split route applies (see
-    INT8_SPLIT above): S needs the split encoding AND the backend runs
-    s8 GEMMs natively (or the test override forces it)."""
-    if not INT8_SPLIT or not (256 < num_states <= (1 << 16)):
-        return False
-    return INT8_SPLIT == "always" or jax.default_backend() == "tpu"
-
-
-#: the scalar the offset-corrected select-reduce adds back:
-#: lo(+128) + 256 * hi(+128)
-_I8_SPLIT_BIAS = 128 + 256 * 128
+#: The int8 MXU experiments (plain s8 one-hot GEMMs, and the
+#: offset-corrected "T_split - 128" byte-split route the r3 verdict
+#: prescribed for the large-S wall) were PRUNED in r5 after losing every
+#: on-chip A/B: plain int8 0.97-1.01x at tokenizer shapes
+#: (scripts/tpu_int8_probe.py), offset-split 0.95-1.03x at S=440/836 in
+#: both orientations (docs/probe_int8_split_r04.json) — the probes
+#: proved the step is bound by the (NB, W) rows INTERMEDIATE, not MAC
+#: rate, which led directly to the transposed orientation below (the fix
+#: that DID work).  docs/ENGINE_GRAVEYARD.md records the verdicts and
+#: the commit still carrying the code.
 
 
 def mm_precision(dtype):
@@ -229,8 +176,8 @@ def transposed_step(c: int, s: int) -> bool:
     is GONE (0.047 -> 0.432).  On the good-day rig scale (2.6x, see
     CLAUDE.md) that projects ~1.1-1.2 GB/s at S=836 — at the BASELINE
     >=1 GB/s target in the realistic-S regime.  Stacking the int8
-    encoding on top measured 0.95-0.98x (see INT8_SPLIT): bf16 split
-    stays."""
+    encoding on top measured 0.95-0.98x (pruned r5, see the note above
+    step_orientation_costs): bf16 split stays."""
     cur_tiles, tr_tiles, w_cur, w_tr = step_orientation_costs(c, s)
     if tr_tiles != cur_tiles:
         return tr_tiles < cur_tiles
@@ -257,7 +204,6 @@ class _StepT(NamedTuple):
     iota_s: jnp.ndarray   # (1, S) int32
     transposed: bool      # contract over states (see transposed_step)
     split: bool           # byte-split halves: t width = 2 * out_dim
-    i8: bool              # offset-corrected int8: add _I8_SPLIT_BIAS
 
 
 def _step_tables(tables: DfaTables) -> _StepT:
@@ -266,26 +212,16 @@ def _step_tables(tables: DfaTables) -> _StepT:
     tr = transposed_step(c, s)
     base = tables.table.T if tr else tables.table  # values: state ids
     split = split_states(s)
-    i8 = use_int8_split(s)
-    if i8:
-        # offset-corrected int8 byte-split (INT8_SPLIT docstring):
-        # [Tl - 128 | Th - 128] columns, exact s8; _mm_step adds the
-        # scalar bias back after the select-reduce
-        t = (jnp.concatenate([base % 256, base // 256], axis=1)
-             - 128).astype(jnp.int8)
-        split = True
-    elif split:
+    if split:
         # byte-split bf16 encoding (mm_dtype docstring): [Tl | Th] columns
         t = jnp.concatenate([base % 256, base // 256], axis=1).astype(
             jnp.bfloat16
         )
-    elif use_int8(s - 1):
-        t = base.astype(jnp.int8)
     else:
         t = base.astype(_mm_dtype(s))
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
-    return _StepT(t, iota_c, iota_s, tr, split, i8)
+    return _StepT(t, iota_c, iota_s, tr, split)
 
 
 def table_domain_ok(tables: DfaTables) -> jnp.ndarray:
@@ -312,8 +248,7 @@ def _mm_step(st: _StepT, state, cls_t):
     The GEMM contracts over classes (original) or states (``transposed``,
     see ``transposed_step``); the other one-hot selects from the
     ``(NB, out_dim)`` rows.  Byte-split tables carry [lo | hi] halves and
-    recombine ``lo + 256*hi``; the offset-corrected int8 encoding adds
-    ``_I8_SPLIT_BIAS`` (one-hot rows sum to exactly 1)."""
+    recombine ``lo + 256*hi``."""
     if st.transposed:
         a_idx, a_iota = state, st.iota_s
         sel_idx, sel_iota = cls_t, st.iota_c
@@ -322,15 +257,6 @@ def _mm_step(st: _StepT, state, cls_t):
         sel_idx, sel_iota = state, st.iota_s
     oh_a = (a_idx[:, None] == a_iota).astype(st.t.dtype)
     out_dim = sel_iota.shape[1]
-    if st.t.dtype == jnp.int8:  # s8 x s8 -> s32 MXU paths
-        rows = jnp.dot(oh_a, st.t, preferred_element_type=jnp.int32)
-        oh_sel = (sel_idx[:, None] == sel_iota).astype(jnp.int32)
-        if st.split:
-            lo = jnp.sum(rows[:, :out_dim] * oh_sel, axis=-1)
-            hi = jnp.sum(rows[:, out_dim:] * oh_sel, axis=-1)
-            bias = _I8_SPLIT_BIAS if st.i8 else 0
-            return lo + 256 * hi + bias
-        return jnp.sum(rows * oh_sel, axis=-1)
     rows = jnp.dot(
         oh_a, st.t,
         preferred_element_type=jnp.float32,

@@ -34,17 +34,14 @@ from .tables import DfaTables
 __all__ = [
     "KgramTables",
     "build_kgram",
-    "build_mask2",
     "map_kgram_classes",
     "make_kgram_step",
     "kgram_pass_full",
     "dfa_scan_kgram",
-    "dfa_scan_mask2",
     "kgram_step_cost",
     "choose_kgram_level",
     "choose_scan_level",
     "KGRAM_MAX_STATES",
-    "MASK2_MAX_STATES",
 ]
 
 #: Measured k-gram vs k=1 engine crossover.  r3 (BENCH_r03): k-gram won
@@ -61,17 +58,6 @@ __all__ = [
 #: (r3 verdict weak #6).
 KGRAM_MAX_STATES = 32
 
-#: The 2-byte mask2 backward engine is now GATED OFF: the r4 on-chip A/B
-#: (docs/probe_mask2_r04.json, 2026-08-20, masks bit-equal) measured it
-#: LOSING to the transposed k=1 mask engine at every size — 0.76x @ S=23
-#: (0.773 vs 1.012 GB/s), 0.78x @ S=36, 0.76x @ S=70, 0.74x @ S=114.
-#: The state-contracted orientation sped the k=1 step up more than the
-#: halved step count saves (mask2's pair classes C2 are 2-3x the byte
-#: classes, and its step cannot take the transposed route — its table
-#: VALUES pack state+mask).  The engine, builder, and tests stay for the
-#: record and for future chips; ``api.DfaMatcher._ensure_mask2`` simply
-#: never builds it.
-MASK2_MAX_STATES = 0
 
 
 def kgram_step_cost(s: int, c_l: int, lv: int) -> float:
@@ -188,8 +174,8 @@ def build_kgram(
     level_classes = [t.shape[0]]
     for _ in range(levels):
         c, s = t.shape
-        # same transient-allocation gate as build_mask2: ~4 * C^2 * S
-        # int32 materialize per level before interning can reject
+        # transient-allocation gate: ~4 * C^2 * S int32 materialize per
+        # level before interning can reject
         if c * c > (1 << 22) or c * c * s > (1 << 26):
             return None
         t2 = t[:, t]                       # [c2, c1, s] = t[c2, t[c1, s]]
@@ -214,50 +200,6 @@ def build_kgram(
         level_classes=level_classes,
         num_states=tables.num_states,
         k=1 << levels,
-    )
-
-
-def build_mask2(
-    tables: DfaTables, max_classes: int = 2048
-) -> KgramTables | None:
-    """Pair-composed tables for the MATCH-MASK path: 2 bytes per step with
-    the two per-position accept bits preserved.
-
-    Unlike ``build_kgram`` (whose acc_table carries accept COUNTS, so
-    per-position bits are lost), the ``acc_table`` here encodes
-    ``accept(s) | accept(T[c1, s]) << 1`` — bit p is the accept mask at
-    byte p of the pair — so ``dfa_scan_mask2`` reconstructs the exact
-    per-position mask at half the steps of the k=1 full scan.  The bit
-    encoding dedupes differently from counts ((1,0) != (0,1)), hence a
-    separate builder.  Returns a ``KgramTables`` (k=2, one pair_map —
-    ``map_kgram_classes`` works unchanged, including the native passes),
-    or None when the pair classes exceed ``max_classes``.
-    """
-    t = np.asarray(tables.table).astype(np.int32)       # (C, S)
-    a = np.asarray(tables.accept).astype(np.int32)      # (S,)
-    c, s = t.shape
-    # gate the TRANSIENT host allocation, not just the class count: t2/m2
-    # and their concatenation materialize ~3 * C^2 * S int32 before the
-    # interning can reject — 2^26 elements caps that at ~1 GB
-    if c * c > (1 << 22) or c * c * s > (1 << 26):
-        return None
-    t2 = t[:, t].transpose(1, 0, 2).reshape(c * c, s)   # [(c1,c2), s]
-    # mask bits depend only on (c1, s): bit0 = accept at the pair's first
-    # byte, bit1 = accept after consuming c1
-    m = a[None, :] + 2 * a[t]                           # (C, S)
-    m2 = np.broadcast_to(m[:, None, :], (c, c, s)).reshape(c * c, s)
-    interned = _intern_rows(np.concatenate([t2, m2], axis=1), max_classes)
-    if interned is None:
-        return None
-    uniq, remap = interned
-    return KgramTables(
-        table=np.ascontiguousarray(uniq[:, :s]),
-        acc_table=np.ascontiguousarray(uniq[:, s:]),
-        class_of=np.asarray(tables.class_of),
-        pair_maps=[remap],
-        level_classes=[c, uniq.shape[0]],
-        num_states=tables.num_states,
-        k=2,
     )
 
 
@@ -356,7 +298,7 @@ def make_kgram_step(
     tables are used instead: their entries (state ids and per-step accept
     counts) stay individually small, or ride f32 with HIGHEST precision.
     """
-    from .dfa_fast import mm_dtype, mm_precision, split_states, use_int8
+    from .dfa_fast import mm_dtype, mm_precision, split_states
 
     c, s = table.shape
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
@@ -394,17 +336,6 @@ def make_kgram_step(
     if mult:
         packed_max = (s - 1) * mult + acc_bound
         pk_i = table * mult + acc_table  # (C, S)
-        if use_int8(packed_max):  # experimental s8 MXU path (dfa_fast)
-            pk8 = pk_i.astype(jnp.int8)
-
-            def step(state, cls_t):
-                oh_c = (cls_t[:, None] == iota_c).astype(jnp.int8)
-                rows = jnp.dot(oh_c, pk8, preferred_element_type=jnp.int32)
-                oh_x = (state[:, None] == iota_s).astype(jnp.int32)
-                v = jnp.sum(rows * oh_x, axis=-1)
-                return v // mult, v % mult
-
-            return step
         mmdt = mm_dtype(packed_max)
         pk = pk_i.astype(mmdt)
 
@@ -419,18 +350,6 @@ def make_kgram_step(
         # exactness rule shared with the other engines; accept counts per
         # step are bounded by k (build_kgram caps levels well below 256)
         ta_i = jnp.concatenate([table, acc_table], axis=1)
-        if acc_bound is not None and use_int8(max(s - 1, acc_bound)):
-            ta8 = ta_i.astype(jnp.int8)
-
-            def step(state, cls_t):
-                oh_c = (cls_t[:, None] == iota_c).astype(jnp.int8)
-                rows = jnp.dot(oh_c, ta8, preferred_element_type=jnp.int32)
-                oh_x = (state[:, None] == iota_s).astype(jnp.int32)
-                nxt = jnp.sum(rows[:, :s] * oh_x, axis=-1)
-                acc = jnp.sum(rows[:, s:] * oh_x, axis=-1)
-                return nxt, acc
-
-            return step
         mmdt = mm_dtype(s)
         ta = ta_i.astype(mmdt)
 
@@ -488,87 +407,6 @@ def _speculative_entries(blocks: jnp.ndarray, step, start, overlap: int):
 
     spec, _ = jax.lax.scan(ov_body, entries0, ov_seq)
     return spec.at[0].set(start)
-
-
-class Mask2ScanResult(NamedTuple):
-    final_state: jnp.ndarray  # () int32
-    match_mask: jnp.ndarray   # (L,) bool — accept fired before byte i
-    converged: jnp.ndarray
-    iterations: jnp.ndarray
-
-
-@functools.partial(
-    jax.jit, static_argnames=("num_blocks", "max_iters", "overlap")
-)
-def dfa_scan_mask2(
-    table: jnp.ndarray,       # (C2, S) int32 pair transitions (build_mask2)
-    mask_table: jnp.ndarray,  # (C2, S) int32 2-bit per-pair accept masks
-    classes2: jnp.ndarray,    # (L/2,) pair-class ids (map_kgram_classes)
-    num_blocks: int = 16384,
-    start: int = 0,
-    max_iters: int = 16,
-    overlap: int = 32,
-) -> Mask2ScanResult:
-    """Match-mask scan at 2 bytes per step: same speculation + Jacobi seam
-    machinery as ``dfa_scan_kgram``, but every step's GEMM also yields the
-    pair's 2-bit accept mask, which unpacks on device into the exact (L,)
-    per-position mask (bit p of a step = accept BEFORE byte 2*step+p —
-    identical to ``dfa_scan_fast(emit="mask")`` at half the steps).  Mask
-    values <= 3 ride the same exactness envelope as accept counts."""
-    lk = classes2.shape[0]
-    assert lk % num_blocks == 0
-    b = lk // num_blocks
-    blocks = classes2.astype(jnp.int32).reshape(num_blocks, b)
-    cls_seq = blocks.T  # (B, NB)
-    start = jnp.asarray(start, jnp.int32)
-    # mask values are <= 3, so acc_bound=3 lets the step PACK state and
-    # mask into one select (make_kgram_step's mult path) when S is small
-    step = make_kgram_step(table, mask_table, acc_bound=3)
-    entries0 = _speculative_entries(blocks, step, start, overlap)
-
-    def pass_mask(entries):
-        # step's (carry, y) signature IS the lax.scan contract; the y
-        # stream is the (B, NB) int32 2-bit mask values
-        return jax.lax.scan(step, entries, cls_seq)
-
-    def _shift(finals):
-        return jnp.concatenate([start[None], finals[:-1]])
-
-    finals0, mvals0 = pass_mask(entries0)
-    spec_ok = jnp.all(_shift(finals0) == entries0)
-
-    def _spec(_):
-        return finals0, mvals0, jnp.array(True), jnp.array(1, jnp.int32)
-
-    def _jac(_):
-        def cond(carry):
-            _, done, it = carry
-            return jnp.logical_and(~done, it < max_iters)
-
-        def body(carry):
-            entries, _, it = carry
-            finals, _ = pass_mask(entries)
-            new_entries = _shift(finals)
-            return new_entries, jnp.all(new_entries == entries), it + 1
-
-        entries, converged, iters = jax.lax.while_loop(
-            cond, body,
-            (_shift(finals0), jnp.array(False), jnp.array(1, jnp.int32)),
-        )
-        finals, mvals = pass_mask(entries)
-        return finals, mvals, converged, iters
-
-    finals, mvals, converged, iters = jax.lax.cond(spec_ok, _spec, _jac, None)
-    # (B, NB) 2-bit values -> stream-ordered (L,) bool mask
-    lanes = mvals.T  # (NB, B)
-    bits = jnp.stack([lanes & 1, lanes >> 1], axis=-1)  # (NB, B, 2)
-    mask = bits.reshape(-1) != 0
-    return Mask2ScanResult(
-        final_state=finals[-1],
-        match_mask=mask,
-        converged=converged,
-        iterations=iters,
-    )
 
 
 @functools.partial(

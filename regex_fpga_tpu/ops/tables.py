@@ -21,7 +21,8 @@ import numpy as np
 from ..models.csr import CsrAutomaton, byte_classes
 from ..models.oracle import dfa_step_table
 
-__all__ = ["NfaTables", "DfaTables", "build_nfa_tables", "build_dfa_tables"]
+__all__ = ["NfaTables", "DfaTables", "build_nfa_tables", "build_dfa_tables",
+           "stall_extend"]
 
 
 @functools.partial(
@@ -141,3 +142,21 @@ def build_dfa_tables_from_csr(aut: CsrAutomaton) -> DfaTables:
     table = dfa_step_table(aut)          # (256, S+1) with dead = S
     accept = np.concatenate([aut.accept_mask, [False]])
     return build_dfa_tables(table, accept)
+
+
+def stall_extend(tables: DfaTables) -> DfaTables:
+    """Append a STALL byte class (id = ``tables.num_classes``) whose table
+    column is the identity: a lane stepping on it stays in place.
+
+    This is the ragged-batch device primitive (r4 verdict item 3):
+    variable-length streams pad to a common bucket length with the stall
+    class, run as ordinary chain lanes in ONE GEMM chain, and finish with
+    their true final state frozen in place.  The only side effect is that
+    the counting pass sees the frozen state once per padded step — an
+    exact, host-side subtraction (``api.DfaMatcher._scan_ragged_counts``).
+    No real byte maps to the class (``class_of`` is unchanged), so
+    equal-length scans through the same tables are untouched."""
+    ident = jnp.arange(tables.num_states, dtype=jnp.int32)[None, :]
+    return dataclasses.replace(
+        tables, table=jnp.concatenate([tables.table, ident], axis=0)
+    )

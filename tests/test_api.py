@@ -307,17 +307,14 @@ def test_finditer_arrays_equals_finditer(rng):
     assert m.finditer_arrays(b"no hits").shape == (0, 2)
 
 
-def test_scan_match_positions_mask2_chunked_odd_tail(rng, monkeypatch):
-    """Chunked position scan with the pair-mask engine on even chunks and
-    the k=1 path on the odd tail chunk: exact across chunk boundaries.
-    The mask2 engine is default-OFF since r4 (the transposed k=1 mask
-    engine measured faster at every size — ops.kgram.MASK2_MAX_STATES
-    docstring); forced on here so the machinery stays exercised."""
-    import regex_fpga_tpu.ops.kgram as kgram_mod
+def test_scan_match_positions_chunked_odd_tail(rng):
+    """Chunked position scan with an odd tail chunk: exact across chunk
+    boundaries.  (Formerly also exercised the pair-composed mask2 engine,
+    pruned in r5 after losing its on-chip A/B at every size —
+    docs/ENGINE_GRAVEYARD.md.)"""
     from regex_fpga_tpu.api import compile_regex
     from regex_fpga_tpu.utils.config import EngineConfig
 
-    monkeypatch.setattr(kgram_mod, "MASK2_MAX_STATES", 128)
     cfg = EngineConfig(chunk_bytes=4096)
     m = compile_regex(rb"ab+", config=cfg)
     raw = bytearray(rng.integers(99, 122, size=3 * 4096 + 123, dtype=np.int64)
@@ -325,7 +322,6 @@ def test_scan_match_positions_mask2_chunked_odd_tail(rng, monkeypatch):
     for i in (10, 4090, 4096, 8191, 12280):  # straddle chunk seams
         raw[i:i + 2] = b"ab"
     stream = np.frombuffer(bytes(raw), np.uint8)
-    assert m._ensure_mask2() is not False
     _, mask_ref, _, _ = m._scan_stream(stream)
     final_ref = m._last_final
     np.testing.assert_array_equal(

@@ -105,12 +105,84 @@ def test_api_batch_chunked_resume():
         np.testing.assert_array_equal(batch.counts[i], m.scan(s_).counts[0])
 
 
-def test_api_unequal_lengths_fall_back():
+def test_api_unequal_lengths_take_ragged_batch():
+    # r5: unequal lengths no longer fall back to the serial loop — they
+    # ride the stall-padded multi engine
     m = api.compile_regex(rb"a+")
     rep = m.scan([b"aaa", b"aaaa"])
-    assert rep.metrics.engine == "dfa-fast"
+    assert rep.metrics.engine == "dfa-fast-batch-ragged"
     np.testing.assert_array_equal(rep.counts[0], m.scan(b"aaa").counts[0])
     np.testing.assert_array_equal(rep.counts[1], m.scan(b"aaaa").counts[0])
+
+
+# ------------------------- ragged batching (r4 verdict item 3)
+
+
+def test_stall_extend_identity_column():
+    from regex_fpga_tpu.ops.dfa_fast import table_domain_ok
+    from regex_fpga_tpu.ops.tables import stall_extend
+
+    rng = np.random.default_rng(7)
+    dt = random_dfa(rng)
+    st = stall_extend(dt)
+    assert st.num_classes == dt.num_classes + 1
+    np.testing.assert_array_equal(
+        np.asarray(st.table[-1]), np.arange(dt.num_states)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st.class_of), np.asarray(dt.class_of)
+    )  # no byte maps to the stall class
+    assert bool(table_domain_ok(st))
+
+
+@pytest.mark.parametrize("lens", [
+    (0, 1, 63, 64, 65, 977),       # all bucket alignments incl. empty
+    (4096, 1, 4096),               # big/small mix
+    (200, 200, 199),               # near-equal
+])
+def test_ragged_batch_bit_exact_vs_per_stream(lens):
+    m = api.compile_regex(rb"ab+|\d\d")
+    rng = np.random.default_rng(8)
+    streams = [bytes(rng.choice(list(b"ab12 x"), size=l)) for l in lens]
+    rep = m.scan(streams)
+    assert rep.metrics.engine == "dfa-fast-batch-ragged"
+    for i, s_ in enumerate(streams):
+        one = m.scan(s_)
+        np.testing.assert_array_equal(rep.counts[i], one.counts[0])
+    assert rep.total == sum(int(m.scan(s_).total) for s_ in streams)
+
+
+def test_ragged_final_byte_and_accepting_final_state():
+    # final state accepting + heavy padding: the stall correction must
+    # remove exactly the padded visits, and the eof accept still lands
+    m = api.compile_regex(rb"ab")
+    rep = m.scan([b"zzab", b"x" * 3000 + b"ab", b"ab" * 700])
+    assert rep.metrics.engine == "dfa-fast-batch-ragged"
+    for i, s_ in enumerate([b"zzab", b"x" * 3000 + b"ab", b"ab" * 700]):
+        np.testing.assert_array_equal(rep.counts[i], m.scan(s_).counts[0])
+
+
+def test_ragged_chunked_resume():
+    m = api.compile_regex(rb"xy+z")
+    m.config = type(m.config)(**{**m.config.__dict__, "chunk_bytes": 1024})
+    rng = np.random.default_rng(9)
+    lens = (5000, 1500, 2333, 700)
+    streams = [bytes(rng.choice(list(b"xyz "), size=l)) for l in lens]
+    rep = m.scan(streams)
+    assert rep.metrics.engine == "dfa-fast-batch-ragged"
+    for i, s_ in enumerate(streams):
+        np.testing.assert_array_equal(rep.counts[i], m.scan(s_).counts[0])
+
+
+def test_ragged_matches_literal_matcher_attribution():
+    m = api.compile_literals([b"error", b"warn", b"ok"])
+    streams = [b"x error y warn", b"ok", b"", b"errorerror" * 50]
+    rep = m.scan_patterns(streams)
+    for i, s_ in enumerate(streams):
+        one = m.scan_patterns(s_)
+        np.testing.assert_array_equal(
+            rep.pattern_counts[i], one.pattern_counts[0]
+        )
 
 
 def test_final_byte_match_per_stream():

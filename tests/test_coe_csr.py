@@ -63,3 +63,21 @@ def test_byte_classes(reference_available, name, classes):
     cls, c = byte_classes(aut)
     assert c == classes
     assert cls.shape == (256,) and cls.max() == c - 1
+
+
+def test_prefix_automaton(reference_available):
+    from regex_fpga_tpu.models import load_coe, nfa_scan, prefix_automaton
+
+    import os
+
+    aut = load_coe(os.path.join(reference_available,
+                                "Block_Mem/CSR_BlockMem.coe"))
+    sub = prefix_automaton(aut, 600)
+    assert sub.num_states == 600
+    assert sub.trans_target.max(initial=0) < 600
+    # offsets consistent + scannable through the oracle
+    assert sub.offsets[-1] == len(sub.trans_target)
+    import numpy as np
+
+    counts = nfa_scan(sub, (np.arange(2048) % 256).astype(np.uint8))
+    assert counts.shape == (600,)

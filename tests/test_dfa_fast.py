@@ -224,116 +224,6 @@ def test_mask_positions_unit(rng):
         np.testing.assert_array_equal(np.asarray(pos)[:take], want[:take])
 
 
-def test_int8_onehot_path_exact(rng, monkeypatch):
-    """Experimental int8 MXU path (forced on) == serial scan, for the fast
-    engine, k-gram counting, and the pair-mask engine."""
-    import jax.numpy as jnp
-    import regex_fpga_tpu.ops.dfa_fast as df
-    from regex_fpga_tpu.ops import dfa_scan_serial
-    from regex_fpga_tpu.ops.kgram import (
-        build_kgram, build_mask2, dfa_scan_kgram, dfa_scan_mask2,
-        map_kgram_classes,
-    )
-
-    monkeypatch.setattr(df, "use_int8", lambda v: 0 <= v < 128)
-    table, accept = random_dfa_table(rng, 90, 7)
-    table = table[np.arange(256) % 6]
-    dt = build_dfa_tables(table, accept)
-    stream = rng.integers(0, 256, size=16 * 128).astype(np.uint8)
-    classes = jnp.asarray(np.asarray(dt.class_of)[stream])
-    ser = dfa_scan_serial(dt, jnp.asarray(stream))
-
-    res = df.dfa_scan_fast(dt, classes, num_blocks=16)
-    assert int(res.final_state) == int(ser.final_state)
-    np.testing.assert_array_equal(
-        np.asarray(res.match_mask), np.asarray(ser.match_mask)
-    )
-
-    kg = build_kgram(dt, levels=1, max_classes=1 << 14)
-    ck = map_kgram_classes(kg, stream)
-    rk = dfa_scan_kgram(
-        jnp.asarray(kg.table), jnp.asarray(kg.acc_table), jnp.asarray(ck),
-        num_blocks=16, acc_bound=kg.k,
-    )
-    assert int(rk.total) == int(np.asarray(ser.counts).sum())
-
-    m2 = build_mask2(dt, max_classes=1 << 14)
-    cm = map_kgram_classes(m2, stream)
-    rm = dfa_scan_mask2(
-        jnp.asarray(m2.table), jnp.asarray(m2.acc_table), jnp.asarray(cm),
-        num_blocks=16,
-    )
-    np.testing.assert_array_equal(
-        np.asarray(rm.match_mask), np.asarray(ser.match_mask)
-    )
-
-
-def test_int8_split_offset_corrected_exact(rng, monkeypatch):
-    """Offset-corrected int8 byte-split route (r4: the large-S MAC-rate
-    lever, forced on for any backend here) == serial scan, all emit
-    modes.  T_split - 128 stored as s8, one scalar bias restores
-    lo + 256*hi exactly."""
-    import jax.numpy as jnp
-    import regex_fpga_tpu.ops.dfa_fast as df
-    from regex_fpga_tpu.ops import dfa_scan_serial
-
-    monkeypatch.setattr(df, "INT8_SPLIT", "always")
-    assert df.use_int8_split(501) and not df.use_int8_split(256)
-    table, accept = random_dfa_table(rng, 501, 12)
-    dt = build_dfa_tables(table, accept)
-    st = df._step_tables(dt)
-    assert st.t.dtype == jnp.int8 and st.split and st.i8
-    # transposed orientation wins at S=501/C<=12 (contract over states)
-    assert st.transposed and st.t.shape[1] == 2 * dt.num_classes
-    stream = rng.integers(0, 256, size=64 * 32).astype(np.uint8)
-    classes = jnp.asarray(np.asarray(dt.class_of)[stream])
-    ser = dfa_scan_serial(dt, jnp.asarray(stream))
-    res = df.dfa_scan_fast(dt, classes, num_blocks=32)
-    assert bool(res.converged) and bool(res.domain_ok)
-    assert int(res.final_state) == int(ser.final_state)
-    np.testing.assert_array_equal(
-        np.asarray(res.match_mask), np.asarray(ser.match_mask)
-    )
-    rc = df.dfa_scan_fast(dt, classes, num_blocks=32, emit="counts")
-    np.testing.assert_array_equal(np.asarray(rc.counts), np.asarray(ser.counts))
-    rm = df.dfa_scan_fast(dt, classes, num_blocks=32, emit="mask")
-    np.testing.assert_array_equal(
-        np.asarray(rm.match_mask), np.asarray(ser.match_mask)
-    )
-    # boundary state values 0, S-1 and the all-states sweep: every state id
-    # must round-trip the offset encoding (catches off-by-one in the bias)
-    ids = jnp.arange(501, dtype=jnp.int32)
-    t_full = jnp.asarray(np.asarray(dt.table), jnp.int32)
-    lo = (t_full % 256 - 128).astype(jnp.int8).astype(jnp.int32)
-    hi = (t_full // 256 - 128).astype(jnp.int8).astype(jnp.int32)
-    np.testing.assert_array_equal(
-        np.asarray(lo + 256 * hi + df._I8_SPLIT_BIAS), np.asarray(t_full)
-    )
-    del ids
-
-
-def test_int8_split_multi_stream_exact(rng, monkeypatch):
-    """The multi-stream batch engine rides the same _mm_step: forced int8
-    split == per-stream serial scans."""
-    import jax.numpy as jnp
-    import regex_fpga_tpu.ops.dfa_fast as df
-    from regex_fpga_tpu.ops import dfa_scan_serial
-
-    monkeypatch.setattr(df, "INT8_SPLIT", "always")
-    table, accept = random_dfa_table(rng, 333, 9)
-    dt = build_dfa_tables(table, accept)
-    streams = rng.integers(0, 256, size=(3, 32 * 16)).astype(np.uint8)
-    classes = jnp.asarray(np.asarray(dt.class_of)[streams])
-    res = df.dfa_scan_fast_multi(dt, classes, num_blocks=16)
-    assert bool(res.converged) and bool(res.domain_ok)
-    for i in range(3):
-        ser = dfa_scan_serial(dt, jnp.asarray(streams[i]))
-        assert int(res.final_states[i]) == int(ser.final_state)
-        np.testing.assert_array_equal(
-            np.asarray(res.counts[i]), np.asarray(ser.counts)
-        )
-
-
 def test_transposed_step_decision():
     """Orientation chooser (r4): contract over the LARGER index dimension
     so the GEMM pads fewer tiles and the rows intermediate stays narrow."""

@@ -112,70 +112,6 @@ def test_kgram_packed_equals_split(rng):
     assert int(packed.final_state) == int(split.final_state)
 
 
-def test_mask2_matches_full_mask(rng):
-    """2-byte mask engine == k=1 full scan's per-position mask, exactly."""
-    from regex_fpga_tpu.ops.dfa_fast import dfa_scan_fast
-    from regex_fpga_tpu.ops.kgram import build_mask2, dfa_scan_mask2
-
-    tok = build_tokenizer_dfa()
-    dt = build_dfa_tables(tok.table, tok.accept)
-    m2 = build_mask2(dt)
-    assert m2 is not None and m2.k == 2
-    text = (b"Hello world, it's 2026! mask2 test 12.5% ... " * 400)[:8192]
-    data = np.frombuffer(text, np.uint8)
-    ck = map_kgram_classes(m2, data)
-    res = dfa_scan_mask2(
-        jnp.asarray(m2.table), jnp.asarray(m2.acc_table), jnp.asarray(ck),
-        num_blocks=16, start=tok.start,
-    )
-    ref = dfa_scan_fast(
-        dt, jnp.asarray(np.asarray(dt.class_of)[data]), num_blocks=16,
-        start=tok.start,
-    )
-    assert bool(res.converged)
-    np.testing.assert_array_equal(
-        np.asarray(res.match_mask), np.asarray(ref.match_mask)
-    )
-    assert int(res.final_state) == int(ref.final_state)
-
-
-def test_mask2_random_dfa_and_jacobi_fallback(rng):
-    from regex_fpga_tpu.ops import dfa_scan_serial
-    from regex_fpga_tpu.ops.kgram import build_mask2, dfa_scan_mask2
-
-    table, accept = random_dfa_table(rng, 12, 3)
-    dt = build_dfa_tables(table, accept)
-    m2 = build_mask2(dt, max_classes=200_000)
-    stream = rng.integers(0, 256, size=4096).astype(np.uint8)
-    ck = map_kgram_classes(m2, stream)
-    res = dfa_scan_mask2(
-        jnp.asarray(m2.table), jnp.asarray(m2.acc_table), jnp.asarray(ck),
-        num_blocks=8,
-    )
-    ser = dfa_scan_serial(dt, jnp.asarray(stream))
-    np.testing.assert_array_equal(
-        np.asarray(res.match_mask), np.asarray(ser.match_mask)
-    )
-    # mod-3 counter: speculation fails (odd-by-pairs block length), Jacobi
-    # fallback must still be exact
-    ptable = np.zeros((256, 3), dtype=np.int32)
-    for s in range(3):
-        ptable[:, s] = (s + 1) % 3
-    pt = build_dfa_tables(ptable, np.array([False, True, False]))
-    pm2 = build_mask2(pt)
-    pstream = np.zeros(4 * 2 * 13, np.uint8)  # 13 pairs/block, 26 % 3 != 0
-    pck = map_kgram_classes(pm2, pstream)
-    pres = dfa_scan_mask2(
-        jnp.asarray(pm2.table), jnp.asarray(pm2.acc_table),
-        jnp.asarray(pck), num_blocks=4, max_iters=16,
-    )
-    assert bool(pres.converged) and int(pres.iterations) > 1
-    pser = dfa_scan_serial(pt, jnp.asarray(pstream))
-    np.testing.assert_array_equal(
-        np.asarray(pres.match_mask), np.asarray(pser.match_mask)
-    )
-
-
 def test_step_cost_routes_and_level_choice():
     """kgram_step_cost models the per-route table widths; the level chooser
     reproduces the measured optima (tokenizer L2; S=836-style split L1)."""
@@ -244,17 +180,16 @@ def test_count_falls_back_to_k1_above_crossover():
     assert m.count(data) == m.scan([np.frombuffer(data, np.uint8)]).total
 
 
-def test_mask2_gated_above_crossover_spans_still_exact():
-    """_ensure_mask2 must not build pair tables above the S~128 crossover
-    (review r3-2: O(C^2*S) transient allocation); span extraction falls
-    back to the k=1 mask engine and stays exact."""
+def test_large_s_spans_exact():
+    """Span extraction on a >128-state automaton rides the k=1 mask
+    engine and stays exact (the pair-composed mask2 alternative was
+    pruned in r5 — docs/ENGINE_GRAVEYARD.md)."""
     from regex_fpga_tpu import api
 
     words = [b"error%04d" % i for i in range(40)] + [b"w%darn" % i
                                                     for i in range(40)]
     m = api.compile_literals(words)
     assert m.num_states > 128
-    assert m._ensure_mask2() is False
     data = b"..error0007..w3arn..error0031.."
     spans = m.finditer(data)
     got = {(s, e) for s, e, _ in spans} if spans and len(spans[0]) == 3 \

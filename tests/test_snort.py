@@ -501,11 +501,15 @@ def test_community_enforcement_coverage(community):
     s = rep["summary"]
     assert s["total"] == 30
     partial = {r["sid"]: r for r in rep["rules"] if r["status"] == "partial"}
-    assert set(partial) == {1002028, 1002030}
-    # http_uri is ENFORCED as of the r4 buffer carve; only flow remains
-    assert partial[1002028]["unenforced_options"] == ["flow"]
+    # r5: flow is a SESSION-SCOPE predicate (like the header's ports) —
+    # reported in scope_options, no longer counted against payload-level
+    # enforcement; only the dce byte op keeps a rule partial here
+    assert set(partial) == {1002030}
     assert partial[1002030]["byte_ops_unparsed"] == 1
-    assert s["enforced"] == 28
+    rows = {r["sid"]: r for r in rep["rules"]}
+    assert rows[1002028]["scope_options"] == ["flow"]
+    assert s["enforced"] == 29
+    assert s["with_scope_options"] >= 1
 
 
 def test_community_sample_hits(community):
@@ -730,12 +734,14 @@ def test_cli_coverage_flag(tmp_path, capsys):
     import json as _json
 
     rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    # r5: flow is session-scope (scope_options), not partial
     assert {r["sid"]: r["status"] for r in rows} == {
-        1: "partial", 2: "partial", 3: "enforced"
+        1: "partial", 2: "enforced", 3: "enforced"
     }
+    assert [r["scope_options"] for r in rows if r["sid"] == 2] == [["flow"]]
     assert main(["snort", str(rules), "--coverage", "--partial-only"]) == 0
     rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
-    assert sorted(r["sid"] for r in rows) == [1, 2]
+    assert sorted(r["sid"] for r in rows) == [1]
 
 
 def test_modifier_var_defined_after_content_is_dropped_and_flagged():
@@ -1270,3 +1276,41 @@ def test_negated_http_uri_checked_in_normalized_buffer():
     # "debug" in a header does not poison the URI-scoped negation
     assert 77 in _sids(
         m, b"GET /app HTTP/1.1\r\nX: debug\r\n\r\n")
+
+
+def test_urilen_enforced():
+    src = (
+        'alert tcp any any -> any 80 (msg:"gt"; content:"GET "; depth:4; '
+        'urilen:>10; sid:81;)\n'
+        'alert tcp any any -> any 80 (msg:"rng"; urilen:3<>8; content:"GET "; '
+        'sid:82;)\n'
+        'alert tcp any any -> any 80 (msg:"raw"; urilen:>10,raw; '
+        'content:"GET "; sid:83;)\n'
+        'alert tcp any any -> any 80 (msg:"bad"; urilen:oops; content:"GET "; '
+        'sid:84;)\n'
+    )
+    m = compile_snort(src)
+    assert _sids(m, b"GET /0123456789a HTTP/1.1\r\n\r\n") == [81, 83, 84]
+    assert _sids(m, b"GET /abc HTTP/1.1\r\n\r\n") == [82, 84]
+    # urilen measures the NORMALIZED uri by default: 16 raw bytes decode
+    # to 6 -> only the ,raw form (and the unparsed one) fire
+    assert _sids(m, b"GET /%61%62%63%64%65 HTTP/1.1\r\n\r\n") == [82, 83, 84]
+    # no parseable HTTP request: urilen rules cannot fire
+    assert _sids(m, b"GET_NOSPACE") == []
+    rows = {r["sid"]: r for r in m.enforcement_report()["rules"]}
+    assert rows[81]["status"] == "enforced"
+    assert rows[84]["status"] == "partial"
+    assert rows[84]["unenforced_options"] == ["urilen"]
+
+
+def test_urilen_parser_units():
+    from regex_fpga_tpu.models.snort import parse_urilen
+
+    assert parse_urilen("10") == (10, 10, "norm")
+    assert parse_urilen(">10") == (11, None, "norm")
+    assert parse_urilen("<10") == (None, 9, "norm")
+    assert parse_urilen("3<>8") == (3, 8, "norm")
+    assert parse_urilen(">10, raw") == (11, None, "raw")
+    assert parse_urilen("5,norm") == (5, 5, "norm")
+    assert parse_urilen("5,bogus") is None
+    assert parse_urilen("x") is None
