@@ -93,7 +93,8 @@ class Match:
     capture program (rulesets, literals, tokenizers) yield group-0-only
     matches."""
 
-    __slots__ = ("string", "_start", "_end", "_spans", "_names", "_lastindex")
+    __slots__ = ("string", "_start", "_end", "_spans", "_names",
+                 "_lastindex", "pos", "endpos", "re")
 
     def __init__(self, string: bytes, start: int, end: int,
                  group_spans: list | None = None,
@@ -105,6 +106,14 @@ class Match:
         self._spans = group_spans or []  # per group 1..n: (a, b) or None
         self._names = group_names or {}
         self._lastindex = lastindex
+        #: ``re.Match`` parity attributes (r4 leftover): the search
+        #: window and producing pattern.  Defaults cover direct engine
+        #: matches; the ``search``/``match``/``fullmatch``/``finditer``
+        #: entry points restamp them with the caller's clamped
+        #: ``pos``/``endpos`` and ``re_compat.Pattern`` attaches itself.
+        self.pos = 0
+        self.endpos = len(string)
+        self.re = None
 
     def _idx(self, key) -> int:
         if isinstance(key, str):
@@ -154,6 +163,24 @@ class Match:
         the last capture "mark" written on the winning path)."""
         return self._lastindex
 
+    @property
+    def lastgroup(self) -> str | None:
+        """Name of the last matched group, None if unnamed/none matched."""
+        if self._lastindex is None:
+            return None
+        for name, i in self._names.items():
+            if i == self._lastindex:
+                return name
+        return None
+
+    @property
+    def regs(self) -> tuple:
+        """All group spans as ``re``'s ``regs`` tuple ((-1, -1) = no
+        match), group 0 first."""
+        return ((self._start, self._end),) + tuple(
+            (-1, -1) if sp is None else tuple(sp) for sp in self._spans
+        )
+
     def expand(self, template: bytes) -> bytes:
         """Expand a ``re.sub``-style template (``\\1``, ``\\g<name>``, ...)
         against this match."""
@@ -167,6 +194,16 @@ class Match:
     def __repr__(self) -> str:
         return (f"<regex_fpga_tpu.Match span=({self._start}, {self._end}) "
                 f"match={self.group()!r}>")
+
+
+def _stamp_pos(m: "Match | None", pos: int) -> "Match | None":
+    """Record the caller's clamped ``pos`` on a Match (``re.Match.pos``
+    parity).  ``endpos`` needs no stamp: ``Match.string`` is already the
+    endpos-truncated subject, so the default ``len(string)`` IS the
+    clamped endpos in subject coordinates."""
+    if m is not None:
+        m.pos = pos
+    return m
 
 
 def _as_streams(data) -> list[np.ndarray]:
@@ -1250,7 +1287,7 @@ class DfaMatcher:
         if not spans:
             return None
         a, b = spans[0]
-        return self._make_match(raw, a, b)
+        return _stamp_pos(self._make_match(raw, a, b), pos)
 
     def match(self, data, pos: int = 0, endpos: int | None = None
               ) -> "Match | None":
@@ -1262,7 +1299,7 @@ class DfaMatcher:
         end = self._anchored_longest_end(stream, pos)
         if end < 0:
             return None
-        return self._make_match(bytes(stream), pos, end)
+        return _stamp_pos(self._make_match(bytes(stream), pos, end), pos)
 
     def fullmatch(self, data, pos: int = 0, endpos: int | None = None
                   ) -> "Match | None":
@@ -1279,7 +1316,7 @@ class DfaMatcher:
             if st == dead:
                 return None
         if accept[st] or accept_eof[st]:
-            return self._make_match(bytes(stream), pos, l)
+            return _stamp_pos(self._make_match(bytes(stream), pos, l), pos)
         return None
 
     def split(self, data, maxsplit: int = 0) -> list[bytes]:
@@ -1630,7 +1667,7 @@ class HostRegexMatcher(DfaMatcher):
         if not spans:
             return None
         a, b = spans[0]
-        return self._make_match(raw, a, b)
+        return _stamp_pos(self._make_match(raw, a, b), pos)
 
     def match(self, data, pos: int = 0, endpos: int | None = None
               ) -> "Match | None":
@@ -1639,7 +1676,8 @@ class HostRegexMatcher(DfaMatcher):
             return None
         end = (self._prog.first_end_at(raw, pos) if self._first_mode
                else self._prog.longest_end_at(raw, pos))
-        return None if end < 0 else self._make_match(raw, pos, end)
+        return None if end < 0 else _stamp_pos(
+            self._make_match(raw, pos, end), pos)
 
     def fullmatch(self, data, pos: int = 0, endpos: int | None = None
                   ) -> "Match | None":
@@ -1647,7 +1685,7 @@ class HostRegexMatcher(DfaMatcher):
         if not ok or (pos and self._pattern_start_anchored()):
             return None
         if self._prog.longest_end_at(raw, pos) == len(raw):
-            return self._make_match(raw, pos, len(raw))
+            return _stamp_pos(self._make_match(raw, pos, len(raw)), pos)
         return None
 
 
@@ -1716,8 +1754,9 @@ class HostBacktrackMatcher(HostRegexMatcher):
         # groups were already computed by the producing search — no
         # re-run, no ban_empty mismatch
         groups, lastindex = m[2], m[3]
-        return Match(raw, m[0], m[1], groups[1:], self._bt.group_names,
-                     lastindex)
+        return _stamp_pos(
+            Match(raw, m[0], m[1], groups[1:], self._bt.group_names,
+                  lastindex), pos)
 
     def finditer(self, data, limit: int | None = None,
                  pos: int = 0, endpos: int | None = None
@@ -1759,8 +1798,9 @@ class HostBacktrackMatcher(HostRegexMatcher):
         if m is None:
             return None
         end, groups, lastindex = m
-        return Match(raw, pos, end, groups[1:], self._bt.group_names,
-                     lastindex)
+        return _stamp_pos(
+            Match(raw, pos, end, groups[1:], self._bt.group_names,
+                  lastindex), pos)
 
     def fullmatch(self, data, pos: int = 0, endpos: int | None = None
                   ) -> "Match | None":
@@ -1771,8 +1811,9 @@ class HostBacktrackMatcher(HostRegexMatcher):
         if m is None:
             return None
         end, groups, lastindex = m
-        return Match(raw, pos, end, groups[1:], self._bt.group_names,
-                     lastindex)
+        return _stamp_pos(
+            Match(raw, pos, end, groups[1:], self._bt.group_names,
+                  lastindex), pos)
 
     def _anchored_longest_end(self, stream, s0: int) -> int:
         m = self._bt.match_at(bytes(stream), s0)
@@ -1891,7 +1932,7 @@ class LiteralSetMatcher(DfaMatcher):
         if not hits:
             return None
         a, b, _ = hits[0]
-        return Match(raw, a, b)
+        return _stamp_pos(Match(raw, a, b), pos)
 
     def match(self, data) -> "Match | None":
         """Longest literal that is a prefix of the stream, or None."""

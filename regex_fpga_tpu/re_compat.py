@@ -227,27 +227,38 @@ class Pattern:
     def _dec(self, b: bytes):
         return b.decode("utf-8", errors="surrogateescape") if self._text_mode else b
 
+    def _attach(self, m):
+        """Stamp ``Match.re`` (re parity) with this Pattern."""
+        if m is not None:
+            m.re = self
+        return m
+
     # -- re API ----------------------------------------------------------
     def search(self, string, pos: int = 0,
                endpos: int | None = None) -> Match | None:
-        return self._m.search(self._enc(string), pos, endpos)
+        return self._attach(self._m.search(self._enc(string), pos, endpos))
 
     def match(self, string, pos: int = 0,
               endpos: int | None = None) -> Match | None:
-        return self._m.match(self._enc(string), pos, endpos)
+        return self._attach(self._m.match(self._enc(string), pos, endpos))
 
     def fullmatch(self, string, pos: int = 0,
                   endpos: int | None = None) -> Match | None:
-        return self._m.fullmatch(self._enc(string), pos, endpos)
+        return self._attach(
+            self._m.fullmatch(self._enc(string), pos, endpos))
 
     def finditer(self, string, pos: int = 0, endpos: int | None = None):
         raw = self._enc(string)
         if pos or endpos is not None:
             clipped = raw if endpos is None else raw[:max(endpos, 0)]
+            cpos = min(max(int(pos), 0), len(raw))
             for a, b in self._m.finditer(raw, pos=pos, endpos=endpos):
-                yield self._m._make_match(clipped, a, b)
+                m = self._attach(self._m._make_match(clipped, a, b))
+                m.pos = cpos
+                yield m
             return
-        yield from self._m.finditer_matches(raw)
+        for m in self._m.finditer_matches(raw):
+            yield self._attach(m)
 
     def findall(self, string, pos: int = 0,
                 endpos: int | None = None) -> list:

@@ -214,3 +214,45 @@ def test_verbose_flag():
     assert re2.compile(r"a\#b", re2.X).search(b"a#b") is not None
     with pytest.raises(ValueError):
         re2.compile("a", 4)  # re.L remains unsupported
+
+
+def test_match_parity_attributes():
+    """re.Match parity: pos/endpos/re/lastgroup/regs (r4 leftover)."""
+    import re as _re
+
+    import regex_fpga_tpu.re_compat as rc
+
+    for pat, s, pos, endpos in [
+        (rb"(?P<w>\w+)\s+(?P<d>\d+)", b"hey  42 tail", 0, None),
+        (rb"a(b)?c", b"xxabcxx", 2, None),
+        (rb"\d+", b"a1b22c333", 3, 8),
+    ]:
+        p, rp = rc.compile(pat), _re.compile(pat)
+        m = p.search(s, pos, endpos)
+        rm = (rp.search(s, pos) if endpos is None
+              else rp.search(s, pos, endpos))
+        assert (m is None) == (rm is None)
+        if m is None:
+            continue
+        assert m.pos == rm.pos
+        assert m.lastgroup == rm.lastgroup
+        assert m.lastindex == rm.lastindex
+        assert m.regs == rm.regs
+        assert m.re is p
+        # endpos: ours is relative to the truncated subject (string IS
+        # the endpos-truncated subject); equal to re's when no truncation
+        if endpos is None:
+            assert m.endpos == rm.endpos
+    # finditer matches carry pos and re too
+    p, rp = rc.compile(rb"\d+"), _re.compile(rb"\d+")
+    ours = list(p.finditer(b"a1b22c333", 2))
+    refs = list(rp.finditer(b"a1b22c333", 2))
+    assert [m.span() for m in ours] == [m.span() for m in refs]
+    assert all(m.pos == 2 and m.re is p for m in ours)
+    # lastgroup None for unnamed winning group
+    m = rc.compile(rb"(a)|(?P<nb>b)").search(b"za")
+    rm = _re.compile(rb"(a)|(?P<nb>b)").search(b"za")
+    assert m.lastgroup == rm.lastgroup is None
+    m2 = rc.compile(rb"(a)|(?P<nb>b)").search(b"zb")
+    rm2 = _re.compile(rb"(a)|(?P<nb>b)").search(b"zb")
+    assert m2.lastgroup == rm2.lastgroup == "nb"
