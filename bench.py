@@ -276,9 +276,10 @@ def _measure(state: dict) -> None:
         conf["snort_scale"] = {
             "n_rules": sm.num_rules,
             "build_seconds": round(build_s, 3),
-            "ac_states": int(
-                sm._exact.num_states + sm._fold.num_states
-                + sm._uri_exact.num_states + sm._uri_fold.num_states
+            "ac_states": sum(
+                a.num_states for a in (sm._exact, sm._fold,
+                                       sm._uri_exact, sm._uri_fold)
+                if a is not None
             ),
             "enforced_pct": round(100.0 * es["enforced"] / es["total"], 1),
             "scan_ms_per_payload": round(

@@ -164,12 +164,19 @@ def cmd_snort(args) -> int:
 
     from . import api
 
-    if not args.coverage and not args.files:
-        print("snort: FILES required unless --coverage is given",
-              file=sys.stderr)
+    if not args.coverage and not args.export_coe and not args.files:
+        print("snort: FILES required unless --coverage or --export-coe "
+              "is given", file=sys.stderr)
         return 2
     m = api.compile_snort(args.rules)
     print(f"# {m.num_rules} rules loaded", file=sys.stderr)
+    if getattr(args, "export_coe", None):
+        aut, owner, lits = m.export_coe(args.export_coe)
+        print(f"# wrote {args.export_coe}: {aut.num_states} states, "
+              f"{aut.num_transitions} transitions, {len(lits)} literals "
+              f"(reference CSR_BlockMem format)", file=sys.stderr)
+        if not args.files and not args.coverage:
+            return 0
     if getattr(args, "coverage", False):
         rep = m.enforcement_report()
         s_ = rep["summary"]
@@ -388,6 +395,12 @@ def main(argv=None) -> int:
     s.add_argument(
         "--partial-only", action="store_true",
         help="with --coverage: show only partially-enforced rules",
+    )
+    s.add_argument(
+        "--export-coe", metavar="PATH",
+        help="write the ruleset's content literals as a reference-format "
+             ".coe memory image (the unpublished 'rules -> CSR_BlockMem' "
+             "pipeline)",
     )
     s.set_defaults(fn=cmd_snort)
 

@@ -480,6 +480,9 @@ class DfaMatcher:
         choice = choose_scan_backend(
             self.tables.num_states, self.tables.num_classes, n_streams,
             mode, tables=self.tables, workload_bytes=workload_bytes,
+            chunk_bytes=self.config.chunk_bytes,
+            num_blocks=self.config.num_blocks,
+            min_block_bytes=self.config.min_block_bytes,
         )
         return choice == "host" and native_available()
 
@@ -905,16 +908,27 @@ class DfaMatcher:
 
     def _scan_ragged_counts(self, streams):
         """Variable-length batch in ONE multi-lane chain (r4 verdict
-        item 3): streams pad to a common bucket with the STALL class
-        (identity table column, ``ops.tables.stall_extend``), run through
-        ``dfa_scan_fast_multi`` with per-lane pinned entries exactly like
-        the equal-length path, and the frozen final state's padded visits
-        are subtracted exactly afterwards (the stall column freezes the
-        lane, so the overcount is precisely ``pad_steps`` visits of the
-        final state).  Replaces the serial per-stream loop that paid one
-        full scan dispatch per stream (~0.25 s sync each through this
-        rig's tunnel).  Returns (counts (N, S) int64, iters, converged,
-        finals (N,))."""
+        item 3): streams pad AT THE FRONT to a common bucket with the
+        STALL class (identity table column, ``ops.tables.stall_extend``)
+        and run through ``dfa_scan_fast_multi`` with per-lane pinned
+        entries exactly like the equal-length path.
+
+        Front padding is the load-bearing choice (r5 review finding 2):
+        stall lanes then carry the stream's ENTRY state — which is
+        exactly what the engine's speculative replay (seeded from the
+        per-lane start) predicts for an all-stall tail — so the seam
+        induction passes on the usual single pass.  Tail padding instead
+        froze the UNKNOWN final state across the stall lanes, which
+        speculation (replay from start) can never guess and the Jacobi
+        fixpoint only propagates ONE lane per iteration: any stream
+        padded by more than ``max_iters`` blocks forced 16 wasted device
+        passes plus the per-byte host fallback (measured 50x slower than
+        the serial loop this path replaced).
+
+        The only side effect is exact: during the pad steps the lane
+        sits in the stream's entry state, so the overcount is precisely
+        ``pad_steps`` visits of the ENTRY state, subtracted afterwards.
+        Returns (counts (N, S) int64, iters, converged, finals (N,))."""
         from .ops.dfa_fast import dfa_scan_fast_multi
         from .ops.tables import stall_extend
 
@@ -938,9 +952,12 @@ class DfaMatcher:
             w_pad = -(-w // nb) * nb  # round up to a block multiple
             chunk = np.full((n, w_pad), stall_id, dtype=np.int32)
             real = np.clip(lens - off, 0, w_pad).astype(np.int64)
+            entries = cur.copy()  # pre-chunk states (stall correction)
             for i, s_ in enumerate(streams):
                 if real[i]:
-                    chunk[i, : real[i]] = self._class_lut[
+                    # FRONT padding: the stream slice sits at the chunk's
+                    # end; the leading stalls carry the entry state
+                    chunk[i, w_pad - real[i]:] = self._class_lut[
                         s_[off : off + real[i]]
                     ]
             res = dfa_scan_fast_multi(
@@ -964,11 +981,11 @@ class DfaMatcher:
             else:
                 c = np.asarray(res.counts, dtype=np.int64)
                 finals = np.asarray(res.final_states)
-                # exact stall correction: the frozen state was counted
-                # once per padded step
+                # exact stall correction: the ENTRY state was counted
+                # once per leading padded step
                 pad = w_pad - real
-                stall_hit = pad * accept_np[finals]
-                c[np.arange(n), finals] -= stall_hit
+                stall_hit = pad * accept_np[entries]
+                c[np.arange(n), entries] -= stall_hit
                 counts += c
                 cur = finals.astype(np.int32).copy()
             iters = max(iters, int(res.iterations))
@@ -2384,6 +2401,40 @@ class SnortMatcher:
     @property
     def num_rules(self) -> int:
         return len(self.rules)
+
+    def export_coe(self, path: str):
+        """Compile this ruleset's content literals into a reference-format
+        ``.coe`` memory image — the "Snort rules → CSR_BlockMem" pipeline
+        whose output the reference SHIPS but whose tooling it never
+        published (``CSR_BlockMem_snort_16.coe`` derives from exactly such
+        a ruleset, SURVEY.md §2.1 #14 / §0).
+
+        Every rule's non-negated content literals (raw and buffered —
+        the buffer/negation/pcre/byte-op constraints are host-verify
+        stages with no RTL analogue) become one merged unanchored CSR
+        NFA with per-literal accept states, loadable by the reference
+        engine (accept = out-degree 0, per-state match counters =
+        per-literal counters).  Returns ``(automaton, owner, literals)``
+        where ``owner[s]`` is the literal index owning state ``s`` (-1
+        for the shared hub)."""
+        from .models.coe import write_coe
+        from .models.export_csr import regexes_to_csr
+
+        special = set(rb"\^$.[]()*+?{}|")
+        literals = sorted({
+            c.pattern for r in self.rules for c in r.contents
+            if not c.negated and c.pattern
+        })
+        if not literals:
+            raise RegexError("ruleset has no non-negated content literals")
+        pats = [
+            bytes(b for ch in lit
+                  for b in ((0x5C, ch) if ch in special else (ch,)))
+            for lit in literals
+        ]
+        aut, owner = regexes_to_csr(pats)
+        write_coe(path, aut.to_words())
+        return aut, owner, literals
 
     @staticmethod
     def _ac_presence(ac, data: bytes) -> np.ndarray:

@@ -540,6 +540,8 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
         vars_at_last_content: frozenset = frozenset()
         dropped_mods: list[str] = []
         last_content_op = -1  # index into ops of the latest content
+        dropped_neg_ops: set = set()  # ops idxs: negated contents whose
+        # positional modifier was unresolvable (dropped, not widened)
 
         def _update_last(new_content: SnortContent) -> None:
             contents[-1] = new_content
@@ -578,7 +580,21 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
                     # content (never in scope when the content evaluates):
                     # modifier dropped and FLAGGED, not silently enforced
                     # against an empty env (which would kill the rule)
-                    dropped_mods.append(f"{name}:{val.strip()}")
+                    if contents[-1].negated:
+                        # not applying a positional modifier to a NEGATED
+                        # content widens its asserted absence to the
+                        # whole buffer (false negatives) — mark the op
+                        # itself for the drop-not-widen treatment
+                        # (resolved below; r5 review finding 1)
+                        dropped_neg_ops.add(last_content_op)
+                        dropped_mods.append(
+                            f"negated content "
+                            f"{contents[-1].pattern!r} ({name}:"
+                            f"{val.strip()} unresolvable; op dropped, "
+                            f"not widened)"
+                        )
+                    else:
+                        dropped_mods.append(f"{name}:{val.strip()}")
             elif name == "byte_test" and val is not None:
                 bt = parse_byte_test(val, var_names)
                 if bt is not None:
@@ -607,6 +623,10 @@ def parse_snort_rules(text: str) -> list[SnortRule]:
                 urilen = parse_urilen(val)
             elif name == "pcre" and val is not None:
                 pcre = _unquote(val)[0]
+        if dropped_neg_ops:
+            dropped = {id(ops[i]) for i in dropped_neg_ops}
+            ops = [o for i, o in enumerate(ops) if i not in dropped_neg_ops]
+            contents = [c for c in contents if id(c) not in dropped]
         ops = _resolve_buffer_anchors(ops, dropped_mods)
         rules.append(
             SnortRule(
@@ -705,6 +725,19 @@ def _resolve_buffer_anchors(ops: list, dropped_mods: list[str]) -> list:
             # (advisor r4 finding 1).
             if any(isinstance(v, str) and v in dead_vars
                    for v in (op.offset, op.depth)):
+                if op.negated:
+                    # Stripping offset/depth from a NEGATED content would
+                    # widen the asserted absence from a window to the
+                    # whole buffer (false negatives whenever the pattern
+                    # appears anywhere) — same class as the
+                    # distance/within case below.  Drop the negation op
+                    # entirely: match-more, flagged (r5 review finding 1).
+                    dropped_mods.append(
+                        f"negated content {op.pattern!r} (offset/depth "
+                        f"references a dropped byte_extract; op dropped, "
+                        f"not widened)"
+                    )
+                    continue
                 dropped_mods.append(
                     f"offset/depth on content {op.pattern!r} "
                     f"(references a dropped byte_extract)"

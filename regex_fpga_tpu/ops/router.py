@@ -144,13 +144,20 @@ def host_count_bps(n_streams: int) -> float:
 #: wins by >2x on any day; above, the host walker wins everywhere
 #: (measured r4 sweep, PARITY.md) — probing outside the band buys nothing
 PROBE_BAND = (200, 1500)
-#: probe only when at least this much work is at stake: below it, a
-#: mis-route costs less than the probe itself (device probe: one-time
-#: remote compile + 16 MiB upload on this rig's tunnel)
-PROBE_MIN_WORKLOAD = 32 << 20
+#: probe only when at least this much work (>= 2 default chunks) is at
+#: stake: below it, a mis-route costs less than the probe itself.  The
+#: device probe deliberately uses THE SCAN'S OWN chunk shape (uint8
+#: classes, chunk_bytes length, the same block-shrink rule), so its jit
+#: compile is the one the chunked scan loop pays anyway — the probe's
+#: incremental cost is one upload (outside the timed region) plus
+#: milliseconds of reps, not a wasted probe-only remote compile
+#: (r5 review finding 3; new shapes compile for MINUTES through this
+#: rig's tunnel, CLAUDE.md)
+PROBE_MIN_WORKLOAD = 128 << 20
 PROBE_HOST_BYTES = 16 << 20
-PROBE_DEVICE_BYTES = 16 << 20
-PROBE_DEVICE_BLOCKS = 16384  # measured k=1 counts optimum (PARITY.md)
+PROBE_DEVICE_BYTES = 1 << 26   # = EngineConfig.chunk_bytes default
+PROBE_DEVICE_BLOCKS = 65536    # = EngineConfig.num_blocks default
+PROBE_MIN_BLOCK_BYTES = 64     # = EngineConfig.min_block_bytes default
 PROBE_REPS = 3
 
 #: process-wide measured rates; keys: "device_tile_bps",
@@ -235,14 +242,20 @@ def probe_host(tables, n_streams: int) -> float:
     return bps
 
 
-def probe_device(tables) -> float:
+def probe_device(tables, chunk_bytes: int | None = None,
+                 num_blocks: int | None = None,
+                 min_block_bytes: int | None = None) -> float:
     """Measure the fast device engine's k=1 counting rate; cache (as a
     normalized tile rate) + return bytes/s at THIS (S, C).
 
-    Upload happens once outside the timed region; reps sync via a small
-    ``np.asarray`` readback; the measured sync floor is subtracted
-    (clamped to half the rep time so a degraded tunnel cannot produce a
-    negative or wild estimate)."""
+    The probe chunk replicates the chunked scan loop's own geometry —
+    uint8 class stream of ``chunk_bytes``, block count from the same
+    shrink rule — so the jit compile it triggers is the one the
+    subsequent scan reuses (dtype included: class streams ship as uint8
+    and cast on device).  Upload happens once outside the timed region;
+    reps sync via a small ``np.asarray`` readback; the measured sync
+    floor is subtracted (clamped to half the rep time so a degraded
+    tunnel cannot produce a negative or wild estimate)."""
     from .dfa_fast import dfa_scan_fast, step_orientation_costs
 
     s, c = tables.num_states, tables.num_classes
@@ -253,13 +266,19 @@ def probe_device(tables) -> float:
     import jax
     import jax.numpy as jnp
 
+    nbytes = chunk_bytes or PROBE_DEVICE_BYTES
+    nb = num_blocks or PROBE_DEVICE_BLOCKS
+    mbb = min_block_bytes or PROBE_MIN_BLOCK_BYTES
+    while nb > 1 and nbytes // nb < mbb:
+        nb //= 2
+    while nbytes % nb:
+        nb //= 2
     classes = np.random.default_rng(0).integers(
-        0, c, PROBE_DEVICE_BYTES, dtype=np.int32
+        0, c, nbytes, dtype=np.uint8 if c <= 256 else np.int32
     )
     cj = jax.device_put(jnp.asarray(classes))
     run = lambda: np.asarray(
-        dfa_scan_fast(tables, cj, num_blocks=PROBE_DEVICE_BLOCKS,
-                      emit="counts").counts
+        dfa_scan_fast(tables, cj, num_blocks=nb, emit="counts").counts
     )
     run()  # compile (cached per table shape for the rest of the session)
     floor = _sync_floor()
@@ -269,7 +288,7 @@ def probe_device(tables) -> float:
         run()
         ts.append(time.perf_counter() - t0)
     rep = float(np.median(ts))
-    bps = PROBE_DEVICE_BYTES / max(rep - min(floor, rep / 2), 1e-9)
+    bps = nbytes / max(rep - min(floor, rep / 2), 1e-9)
     _session["device_tile_bps"] = bps * tiles
     return bps
 
@@ -277,6 +296,9 @@ def probe_device(tables) -> float:
 def choose_scan_backend(num_states: int, num_classes: int,
                         n_streams: int = 1, mode: str = "auto",
                         tables=None, workload_bytes: int | None = None,
+                        chunk_bytes: int | None = None,
+                        num_blocks: int | None = None,
+                        min_block_bytes: int | None = None,
                         ) -> str:
     """``"device"`` or ``"host"`` for a counting/histogram scan.
 
@@ -309,7 +331,8 @@ def choose_scan_backend(num_states: int, num_classes: int,
                     pass
             if "device_tile_bps" not in _session:
                 try:
-                    probe_device(tables)
+                    probe_device(tables, chunk_bytes, num_blocks,
+                                 min_block_bytes)
                 except Exception:
                     pass
     # session-measured rates when a probe (or an explicit record_*) has

@@ -15,6 +15,18 @@ Run only when no other chip process is active:
   timeout 560 python scripts/tpu_int8_probe.py
 """
 
+# --- r5 guard: the int8 flags this probe toggles were PRUNED (they lost
+# their on-chip A/Bs; docs/ENGINE_GRAVEYARD.md).  setattr on the module
+# would silently succeed and this script would measure an A/A comparison,
+# emitting a bogus artifact.  Check out commit 2a3e0ba to re-run it.
+import regex_fpga_tpu.ops.dfa_fast as _df
+
+if not hasattr(_df, "INT8_SPLIT") and not hasattr(_df, "INT8_ONEHOT"):
+    raise SystemExit(
+        "This probe targets the pruned int8 engine paths "
+        "(docs/ENGINE_GRAVEYARD.md). Check out commit 2a3e0ba to re-run."
+    )
+
 import os
 import sys
 import time

@@ -16,6 +16,18 @@ part of the jit cache key — clearing between modes is what makes the A/B
 honest).  Emits one JSON line; partial results survive a mid-probe hang.
 """
 
+# --- r5 guard: the int8 flags this probe toggles were PRUNED (they lost
+# their on-chip A/Bs; docs/ENGINE_GRAVEYARD.md).  setattr on the module
+# would silently succeed and this script would measure an A/A comparison,
+# emitting a bogus artifact.  Check out commit 2a3e0ba to re-run it.
+import regex_fpga_tpu.ops.dfa_fast as _df
+
+if not hasattr(_df, "INT8_SPLIT") and not hasattr(_df, "INT8_ONEHOT"):
+    raise SystemExit(
+        "This probe targets the pruned int8 engine paths "
+        "(docs/ENGINE_GRAVEYARD.md). Check out commit 2a3e0ba to re-run."
+    )
+
 import json
 import os
 import sys

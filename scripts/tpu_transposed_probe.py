@@ -12,6 +12,18 @@ Protocol: upload once per size, jit-wrapped timing, one cache epoch per
 mode (the orientation fn is read at trace time).  One JSON line out.
 """
 
+# --- r5 guard: the int8 flags this probe toggles were PRUNED (they lost
+# their on-chip A/Bs; docs/ENGINE_GRAVEYARD.md).  setattr on the module
+# would silently succeed and this script would measure an A/A comparison,
+# emitting a bogus artifact.  Check out commit 2a3e0ba to re-run it.
+import regex_fpga_tpu.ops.dfa_fast as _df
+
+if not hasattr(_df, "INT8_SPLIT") and not hasattr(_df, "INT8_ONEHOT"):
+    raise SystemExit(
+        "This probe targets the pruned int8 engine paths "
+        "(docs/ENGINE_GRAVEYARD.md). Check out commit 2a3e0ba to re-run."
+    )
+
 import json
 import os
 import sys

@@ -157,7 +157,7 @@ def test_probe_cache_and_measured_decisions(big_matcher, monkeypatch):
         router.record_host_rate(n, 2.0e9)
         return 2.0e9
 
-    def fake_dev(tables):
+    def fake_dev(tables, *a):
         calls["dev"] += 1
         router.record_device_rate(
             tables.num_states, tables.num_classes, 0.5e9)
@@ -198,7 +198,7 @@ def test_probe_cache_and_measured_decisions(big_matcher, monkeypatch):
         lambda t, n: (router.record_host_rate(n, 0.1e9), 0.1e9)[1])
     monkeypatch.setattr(
         router, "probe_device",
-        lambda t: (router.record_device_rate(
+        lambda t, *a: (router.record_device_rate(
             t.num_states, t.num_classes, 3.0e9), 3.0e9)[1])
     got = router.choose_scan_backend(
         dts.num_states, dts.num_classes, 16,

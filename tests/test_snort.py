@@ -1314,3 +1314,78 @@ def test_urilen_parser_units():
     assert parse_urilen("5,norm") == (5, 5, "norm")
     assert parse_urilen("5,bogus") is None
     assert parse_urilen("x") is None
+
+
+def test_negated_content_dead_offset_dropped_not_widened():
+    """r5 review finding 1 (both variants): a NEGATED content whose
+    offset/depth can never resolve is dropped entirely — stripping would
+    widen the asserted absence to the whole buffer (false negatives)."""
+    # resolve-time variant: the var dies when its byte_extract is
+    # dropped for buffer anchoring
+    src = ('alert tcp any any -> any 80 (msg:"a"; content:"/y"; http_uri; '
+           'byte_extract:1,0,v,relative; content:!"zz"; offset:v; sid:91;)')
+    r = parse_snort_rules(src)[0]
+    assert not any(getattr(op, "negated", False) for op in r.verify_ops)
+    m = compile_snort(src)
+    # "zz" BEFORE where v could point must not suppress the alert
+    assert 91 in _sids(m, b"GET /y HTTP/1.1\r\nzz: x\r\n\r\n")
+    # parse-time variant: undefined variable in the modifier
+    src2 = ('alert tcp any any -> any any (msg:"b"; content:"AAA"; '
+            'byte_extract:2,0,vv,relative,dce; content:!"ZZZ"; depth:vv; '
+            'sid:92;)')
+    r2 = parse_snort_rules(src2)[0]
+    assert not any(getattr(c, "negated", False) for c in r2.contents)
+    assert any("not widened" in d for d in r2.unenforced_modifiers)
+    m2 = compile_snort(src2)
+    assert 92 in _sids(m2, b"AAA....ZZZ")
+
+
+def test_export_coe_roundtrip(tmp_path):
+    """Snort rules -> reference-format .coe -> reload -> the golden NFA
+    oracle reproduces every literal occurrence (the pipeline whose output
+    the reference ships as CSR_BlockMem_snort_16.coe)."""
+    from regex_fpga_tpu.models import load_coe, nfa_scan
+
+    src = (
+        'alert tcp any any -> any 80 (msg:"a"; content:"cmd.exe"; sid:1;)\n'
+        'alert tcp any any -> any 80 (msg:"b"; content:"/etc/passwd"; '
+        'http_uri; sid:2;)\n'
+        'alert tcp any any -> any any (msg:"c"; content:"|90 90|X"; '
+        'content:!"skip"; sid:3;)\n'
+    )
+    m = compile_snort(src)
+    p = tmp_path / "rules.coe"
+    aut, owner, lits = m.export_coe(str(p))
+    assert set(lits) == {b"cmd.exe", b"/etc/passwd", b"\x90\x90X"}
+    re_aut = load_coe(str(p))
+    assert re_aut.num_states == aut.num_states
+    payload = np.frombuffer(
+        b"xx cmd.exe yy /etc/passwd zz \x90\x90X cmd.exe", np.uint8)
+    counts = nfa_scan(re_aut, payload)
+    # per-literal totals via the owner map (reference per-state counters)
+    per_lit = {i: 0 for i in range(len(lits))}
+    for s, c in enumerate(counts):
+        if c and owner[s] >= 0:
+            per_lit[int(owner[s])] += int(c)
+    want = {lits.index(b"cmd.exe"): 2, lits.index(b"/etc/passwd"): 1,
+            lits.index(b"\x90\x90X"): 1}
+    # NOTE reference timing drops an accept entered by the FINAL byte —
+    # the trailing "cmd.exe" accept state is entered on the last byte and
+    # never scanned, exactly the RTL semantics (SURVEY.md SS3.3 item 4)
+    want[lits.index(b"cmd.exe")] -= 1
+    assert {k: v for k, v in per_lit.items() if v} == {
+        k: v for k, v in want.items() if v}
+
+
+def test_cli_export_coe(tmp_path, capsys):
+    rules = tmp_path / "r.rules"
+    rules.write_text(
+        'alert tcp any any -> any any (msg:"x"; content:"XYZ"; sid:1;)\n')
+    out = tmp_path / "r.coe"
+    from regex_fpga_tpu.__main__ import main
+
+    assert main(["snort", str(rules), "--export-coe", str(out)]) == 0
+    from regex_fpga_tpu.models import load_coe
+
+    aut = load_coe(str(out))
+    assert aut.num_states > 3 and aut.accept_mask.sum() == 1
