@@ -84,7 +84,7 @@ int32_t dfa_scan(const int32_t* table, const int32_t* class_of,
   int32_t s = start;
   for (int64_t pos = 0; pos < len; ++pos) {
     const uint8_t a = accept[s];
-    counts[s] += a;
+    if (a) counts[s]++;  // accepts are rare: branch beats the RMW (r5)
     if (match_mask) match_mask[pos] = a;
     s = table[(int64_t)class_of[stream[pos]] * S + s];
   }
@@ -105,13 +105,27 @@ int32_t dfa_scan(const int32_t* table, const int32_t* class_of,
 //   counts:  (n_streams, S) int64 out (one-char-late accept timing,
 //            final-state accept NOT counted — identical to dfa_scan)
 //   finals:  (n_streams,) int32 out
-void dfa_scan_multi(const int32_t* __restrict table,
-                    const int32_t* __restrict class_of,
-                    const uint8_t* __restrict accept, int64_t S,
-                    const uint8_t* __restrict stream,
-                    const int64_t* __restrict offsets, int64_t n_streams,
-                    const int32_t* __restrict starts,
-                    int64_t* __restrict counts, int32_t* __restrict finals) {
+}  // extern "C" (template below needs C++ linkage; reopened after)
+
+// r5 walker optimizations, measured single-core at reference shapes
+// (probe in the commit message; aggregate 2-core rates scale the same):
+// * accept-gated BRANCH instead of the unconditional counts
+//   read-modify-write — accepts are rare, so the ~never-taken branch
+//   removes a random-index RMW per byte (S=2794: 0.211 -> 0.405 GB/s);
+// * int16 transition tables when S < 32768 (every shipped ruleset) —
+//   halves the table's cache footprint, decisive once (C, S) spills L2
+//   (S=9514 snort_16: 0.281 -> 0.452 GB/s with the branch; S=836 is
+//   L2-resident either way and gains only from the branch).
+// The int32 entry point stays for S >= 32768; utils/native.py picks.
+template <typename TableT>
+static void dfa_scan_multi_impl(
+    const TableT* __restrict table,
+    const int32_t* __restrict class_of,
+    const uint8_t* __restrict accept, int64_t S,
+    const uint8_t* __restrict stream,
+    const int64_t* __restrict offsets, int64_t n_streams,
+    const int32_t* __restrict starts,
+    int64_t* __restrict counts, int32_t* __restrict finals) {
   constexpr int64_t W = 16;
   for (int64_t g = 0; g < n_streams; g += W) {
     const int64_t w = (n_streams - g) < W ? (n_streams - g) : W;
@@ -125,10 +139,10 @@ void dfa_scan_multi(const int32_t* __restrict table,
       if (p[c] < e[c]) idx[na++] = (int32_t)c;
     }
     // lockstep rounds: gather the live cursors, advance ALL of them for
-    // the minimum remaining length in a branch-free inner loop (a
-    // per-byte ring-membership test measured away most of the
-    // interleaving win), re-gather, repeat.  Each round retires at least
-    // one cursor, so rounds <= w.
+    // the minimum remaining length in a tight inner loop (a per-byte
+    // ring-membership test measured away most of the interleaving win),
+    // re-gather, repeat.  Each round retires at least one cursor, so
+    // rounds <= w.
     while (true) {
       na = 0;
       for (int64_t c = 0; c < w; ++c)
@@ -139,8 +153,8 @@ void dfa_scan_multi(const int32_t* __restrict table,
         int32_t st = s[c];
         int64_t* row = counts + (int64_t)(g + c) * S;
         for (int64_t i = p[c]; i < e[c]; ++i) {
-          row[st] += accept[st];
-          st = table[(int64_t)class_of[stream[i]] * S + st];
+          if (accept[st]) row[st]++;
+          st = (int32_t)table[(int64_t)class_of[stream[i]] * S + st];
         }
         s[c] = st;
         p[c] = e[c];
@@ -153,14 +167,37 @@ void dfa_scan_multi(const int32_t* __restrict table,
         for (int64_t j = 0; j < na; ++j) {
           const int32_t c = idx[j];
           const int32_t st = s[c];
-          counts[(int64_t)(g + c) * S + st] += accept[st];
-          s[c] = table[(int64_t)class_of[stream[p[c]++]] * S + st];
+          if (accept[st]) counts[(int64_t)(g + c) * S + st]++;
+          s[c] = (int32_t)table[(int64_t)class_of[stream[p[c]++]] * S + st];
         }
       }
     }
     for (int64_t c = 0; c < w; ++c) finals[g + c] = s[c];
   }
 }
+
+extern "C" {
+void dfa_scan_multi(const int32_t* table, const int32_t* class_of,
+                    const uint8_t* accept, int64_t S,
+                    const uint8_t* stream, const int64_t* offsets,
+                    int64_t n_streams, const int32_t* starts,
+                    int64_t* counts, int32_t* finals) {
+  dfa_scan_multi_impl<int32_t>(table, class_of, accept, S, stream,
+                               offsets, n_streams, starts, counts, finals);
+}
+
+// int16 table variant (S < 32768): same semantics, half the footprint
+void dfa_scan_multi16(const int16_t* table, const int32_t* class_of,
+                      const uint8_t* accept, int64_t S,
+                      const uint8_t* stream, const int64_t* offsets,
+                      int64_t n_streams, const int32_t* starts,
+                      int64_t* counts, int32_t* finals) {
+  dfa_scan_multi_impl<int16_t>(table, class_of, accept, S, stream,
+                               offsets, n_streams, starts, counts, finals);
+}
+}  // extern "C"
+
+extern "C" {  // remaining C entry points
 
 // Lazy-DFA table walk: follow an incrementally-built subset-DFA table until
 // the stream ends or an un-expanded state is reached (the Python side then
@@ -175,13 +212,17 @@ void dfa_scan_multi(const int32_t* __restrict table,
 // Returns the number of bytes consumed; *io_sid is updated in place.
 int64_t lazy_walk(const int32_t* table, int64_t C,
                   const uint8_t* expanded, const uint8_t* lut,
-                  const uint8_t* stream,
+                  const uint8_t* accepting, const uint8_t* stream,
                   int64_t len, int32_t* io_sid, int64_t* visits) {
   int32_t sid = *io_sid;
   int64_t pos = 0;
   for (; pos < len; ++pos) {
     if (!expanded[sid]) break;
-    visits[sid]++;
+    // only ACCEPTING subset-state visits are ever consumed
+    // (accept_counts maps them to per-NFA-state match counts); gating
+    // the random-index RMW on the rare accept flag removes most of the
+    // walk's store traffic (r5; same trick as dfa_scan_multi above)
+    if (accepting[sid]) visits[sid]++;
     sid = table[(int64_t)sid * C + lut[stream[pos]]];
   }
   *io_sid = sid;
@@ -211,6 +252,7 @@ template <bool COUNT>
 static int64_t walk_multi_impl(const int32_t* __restrict table, int64_t C,
                                const uint8_t* __restrict expanded,
                                const uint8_t* __restrict lut,
+                               const uint8_t* __restrict accepting,
                                const uint8_t* __restrict stream,
                                int64_t* __restrict pos,
                                const int64_t* __restrict end,
@@ -239,7 +281,7 @@ static int64_t walk_multi_impl(const int32_t* __restrict table, int64_t C,
         idx[j--] = idx[--alive];               // compact out of the ring
         continue;
       }
-      if (COUNT) visits[(int64_t)c * visits_stride + st]++;
+      if (COUNT && accepting[st]) visits[(int64_t)c * visits_stride + st]++;
       s[c] = table[(int64_t)st * C + lut[stream[p[c]++]]];
     }
     if (alive == na) continue;  // all still running
@@ -365,15 +407,15 @@ int64_t nfa_match_positions(const int32_t* delta, const int32_t* class_of,
 // every cursor reached its end).  W is capped at 512.
 int64_t lazy_walk_multi(const int32_t* table, int64_t C,
                         const uint8_t* expanded, const uint8_t* lut,
-                        const uint8_t* stream,
+                        const uint8_t* accepting, const uint8_t* stream,
                         int64_t* pos, const int64_t* end, int32_t* sids,
                         int64_t W, int64_t* visits, int32_t count,
                         int64_t visits_stride) {
   return count
-      ? walk_multi_impl<true>(table, C, expanded, lut, stream, pos, end, sids,
-                              W, visits, visits_stride)
-      : walk_multi_impl<false>(table, C, expanded, lut, stream, pos, end, sids,
-                               W, visits, visits_stride);
+      ? walk_multi_impl<true>(table, C, expanded, lut, accepting, stream,
+                              pos, end, sids, W, visits, visits_stride)
+      : walk_multi_impl<false>(table, C, expanded, lut, accepting, stream,
+                               pos, end, sids, W, visits, visits_stride);
 }
 
 }  // extern "C"

@@ -50,6 +50,10 @@ class LazyDfa:
         # lines, so the native walk's hot hub states stay cache-resident
         self._table = np.full((self._cap, c), -1, dtype=np.int32)
         self._expanded = np.zeros(self._cap, dtype=np.uint8)
+        #: accepting[sid] = 1 iff the subset contains an accepting NFA
+        #: state — the native walks gate their per-visit counts on it
+        #: (only accepting visits are ever consumed, accept_counts)
+        self._accepting = np.zeros(self._cap, dtype=np.uint8)
         self._ids: dict[tuple, int] = {}
         self._sets: list[tuple] = []
         self._members_acc: list[tuple[int, ...]] = []
@@ -81,6 +85,9 @@ class LazyDfa:
         e = np.zeros(self._cap, dtype=np.uint8)
         e[: len(self._expanded)] = self._expanded
         self._expanded = e
+        a = np.zeros(self._cap, dtype=np.uint8)
+        a[: len(self._accepting)] = self._accepting
+        self._accepting = a
 
     def _intern(self, key: tuple) -> int:
         """key: sorted tuple of NFA state ids."""
@@ -94,6 +101,7 @@ class LazyDfa:
             self._members_acc.append(
                 tuple(s for s in key if self._accept_mask[s])
             )
+            self._accepting[sid] = 1 if self._members_acc[-1] else 0
             self.version += 1
         return sid
 
@@ -164,6 +172,7 @@ class LazyDfa:
                     self.num_classes,
                     self._expanded.ctypes.data_as(u8p),
                     self._class_u8.ctypes.data_as(u8p),
+                    self._accepting.ctypes.data_as(u8p),
                     data[p:].ctypes.data_as(u8p),
                     n - p,
                     ctypes.byref(sid_io),
@@ -244,6 +253,7 @@ class LazyDfa:
                         self.num_classes,
                         self._expanded.ctypes.data_as(u8p),
                         lut_ptr,
+                        self._accepting.ctypes.data_as(u8p),
                         data_ptr,
                         pos[g[0]:].ctypes.data_as(i64p),
                         end[g[0]:].ctypes.data_as(i64p),
@@ -370,6 +380,7 @@ class LazyDfa:
                     self.num_classes,
                     self._expanded.ctypes.data_as(u8p),
                     lut_ptr,
+                    self._accepting.ctypes.data_as(u8p),
                     data_ptr,
                     pos[g[0]:].ctypes.data_as(i64p),
                     end[g[0]:].ctypes.data_as(i64p),
