@@ -37,10 +37,15 @@ host rates are rig-stable.  ``DEVICE_TILE_BPS`` uses the geometric
 day-mean (slow band ~2.7, good-day ~7.0 -> 4.3e9): a router that
 calibrates to either extreme systematically mis-routes on the other kind
 of day, and in the overlap band (S~400-900 multi-stream) the two engines
-are genuinely within the day swing of each other — the bench's
-``router_ok`` therefore asserts the choice is never a 2x loser rather
-than always the winner (host-load variance adds to the chip day swing:
-host_multi measured 0.43-0.89 GB/s across four r4 sessions).  At these constants scans route to the host from
+are genuinely within the day swing of each other.  r5 replaced the
+static decision with per-session PROBES (calibration section below),
+which removed the static model's systematic >2x losses; what remains is
+within-session TEMPORAL drift — r5's six on-chip sessions measured the
+same engine at the same size swinging up to 1.4x between probe time and
+a measurement minutes later (the tunnel daemon competes with the walker
+for the 2 host cores whenever device traffic flows) — so the bench's
+``router_ok`` asserts the choice is within that measured noise envelope
+(chosen >= 0.65x best), not that it is always the winner.  At these constants scans route to the host from
 S~830 upward (both single- and multi-stream, now that the speculative
 segmented walk lifts single streams to multi-cursor rate); the truly
 big DFAs (the reference's own S=2794/9514 rulesets when densified) go
@@ -159,6 +164,18 @@ PROBE_DEVICE_BYTES = 1 << 26   # = EngineConfig.chunk_bytes default
 PROBE_DEVICE_BLOCKS = 65536    # = EngineConfig.num_blocks default
 PROBE_MIN_BLOCK_BYTES = 64     # = EngineConfig.min_block_bytes default
 PROBE_REPS = 3
+#: margin the DEVICE must clear over the host in the contested band once
+#: a probe has run.  Two measured biases both flatter the device there:
+#: the tile model extrapolating ACROSS S carries ~25% error (r5 bench
+#: session 4: tile rate 6.6e9 at the S=213 probe vs 5.3e9 measured at
+#: S=440/836 — rate is not exactly proportional to 1/tiles), and the
+#: host probe's uniform-random stream is the walker's CACHE-WORST case
+#: (real traffic concentrates on hub states; bench sessions measured the
+#: walker 1.0-1.1 GB/s on real text vs 0.9-1.1 on the random probe).
+#: Requiring dev >= 1.25x host bounds any mis-route loss to ~the model
+#: error itself, which keeps the bench's router_ok (chosen >= 0.8*best)
+#: invariant under both biases.
+DEVICE_MARGIN = 1.25
 
 #: process-wide measured rates; keys: "device_tile_bps",
 #: "host_multi_bps", "host_single_bps", "sync_floor_s"
@@ -281,14 +298,23 @@ def probe_device(tables, chunk_bytes: int | None = None,
         dfa_scan_fast(tables, cj, num_blocks=nb, emit="counts").counts
     )
     run()  # compile (cached per table shape for the rest of the session)
-    floor = _sync_floor()
+    _sync_floor()  # recorded for diagnostics (session_rates)
     ts = []
     for _ in range(PROBE_REPS):
         t0 = time.perf_counter()
         run()
         ts.append(time.perf_counter() - t0)
     rep = float(np.median(ts))
-    bps = nbytes / max(rep - min(floor, rep / 2), 1e-9)
+    # NO floor subtraction: the probe chunk IS the scan loop's chunk, so
+    # its raw wall time — including this rig's per-call dispatch/sync
+    # floor (~25 ms through the tunnel) — is exactly the per-chunk cost
+    # the routed scan will pay here.  Subtracting the floor modeled a
+    # production host (where it is microseconds) and measurably
+    # over-favored the device on this rig (r5 bench session 5: corrected
+    # 2.3 GB/s at S=213 vs 1.2 raw; the S=440 extrapolation then chose a
+    # 1.3x-loser device route).  On production hosts raw ~= corrected
+    # anyway.
+    bps = nbytes / max(rep, 1e-9)
     _session["device_tile_bps"] = bps * tiles
     return bps
 
@@ -337,6 +363,13 @@ def choose_scan_backend(num_states: int, num_classes: int,
                     pass
     # session-measured rates when a probe (or an explicit record_*) has
     # run, static day-mean priors otherwise
-    if device_count_bps(num_states, num_classes) >= host_count_bps(n_streams):
+    dev_bps = device_count_bps(num_states, num_classes)
+    host_bps = host_count_bps(n_streams)
+    if "device_tile_bps" in _session \
+            and PROBE_BAND[0] <= num_states <= PROBE_BAND[1]:
+        # probed contested band: the device must clear the measured
+        # model-bias margin (DEVICE_MARGIN docstring)
+        return "device" if dev_bps >= DEVICE_MARGIN * host_bps else "host"
+    if dev_bps >= host_bps:
         return "device"
     return "host"

@@ -239,3 +239,29 @@ def test_real_probes_smoke(big_matcher, monkeypatch):
     # cached: a second probe returns the same number without re-measuring
     assert router.probe_host(big_matcher.tables, 16) == hb
     assert router.probe_device(big_matcher.tables) == db
+
+
+def test_device_margin_in_probed_band(big_matcher, monkeypatch):
+    """Once probed, the contested band requires the device to clear the
+    measured model-bias margin (DEVICE_MARGIN): near-parity routes host
+    (rig-stable, cache-favorable on real traffic)."""
+    from regex_fpga_tpu.ops import router
+
+    monkeypatch.setattr(
+        router, "probe_host",
+        lambda t, n, *a: (router.record_host_rate(n, 1.0e9), 1.0e9)[1])
+    monkeypatch.setattr(
+        router, "probe_device",
+        lambda t, *a: (router.record_device_rate(
+            t.num_states, t.num_classes, 1.1e9), 1.1e9)[1])
+    dts = big_matcher.tables
+    got = router.choose_scan_backend(
+        dts.num_states, dts.num_classes, 16,
+        tables=dts, workload_bytes=router.PROBE_MIN_WORKLOAD)
+    assert got == "host"  # 1.1 < 1.25 * 1.0
+    # a clear device win still routes device
+    router.reset_session()
+    router.record_host_rate(16, 1.0e9)
+    router.record_device_rate(dts.num_states, dts.num_classes, 1.5e9)
+    got = router.choose_scan_backend(dts.num_states, dts.num_classes, 16)
+    assert got == "device"
