@@ -469,9 +469,31 @@ def _measure(state: dict) -> None:
                 # scan sees END TO END, no arithmetic corrections.
                 try:
                     if point["S"] >= 200 and len(text) >= (1 << 26)                             and _remaining() > 120:
-                        cls_big = jnp.asarray(
-                            np.asarray(dts.class_of).astype(np.uint8)[text]
-                        )
+                        # 64 MiB uploads are the tunnel's known hang
+                        # mode (r4: two in a row) — deadline-threaded
+                        # like the headline _upload; a stall skips the
+                        # point, not the rest of the run
+                        ubox: dict = {}
+
+                        def _up_big():
+                            try:
+                                arr = jnp.asarray(
+                                    np.asarray(dts.class_of).astype(
+                                        np.uint8)[text]
+                                )
+                                np.asarray(arr[:8])
+                                ubox["arr"] = arr
+                            except Exception as ue:
+                                ubox["err"] = ue
+
+                        uth = threading.Thread(target=_up_big, daemon=True)
+                        uth.start()
+                        uth.join(timeout=90.0)
+                        if "arr" not in ubox:
+                            raise RuntimeError(
+                                f"64 MiB class upload stalled/failed: "
+                                f"{ubox.get('err')!r}")
+                        cls_big = ubox["arr"]
                         runb = lambda: dfa_scan_fast(
                             dts, cls_big, num_blocks=65536, emit="counts"
                         )
@@ -549,10 +571,11 @@ def _measure(state: dict) -> None:
                         devb = (point.get("k1_counts_64mib")
                                 or {}).get("bytes_per_sec")
                         hostb = point["host_multi"]["bytes_per_sec"]
-                        if point["router_choice"] == "host" \
-                                and devb is None:
-                            devb = point["k1_counts"]["bytes_per_sec"]
-                        if "k1_counts" in point and devb is not None:
+                        # no 64 MiB device point -> no operating-point-
+                        # valid comparison in EITHER direction (the
+                        # 16 MiB rate understates the device ~2x, which
+                        # would also VACUOUSLY pass host choices) — skip
+                        if devb is not None:
                             chosen = (hostb
                                       if point["router_choice"] == "host"
                                       else devb)
@@ -611,15 +634,19 @@ def _measure(state: dict) -> None:
                                 p["host_multi"]["bytes_per_sec"]
                                 / 1e9, 3)}
                                if "host_multi" in p else {}),
-                            # the ROUTED production rate at this size is
-                            # the better of the two engines (that is what
-                            # the router ships, ops/router.py)
-                            "ge_1gbps": bool(max(
-                                (p.get("k1_counts_64mib")
-                                 or p["k1_counts"])["bytes_per_sec"],
+                            # the rate of the engine the router CHOSE
+                            # at this point (the margin can deliberately
+                            # route the slightly slower engine — max()
+                            # would overclaim)
+                            "ge_1gbps": bool((
                                 (p.get("host_multi")
-                                 or {"bytes_per_sec": 0})["bytes_per_sec"],
+                                 or {"bytes_per_sec": 0})["bytes_per_sec"]
+                                if p.get("router_choice") == "host"
+                                else (p.get("k1_counts_64mib")
+                                      or p["k1_counts"])["bytes_per_sec"]
                             ) >= 1e9),
+                            **({"routed": p["router_choice"]}
+                               if "router_choice" in p else {}),
                         }
                         for p in rows
                     ],

@@ -486,6 +486,18 @@ class DfaMatcher:
         )
         return choice == "host" and native_available()
 
+    def _host_tables(self):
+        """Host-side numpy copies of the device tables, cached: a fresh
+        ``np.asarray`` per call would also defeat the int16 downcast memo
+        in ``utils.native`` (keyed on array identity)."""
+        if not hasattr(self, "_host_np_cache"):
+            self._host_np_cache = (
+                np.asarray(self.tables.table),
+                np.asarray(self.tables.class_of),
+                np.asarray(self.tables.accept),
+            )
+        return self._host_np_cache
+
     def _host_scan_counts(self, streams):
         """(per-stream per-state counts, final states) via the native
         interleaved walker — bit-identical histograms to the device scan
@@ -499,9 +511,7 @@ class DfaMatcher:
             dfa_scan_multi_native, dfa_scan_speculative_native,
         )
 
-        tab = np.asarray(self.tables.table)
-        cls = np.asarray(self.tables.class_of)
-        acc = np.asarray(self.tables.accept)
+        tab, cls, acc = self._host_tables()
         if len(streams) < 4:
             counts = np.zeros((len(streams), self.num_states), np.int64)
             finals = np.zeros(len(streams), np.int32)
@@ -526,11 +536,10 @@ class DfaMatcher:
             with Timer() as t:
                 if collect_positions:
                     finals = np.zeros(len(streams), dtype=np.int64)
+                    tabh, clsh, acch = self._host_tables()
                     for i, stream in enumerate(streams):
                         c, mask, fin = dfa_scan_native(
-                            np.asarray(self.tables.table),
-                            np.asarray(self.tables.class_of),
-                            np.asarray(self.tables.accept),
+                            tabh, clsh, acch,
                             stream, start=self.start,
                         )
                         counts[i] = c

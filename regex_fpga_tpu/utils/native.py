@@ -189,6 +189,26 @@ def _check_table_domain(table: np.ndarray, s: int) -> None:
         )
 
 
+#: small FIFO memo for int16 table downcasts keyed by the SOURCE array's
+#: identity (a strong ref to the source rides along, so the id cannot be
+#: recycled while the entry lives).  Re-converting per call measured a
+#: C*S copy (snort_16: 2.7 MB read + 1.4 MB write) on every chunk/probe
+#: rep — momentarily evicting the very cache the int16 layout protects.
+_TAB16_MEMO: dict = {}
+
+
+def _as_table16(table: np.ndarray) -> np.ndarray:
+    key = id(table)
+    hit = _TAB16_MEMO.get(key)
+    if hit is not None and hit[0] is table:
+        return hit[1]
+    conv = np.ascontiguousarray(table, dtype=np.int16)
+    if len(_TAB16_MEMO) >= 8:
+        _TAB16_MEMO.pop(next(iter(_TAB16_MEMO)))
+    _TAB16_MEMO[key] = (table, conv)
+    return conv
+
+
 def dfa_scan_multi_native(
     table: np.ndarray,      # (C, S) int32
     class_of: np.ndarray,   # (256,) int32
@@ -209,8 +229,8 @@ def dfa_scan_multi_native(
     # snort_16 (S=9,514, C=74: 2.7 MB -> 1.4 MB) 0.28 -> 0.45 GB/s/core
     # with the accept-branch (golden_scan.cpp header note)
     use16 = s < (1 << 15)
-    table = np.ascontiguousarray(
-        table, dtype=np.int16 if use16 else np.int32)
+    table = (_as_table16(table) if use16
+             else np.ascontiguousarray(table, dtype=np.int32))
     entry = lib.dfa_scan_multi16 if use16 else lib.dfa_scan_multi
     tptr_t = ctypes.c_int16 if use16 else ctypes.c_int32
     class_of = np.ascontiguousarray(class_of, dtype=np.int32)
