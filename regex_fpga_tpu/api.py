@@ -651,12 +651,10 @@ class DfaMatcher:
                           metrics=m)
 
     def _pick_blocks(self, n: int) -> int:
-        nb = self.config.num_blocks
-        while nb > 1 and n // nb < self.config.min_block_bytes:
-            nb //= 2
-        while n % nb:
-            nb //= 2
-        return max(nb, 1)
+        from .utils.config import shrink_blocks
+
+        return shrink_blocks(n, self.config.num_blocks,
+                             self.config.min_block_bytes)
 
     def _kgram(self):
         """Cached k-gram tables (4 bytes/engine step), or None when the
@@ -955,9 +953,11 @@ class DfaMatcher:
         cb = self.config.chunk_bytes
         while off < lmax:
             w = min(cb, lmax - off)
-            nb = self.config.num_blocks
-            while nb > 1 and w // nb < self.config.min_block_bytes:
-                nb //= 2
+            from .utils.config import shrink_blocks
+
+            nb = shrink_blocks(w, self.config.num_blocks,
+                               self.config.min_block_bytes,
+                               divisible=False)
             w_pad = -(-w // nb) * nb  # round up to a block multiple
             chunk = np.full((n, w_pad), stall_id, dtype=np.int32)
             real = np.clip(lens - off, 0, w_pad).astype(np.int64)

@@ -26,6 +26,8 @@ HTTP/binary payloads so end-to-end alert recall is assertable.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 __all__ = ["gen_community_rules", "gen_traffic", "DEFAULT_N_RULES"]
@@ -207,6 +209,26 @@ def gen_community_rules(n_rules: int = DEFAULT_N_RULES, seed: int = 7
 # traffic
 
 
+@functools.lru_cache(maxsize=1)
+def _default_corpus_attacks() -> tuple:
+    """Plantable attacks recovered from the DEFAULT corpus's own rules
+    (keeps corpus and traffic in sync); parsed once — callers invoke
+    ``gen_traffic`` repeatedly (tests + bench) and re-parsing the 3,000
+    rules per call measured ~0.3 s each."""
+    from .snort import parse_snort_rules
+
+    rules = parse_snort_rules(gen_community_rules())
+    out = []
+    for r in rules:
+        cs = [c for c in r.contents if not c.negated]
+        if (len(cs) == 1 and cs[0].buffer == "uri" and not r.pcre
+                and not r.verify_ops[1:]):
+            out.append((r.sid, cs[0].pattern))
+        if len(out) >= 40:
+            break
+    return tuple(out)
+
+
 def gen_traffic(n_payloads: int = 400, seed: int = 11,
                 attack_every: int = 10):
     """(payloads, planted) — a traffic-like mix of benign HTTP requests,
@@ -217,19 +239,7 @@ def gen_traffic(n_payloads: int = 400, seed: int = 11,
     rng = np.random.default_rng(seed)
     payloads: list[bytes] = []
     planted: dict[int, int] = {}
-    # attacks that exist as sids in the default corpus are recovered by
-    # scanning the generated rules at call time (keeps the two in sync)
-    from .snort import parse_snort_rules
-
-    rules = parse_snort_rules(gen_community_rules())
-    http_attacks = []
-    for r in rules:
-        cs = [c for c in r.contents if not c.negated]
-        if (len(cs) == 1 and cs[0].buffer == "uri" and not r.pcre
-                and not r.verify_ops[1:]):
-            http_attacks.append((r.sid, cs[0].pattern))
-        if len(http_attacks) >= 40:
-            break
+    http_attacks = _default_corpus_attacks()
     for i in range(n_payloads):
         kind = rng.random()
         if i % attack_every == 0 and http_attacks:

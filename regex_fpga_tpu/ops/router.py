@@ -287,13 +287,11 @@ def probe_device(tables, chunk_bytes: int | None = None,
     import jax
     import jax.numpy as jnp
 
+    from ..utils.config import shrink_blocks
+
     nbytes = chunk_bytes or PROBE_DEVICE_BYTES
-    nb = num_blocks or PROBE_DEVICE_BLOCKS
-    mbb = min_block_bytes or PROBE_MIN_BLOCK_BYTES
-    while nb > 1 and nbytes // nb < mbb:
-        nb //= 2
-    while nbytes % nb:
-        nb //= 2
+    nb = shrink_blocks(nbytes, num_blocks or PROBE_DEVICE_BLOCKS,
+                       min_block_bytes or PROBE_MIN_BLOCK_BYTES)
     classes = np.random.default_rng(0).integers(
         0, c, nbytes, dtype=np.uint8 if c <= 256 else np.int32
     )

@@ -29,3 +29,19 @@ class EngineConfig:
 
 
 DEFAULT_CONFIG = EngineConfig()
+
+
+def shrink_blocks(nbytes: int, num_blocks: int, min_block_bytes: int,
+                  divisible: bool = True) -> int:
+    """The engines' shared block-count rule: halve ``num_blocks`` until
+    each block holds at least ``min_block_bytes``, then (when
+    ``divisible``) until it divides ``nbytes`` exactly.  Ragged batching
+    passes ``divisible=False`` and pads the stream UP to a block multiple
+    instead (the stall class makes padding exact)."""
+    nb = num_blocks
+    while nb > 1 and nbytes // nb < min_block_bytes:
+        nb //= 2
+    if divisible:
+        while nbytes % nb:
+            nb //= 2
+    return max(nb, 1)
