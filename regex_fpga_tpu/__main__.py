@@ -203,6 +203,29 @@ def cmd_snort(args) -> int:
     return 0 if any_alert else 1
 
 
+def cmd_gen_corpus(args) -> int:
+    """Materialize the deterministic offline corpora used by the at-scale
+    tests and the bench (same seeds, same content)."""
+    if args.kind == "snort":
+        from .models.snort_corpus import DEFAULT_N_RULES, gen_community_rules
+
+        text = gen_community_rules(args.n or DEFAULT_N_RULES)
+        with open(args.out, "w") as f:
+            f.write(text)
+        print(f"# wrote {args.out}: {text.count(chr(10)) - 2} rules",
+              file=sys.stderr)
+        return 0
+    import os
+
+    from .models.l7_corpus import DEFAULT_N_PROTOCOLS, write_pat_dir
+
+    os.makedirs(args.out, exist_ok=True)
+    pats = write_pat_dir(args.out, args.n or DEFAULT_N_PROTOCOLS)
+    print(f"# wrote {len(pats)} .pat files under {args.out}",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_presplit(args) -> int:
     from . import api
 
@@ -418,6 +441,17 @@ def main(argv=None) -> int:
     s.add_argument("--checkpoint", default=None,
                    help="npz carry path: resume an interrupted scan")
     s.set_defaults(fn=cmd_corpus)
+
+    s = sub.add_parser(
+        "gen-corpus",
+        help="write the offline community-scale rule corpora "
+             "(models/snort_corpus.py / models/l7_corpus.py)",
+    )
+    s.add_argument("kind", choices=["snort", "l7"])
+    s.add_argument("out", help="snort: .rules file path; l7: directory")
+    s.add_argument("-n", type=int, default=None,
+                   help="rule/protocol count (defaults per corpus)")
+    s.set_defaults(fn=cmd_gen_corpus)
 
     s = sub.add_parser("presplit", help="tokenizer pre-split a file")
     s.add_argument("file")

@@ -283,3 +283,18 @@ def test_cli_corpus_counts_eof_match(tmp_path, capsys):
     n = m.count(data)
     assert n > 0  # only visible via the EOF accept of the final state
     assert out["matches"] == n
+
+
+def test_cli_gen_corpus(tmp_path, capsys):
+    from regex_fpga_tpu.__main__ import main
+
+    rules = tmp_path / "c.rules"
+    assert main(["gen-corpus", "snort", str(rules), "-n", "50"]) == 0
+    from regex_fpga_tpu.models.snort import parse_snort_rules
+
+    assert len(parse_snort_rules(rules.read_text())) == 50
+    d = tmp_path / "pats"
+    assert main(["gen-corpus", "l7", str(d), "-n", "12"]) == 0
+    from regex_fpga_tpu.models.l7 import load_l7_dir
+
+    assert len(load_l7_dir(str(d))) == 12
